@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()``   — every implemented operator from SURVEY.md §2
+                  (registered in divolte_collector_spark.queries).
+``oracle_sql()``— matching DuckDB SQL for the correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +12,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from divolte_collector_spark.queries import all_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 30-minute sessionization of the event stream
+    (reference C3 — the one piece of query semantics divolte itself
+    defines) at sf0.001."""
+    from divolte_collector_spark.operators.sessionize import session_stats
+    from divolte_collector_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return session_stats(events)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: rq.fn for name, rq in sorted(all_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: rq.oracle
+        for name, rq in sorted(all_queries().items())
+        if rq.oracle is not None
+    }

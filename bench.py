@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is forced to full materialization via a count-style action
+(``df.write.format("noop")`` semantics aren't available for all plans,
+so we use ``collect`` length — result sets are intentionally small)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "sessionize_30min",
+    "session_window_native",
+    "funnel_view_click_purchase",
+    "daily_active_users",
+    "asof_last_view_before_purchase",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "ann_ivf_bucketed",
+    "text_quality_scores",
+    "token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from divolte_collector_spark.queries import all_queries
+    from divolte_collector_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # Warm the JVM/codegen path once on a trivial action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        del rows
+    total = round(time.time() - t_total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Query-string multimap parsing (reference §2.6).
+
+The reference parses a raw query string into
+``map<string, array<string>>`` — URL-decoded keys and values, multiple
+values per key preserved in order, valueless params mapping to ``""``
+(QueryStringParser.java:37-79; exposed to the DSL as ``uri.query()``,
+DslRecordMapping.java:522-560).
+
+Spark's ``str_to_map`` is single-valued, so the multimap is composed
+from array expressions — all JVM-side (whole-stage codegen), no UDF:
+
+    split '&' -> entry structs (key, value) -> group values by key.
+
+The per-row grouping is O(distinct_keys * pairs) which is fine for the
+short query strings this exists for (the reference's wire protocol has
+~15 params).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def qs_entries(qs: Column) -> Column:
+    """Raw query string -> array<struct<key,value>> with URL-decoding.
+
+    Valueless params (no '=') decode to value "" per
+    QueryStringParser.java:61-66.
+    """
+    pairs = F.split(qs, "&")
+    return F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.try_url_decode(F.split_part(p, F.lit("="), F.lit(1))).alias("key"),
+            F.try_url_decode(
+                F.when(p.contains("="), F.split_part(p, F.lit("="), F.lit(2))).otherwise(
+                    F.lit("")
+                )
+            ).alias("value"),
+        ),
+    )
+
+
+def qs_multimap(qs: Column) -> Column:
+    """Raw query string -> map<string, array<string>> (multi-valued)."""
+    entries = qs_entries(qs)
+    keys = F.array_distinct(F.transform(entries, lambda e: e.key))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.transform(
+                F.filter(entries, lambda e: e.key == k), lambda e: e.value
+            ),
+        ),
+    )
+
+
+def qs_value(qs_map: Column, key: str) -> Column:
+    """First value for key (uri.query().value(k), DslRecordMapping.java:540-545)."""
+    return F.element_at(F.element_at(qs_map, F.lit(key)), 1)
+
+
+def qs_value_list(qs_map: Column, key: str) -> Column:
+    """All values for key (uri.query().valueList(k), DslRecordMapping.java:547-551)."""
+    return F.element_at(qs_map, F.lit(key))

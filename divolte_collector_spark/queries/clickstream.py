@@ -1,0 +1,297 @@
+"""Clickstream analytics over the ``events`` table — the engine's
+downstream query layer (SURVEY.md §2.15 Ext + C3 sessionization).
+
+Every query here is pure DataFrame API (no Python UDFs) so the whole
+plan stays inside whole-stage codegen; each has an exactly-equivalent
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.operators.sessionize import (
+    session_stats,
+    session_window_agg,
+    sessionize,
+)
+from divolte_collector_spark.queries import query
+from divolte_collector_spark.session import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- C3: sessionization -----------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@query("sessionize_30min", oracle=_SESSIONIZE_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(_events(spark, sf_dir))
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@query("session_window_native", oracle=_SESSION_WINDOW_ORACLE)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F.session_window closes a session when gap >= timeout, hence the
+    # >= in the oracle (vs > in sessionize_30min).
+    return session_window_agg(_events(spark, sf_dir))
+
+
+# --- funnel -----------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT
+    CAST(count(t_view) AS BIGINT) AS n_view,
+    CAST(coalesce(sum(CASE WHEN t_click > t_view THEN 1 END), 0) AS BIGINT) AS n_view_then_click,
+    CAST(coalesce(sum(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END), 0) AS BIGINT)
+        AS n_full_funnel
+FROM u
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return u.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.coalesce(F.sum(F.when(F.col("t_click") > F.col("t_view"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_view_then_click"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("t_click") > F.col("t_view"))
+                    & (F.col("t_purchase") > F.col("t_click")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+# --- bounce rate ------------------------------------------------------------
+
+_BOUNCE_ORACLE = f"""
+WITH sess AS ({_SESSIONIZE_ORACLE})
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(coalesce(sum(CASE WHEN n_events = 1 THEN 1 END), 0) AS BIGINT) AS n_bounces
+FROM sess
+GROUP BY user_id
+"""
+
+
+@query("bounce_sessions", oracle=_BOUNCE_ORACLE)
+def q_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = session_stats(_events(spark, sf_dir))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.coalesce(F.sum(F.when(F.col("n_events") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_bounces"),
+    )
+
+
+# --- daily active users -----------------------------------------------------
+
+_DAU_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@query("daily_active_users", oracle=_DAU_ORACLE)
+def q_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- day-1 retention --------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT a.day AS day, CAST(count(*) AS BIGINT) AS retained
+FROM du a JOIN du b
+  ON b.user_id = a.user_id AND b.day = a.day + 1
+GROUP BY a.day
+"""
+
+
+@query("day1_retention", oracle=_RETENTION_ORACLE)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        _events(spark, sf_dir)
+        .select(F.to_date(F.col("ts")).alias("day"), "user_id")
+        .distinct()
+    )
+    nxt = du.select(
+        F.col("user_id").alias("b_user"), F.col("day").alias("b_day")
+    )
+    return (
+        du.join(
+            nxt,
+            (nxt.b_user == du.user_id)
+            & (nxt.b_day == F.date_add(du.day, 1)),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+
+
+# --- per-event-type stats (incl. exact percentile) --------------------------
+
+_TYPE_STATS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 3) AS avg_value,
+       round(quantile_cont(value, 0.5), 3) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("event_type_stats", oracle=_TYPE_STATS_ORACLE)
+def q_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 3).alias("avg_value"),
+            F.round(F.expr("percentile(value, 0.5)"), 3).alias("median_value"),
+        )
+    )
+
+
+# --- event-parameter (JSON) extraction (SURVEY §2.9) ------------------------
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("event_params_json", oracle=_PROPS_ORACLE)
+def q_event_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eventParameters().value('k') semantics: get_json_object returns the
+    # property as text (DslRecordMapping.java:580-585); cast follows the
+    # tryParse rule (unparseable => null, DslRecordMapping.java:212-238).
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type"), (k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+        )
+    )
+
+
+# --- as-of join: last view before each purchase -----------------------------
+
+_ASOF_ORACLE = """
+SELECT e.event_id AS event_id, e.user_id AS user_id, max(v.ts) AS last_view_ts
+FROM events e LEFT JOIN events v
+  ON v.user_id = e.user_id AND v.event_type = 'view' AND v.ts < e.ts
+WHERE e.event_type = 'purchase'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@query("asof_last_view_before_purchase", oracle=_ASOF_ORACLE)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a range-frame window — one shuffle on the
+    party key instead of the oracle's O(n²) self-join.  This is the
+    scale-path formulation: each partition is streamed once with a
+    running max, no pairwise blow-up."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(Window.unboundedPreceding, -1)  # strictly earlier micros
+    )
+    running_view = F.max(F.when(F.col("event_type") == "view", us)).over(w)
+    return (
+        ev.withColumn("_lv", running_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(F.col("_lv")).alias("last_view_ts"),
+        )
+    )

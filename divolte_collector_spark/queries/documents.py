@@ -1,0 +1,396 @@
+"""Training-data-pipeline operators over the ``documents`` table:
+deduplication (exact, n-gram Jaccard, MinHash+LSH), text analysis
+(language-ID heuristic, quality scoring, token counting, document
+fingerprinting).
+
+All of these stay in the DataFrame API (no Python UDFs): shingling is
+``transform(sequence(...))``, MinHash is ``min(md5(seed || shingle))``
+per seed — deterministic and portable, so every query has an exact
+DuckDB oracle.
+
+Scale notes:
+- (doc, shingle) exploding is linear in corpus token count and
+  partitions on doc_id; the pair-join for verification is bounded by
+  LSH candidate generation (band-bucket join), not all-pairs.
+- The *_planted variants union in deterministically mutated copies of
+  every 10th document so the near-dup path has true positives to find
+  (the synthetic corpus contains no natural near-duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.queries import query
+from divolte_collector_spark.session import load_table
+
+PLANT_OFFSET = 1_000_000
+MINHASH_K = 16
+LSH_BANDS = 8  # 8 bands x 2 rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def tokens_col(text: str = "text"):
+    return F.split(F.col(text), " ")
+
+
+def shingles_expr(tok_col: str, k: int = 3) -> str:
+    """Distinct k-word shingles of a token-array column (SQL expr)."""
+    return (
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {k}),"
+        f" i -> concat_ws(' ', slice({tok_col}, i + 1, {k}))))"
+    )
+
+
+def with_planted_dups(docs: DataFrame) -> DataFrame:
+    """Union in a mutated copy (first two tokens dropped) of every 10th
+    document at doc_id + PLANT_OFFSET — deterministic near-duplicates."""
+    toks = F.split(F.col("text"), " ")
+    mutated = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 3, F.size(toks) - 2)).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+_PLANTED_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+           array_to_string(string_split(text, ' ')[3:], ' ') AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+_SHINGLE_SQL = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM planted) toks
+"""
+
+
+# --- exact dedup ------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL})
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM planted
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_DEDUP_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content.  At 100 TB this is one
+    shuffle on a 128-bit hash — the canonical scalable exact dedup."""
+    planted = with_planted_dups(_docs(spark, sf_dir))
+    return (
+        planted.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------------
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+sh AS ({_SHINGLE_SQL}),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = with_planted_dups(_docs(spark, sf_dir))
+    sh = planted.select(
+        "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jaccard >= 0.5)
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+sh AS ({_SHINGLE_SQL}),
+seeds AS (SELECT unnest(range(0, {MINHASH_K})) AS h),
+sig AS (
+    SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle)) AS mh
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, h
+),
+band AS (
+    SELECT doc_id, h // {MINHASH_K // LSH_BANDS} AS band_id,
+           md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+    FROM sig GROUP BY doc_id, band_id
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT common.doc_a AS doc_a, common.doc_b AS doc_b,
+       round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = common.doc_a
+JOIN counts cb ON cb.doc_id = common.doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16, md5-based permutations) -> LSH banding
+    (8 bands x 2 rows) -> candidate pairs via band-bucket equi-join ->
+    exact Jaccard verification on candidates only.
+
+    This is the scale path: no all-pairs comparison; candidate
+    generation is an equi-join on (band_id, band_key), which shuffles
+    on the band key and is O(sum of bucket^2) with tiny buckets.
+    """
+    planted = with_planted_dups(_docs(spark, sf_dir))
+    sh = planted.select(
+        "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
+    )
+    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("h"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "h")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle")).cast(
+                        "binary"
+                    )
+                )
+            ).alias("mh")
+        )
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band = (
+        sig.groupBy("doc_id", (F.col("h") / rows_per_band).cast("int").alias("band_id"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("h", "mh"))),
+                        lambda s: s.mh,
+                    ),
+                ).cast("binary")
+            ).alias("band_key")
+        )
+    )
+    ba = band.alias("ba")
+    bb = band.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Exact-Jaccard verification restricted to LSH candidates only —
+    # the all-pairs shingle self-join would defeat the point of LSH
+    # (measured: 200x slower at sf0.1 before this restriction).
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+# --- text quality scoring ---------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH scored AS (
+    SELECT lang, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           len(list_filter(string_split(text, ' '),
+                           x -> x = 'the' OR x = 'a')) AS n_stop
+    FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars_calc), 4) AS avg_chars,
+       round(avg(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS avg_stopword_ratio,
+       round(avg(CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens), 6) AS avg_word_len
+FROM scored
+GROUP BY lang, source
+"""
+
+
+@query("text_quality_scores", oracle=_QUALITY_ORACLE)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    scored = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_calc"),
+        n_stop.alias("n_stop"),
+    )
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars_calc"), 4).alias("avg_chars"),
+        F.round(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens")), 6).alias(
+            "avg_stopword_ratio"
+        ),
+        F.round(
+            F.avg(
+                (F.col("n_chars_calc") - F.col("n_tokens") + 1).cast("double")
+                / F.col("n_tokens")
+            ),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+# --- token counting (whitespace + regex "BPE-ish") --------------------------
+
+_TOKEN_COUNT_ORACLE = """
+SELECT source,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_doc_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+@query("token_counts", oracle=_TOKEN_COUNT_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.size(tokens_col())
+    re_t = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(ws).cast("long").alias("ws_tokens"),
+            F.sum(re_t).cast("long").alias("re_tokens"),
+            F.max(ws).cast("long").alias("max_doc_tokens"),
+        )
+    )
+
+
+# --- language-ID heuristic --------------------------------------------------
+
+_LANG_ID_ORACLE = """
+WITH pred AS (
+    SELECT lang,
+           CASE
+             WHEN len(list_filter(string_split(text, ' '), x -> x = 'the')) >= 2
+                  THEN 'en'
+             WHEN len(list_filter(string_split(text, ' '), x -> x = 'a')) >= 2
+                  THEN 'la'
+             ELSE 'unk'
+           END AS predicted_lang
+    FROM documents
+)
+SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, predicted_lang
+"""
+
+
+@query("lang_id_heuristic", oracle=_LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    n_the = F.size(F.filter(toks, lambda x: x == "the"))
+    n_a = F.size(F.filter(toks, lambda x: x == "a"))
+    pred = (
+        F.when(n_the >= 2, "en").when(n_a >= 2, "la").otherwise("unk")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- document fingerprinting ------------------------------------------------
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )

@@ -1,0 +1,324 @@
+"""Relational analytics over the TPC-H-ish star schema (SURVEY.md §2.15).
+
+These are pass-throughs to Spark built-ins by design — the engine's
+declared relational surface (projections, filters, joins of all
+strategies, aggregation incl. rollup, windows, top-k).  The value here
+is the *plans*: dimensions broadcast, facts shuffle on join keys only
+when required, filters reach the parquet scan.
+
+Float discipline: every floating aggregate is rounded in BOTH engines
+(round(x, 2|3)) so summation-order differences between Spark's partial
+aggregation and DuckDB's single-node sum cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.queries import query
+from divolte_collector_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1-style pricing summary ----------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 3) AS avg_qty,
+       round(avg(l_extendedprice), 3) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 3).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- Q3-style shipping priority (3-way join + top-k) ------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # customer is the small side at every SF ratio -> broadcast; the
+    # orders<->lineitem join shuffles on the order key only.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- Q5-style regional revenue (5-way join) ---------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name AS n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@query("q5_regional_revenue", oracle=_Q5_ORACLE)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # All dims broadcast; the only shuffle is lineitem<->orders on the
+    # order key — exactly the plan a 100 TB run wants.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --- Q4-style order priority via EXISTS semi-join ---------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4_ORACLE)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --- Q14-style promo revenue share ------------------------------------------
+
+_Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+@query("q14_promo_share", oracle=_Q14_ORACLE)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- rollup aggregation -----------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_revenue", oracle=_ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- window functions: top parts per brand ----------------------------------
+
+_TOP_PARTS_ORACLE = """
+WITH pr AS (
+    SELECT p.p_brand AS p_brand, p.p_partkey AS p_partkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, p.p_partkey
+)
+SELECT p_brand, p_partkey, revenue, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY revenue DESC, p_partkey) AS rnk
+      FROM pr)
+WHERE rnk <= 3
+"""
+
+
+@query("window_top_parts_per_brand", oracle=_TOP_PARTS_ORACLE)
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pr = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        pr.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --- top customers (join + agg + top-k) -------------------------------------
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       round(sum(o.o_totalprice), 2) AS total_spent,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 25
+"""
+
+
+@query("top_customers", oracle=_TOP_CUSTOMERS_ORACLE)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(25)
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+@query("setops_f_not_o_customers", oracle=_SETOPS_ORACLE)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.intersect(f_cust).exceptAll(o_cust.distinct())

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` single-JVM; the configuration below is
+written for a real multi-executor cluster at ~100 TB scale and degrades
+gracefully to local mode:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) so
+  the static ``shuffle.partitions`` value only needs to be an upper
+  bound; at cluster scale raise it to ~2-4x total cores.
+- Arrow execution for the few pandas-UDF code paths (mincode, UA parse,
+  vector math) — Arrow batches are the only acceptable Python boundary.
+- Session timezone pinned to UTC: event timestamps are epoch-derived
+  (reference carries epoch-millis longs, DivolteEvent.java:52-53) and
+  must not shift with the driver's locale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events.parquet carries TIMESTAMP(NANOS) which the
+        # vectorized reader rejects outright; read as long and rescale
+        # in load_table (integer division — double math would lose
+        # precision above 2^53 ns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Broadcast threshold: dims (region/nation/supplier/customer at
+        # test SF) broadcast; at 100 TB the fact tables never will, which
+        # is the correct behavior.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    Nanosecond-precision timestamp columns (read as long via
+    ``nanosAsLong``) are rescaled to TimestampType at microsecond
+    precision — matching DuckDB's ns->us truncation on fetch.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        field = dict(zip(df.schema.names, df.schema.fields))
+        if isinstance(field["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df

@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given SF, then compares row count, column names, and
+an order-insensitive value multiset.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and represent at fixed precision
+        if v == 0:
+            v = 0.0
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except ImportError:
+        pass
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from divolte_collector_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        s_ms = norm_rows(scols, [tuple(r) for r in srows])
+        d_ms = norm_rows(dcols, drows)
+        ok_vals = s_ms == d_ms
+        status = "OK  " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status}  {name}: rows {len(srows)}/{len(drows)}"
+            f" cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'}"
+            f" vals={'ok' if ok_vals else 'MISMATCH'} [{time.time()-t0:.1f}s]"
+        )
+        if not ok_vals and ok_cols and ok_count:
+            diff_s = [k for k in s_ms if s_ms[k] != d_ms.get(k)][:3]
+            diff_d = [k for k in d_ms if d_ms[k] != s_ms.get(k)][:3]
+            print(f"      spark-only: {diff_s}")
+            print(f"      duck-only : {diff_d}")
+    print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

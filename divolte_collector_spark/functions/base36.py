@@ -1,0 +1,40 @@
+"""Base36 wire codec (reference tryParseBase36Long/Int,
+ClientSideCookieEventHandler.java:263-281; encoding side is JS
+``Number.toString(36)`` in divolte.js).
+
+All JVM-side: ``F.conv`` + regex validation. Java's
+``Long.parseLong(s, 36)`` returns null-on-failure in the reference's
+``tryParse`` wrappers; ``conv`` alone is lenient (parses garbage as 0),
+so inputs are validated with an anchored rlike first — invalid => null,
+matching tryParse semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_B36_RE = "^-?[0-9a-zA-Z]+$"
+
+
+def try_parse_base36_long(col: Column) -> Column:
+    """Base36 string -> long; null when not parseable (tryParse)."""
+    neg = col.startswith("-")
+    body = F.when(neg, F.substring(col, 2, 2147483647)).otherwise(col)
+    magnitude = F.conv(body, 36, 10).try_cast("long")
+    signed = F.when(neg, -magnitude).otherwise(magnitude)
+    return F.when(col.rlike(_B36_RE), signed)
+
+
+def try_parse_base36_int(col: Column) -> Column:
+    """Base36 string -> int; null when not parseable or out of range."""
+    v = try_parse_base36_long(col)
+    return F.when(v.between(-(2**31), 2**31 - 1), v).try_cast("int")
+
+
+def base36_encode(col: Column) -> Column:
+    """Long -> lowercase base36 (JS ``toString(36)`` / Java
+    ``Long.toString(v, 36)``)."""
+    neg = col < 0
+    body = F.lower(F.conv(F.abs(col).cast("string"), 10, 36))
+    return F.when(neg, F.concat(F.lit("-"), body)).otherwise(body)

@@ -1,0 +1,153 @@
+"""Request corruption checksum (reference S4).
+
+The client computes murmur3_32 over a canonical rendering of the query
+parameters (divolte.js:846-877) and sends it base36 in ``x``; the
+server rebuilds the canonical string and compares
+(ClientSideCookieEventHandler.java:206-261):
+
+1. sort parameters by key (multiple values keep their order);
+2. drop the ``x`` param itself;
+3. for each param: ``name`` ``=`` then each value followed by ``,``,
+   then ``;``;
+4. murmur3_32 over the UTF-8 bytes, compared as *signed* 32-bit int
+   against ``Long.parseLong(x, 36)``.
+
+The canonical string is built with pure Spark array expressions over
+the decoded multimap; only the murmur3 step crosses into Python (one
+Arrow-batched pandas UDF — no JVM murmur3_32 built-in exists; ``F.hash``
+is murmur3 with different seeding/finalization and would not match the
+wire checksum).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from divolte_collector_spark.functions.base36 import try_parse_base36_long
+from divolte_collector_spark.functions.murmur import murmur3_32_signed
+
+CHECKSUM_PARAM = "x"
+
+
+@pandas_udf(T.LongType())
+def murmur3_32_signed_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda v: None if v is None else murmur3_32_signed(v.encode("utf-8")),
+        na_action="ignore",
+    )
+
+
+def canonical_checksum_string(entries: Column) -> Column:
+    """``array<struct<key,value>>`` (decoded, wire order) -> canonical string.
+
+    Sorting is by key only, stable for equal keys (array_sort on a
+    (key, original_index) pair preserves multi-value order — the same
+    guarantee the reference gets from ImmutableSortedMap over a Deque
+    per key).
+    """
+    indexed = F.zip_with(
+        entries,
+        F.sequence(F.lit(0), F.size(entries) - 1),
+        lambda e, i: F.struct(e.key.alias("key"), i.alias("idx"), e.value.alias("value")),
+    )
+    ordered = F.array_sort(indexed)
+    keys = F.array_distinct(F.transform(ordered, lambda e: e.key))
+    kept = F.filter(keys, lambda k: k != CHECKSUM_PARAM)
+    return F.array_join(
+        F.transform(
+            kept,
+            lambda k: F.concat(
+                k,
+                F.lit("="),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.filter(ordered, lambda e: e.key == k),
+                        lambda e: F.concat(e.value, F.lit(",")),
+                    ),
+                ),
+                F.lit(";"),
+            ),
+        ),
+        "",
+    )
+
+
+def request_checksum(entries: Column) -> Column:
+    """Signed 32-bit murmur3 checksum of the canonical param string."""
+    return murmur3_32_signed_udf(canonical_checksum_string(entries))
+
+
+def _try_parse_base36_py(s: str | None) -> int | None:
+    if s is None:
+        return None
+    try:
+        return int(s, 36)
+    except ValueError:
+        return None
+
+
+def checksum_verdict_py(raw_qs: str | None) -> bool:
+    """Full verdict from the raw (undecoded) query string: decode params
+    (form-style, as Undertow does), canonicalize, murmur3_32, compare
+    signed against base36 ``x``. Missing/unparseable ``x`` => False."""
+    from urllib.parse import unquote_plus
+
+    if raw_qs is None:
+        return False
+    pairs = []
+    x_val: str | None = None
+    for part in raw_qs.split("&"):
+        key, _, value = part.partition("=")
+        key = unquote_plus(key)
+        value = unquote_plus(value)
+        if key == CHECKSUM_PARAM:
+            if x_val is None:
+                x_val = value
+        else:
+            pairs.append((key, value))
+    expected = _try_parse_base36_py(x_val)
+    if expected is None:
+        return False
+    pairs.sort(key=lambda kv: kv[0])  # stable: multi-values keep order
+    out: list[str] = []
+    last_key = None
+    for k, v in pairs:
+        if k != last_key:
+            if last_key is not None:
+                out.append(";")
+            out.append(k)
+            out.append("=")
+            last_key = k
+        out.append(v)
+        out.append(",")
+    if last_key is not None:
+        out.append(";")
+    canonical = "".join(out)
+    return expected == murmur3_32_signed(canonical.encode("utf-8"))
+
+
+@pandas_udf(T.BooleanType())
+def _checksum_verdict_udf(raw_qs: pd.Series) -> pd.Series:
+    return pd.Series([checksum_verdict_py(v) for v in raw_qs], dtype="boolean")
+
+
+def is_checksum_correct(raw_qs: Column) -> Column:
+    """Checksum verdict over the RAW query-string column; a missing or
+    unparseable ``x`` is incorrect (``.orElse(false)``,
+    ClientSideCookieEventHandler.java:233). The event is *kept* and
+    flagged corrupt, never dropped (S4).
+
+    One single-argument Arrow-batched UDF doing decode + canonicalize +
+    hash + compare. (Spark 4.1 cannot extract a multi-arg pandas UDF
+    whose first argument tree contains higher-order-function lambdas —
+    empirically verified — so the verdict takes the plain raw string
+    and performs the param decode in Python; the JVM-side
+    ``canonical_checksum_string`` remains for expression-level use and
+    is cross-checked against this path in tests.)
+    """
+    return _checksum_verdict_udf(raw_qs)

@@ -1,0 +1,107 @@
+"""HTTP header value operators (reference §2.8).
+
+``header(name)`` produces *all* occurrences of a header, each split on
+commas with RFC-7230 quoted-string and backslash-escape handling, each
+value trimmed of surrounding whitespace (HeaderValueParser.java:20-124
+— behavior reimplemented from the grammar: values separated by ``,``,
+``"``-quoted segments keep commas/spaces, ``\\``-escapes inside quotes
+are unwrapped, empty segments between separators yield empty values).
+
+Quoted-string scanning is inherently stateful, so the split is a small
+pure function in an Arrow-batched pandas UDF (headers are short; this
+is off the analytics hot path). Accessors (first/last/get/
+commaSeparated) are plain array expressions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+
+def split_header_value(value: str) -> list[str]:
+    """Split one raw header line into its comma-separated values."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(value)
+    while True:
+        # skip optional leading whitespace
+        while i < n and value[i] in " \t":
+            i += 1
+        buf.clear()
+        # scan one value: tokens and quoted strings until ',' at depth 0
+        while i < n and value[i] != ",":
+            c = value[i]
+            if c == '"':
+                i += 1
+                while i < n:
+                    q = value[i]
+                    if q == '"':
+                        i += 1
+                        break
+                    if q == "\\" and i + 1 < n:
+                        buf.append(value[i + 1])
+                        i += 2
+                    else:
+                        buf.append(q)
+                        i += 1
+            else:
+                buf.append(c)
+                i += 1
+        out.append("".join(buf).strip())
+        if i >= n:
+            break
+        i += 1  # consume ','
+    return out
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def split_header_value_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else split_header_value(v), na_action="ignore")
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def split_header_lines_udf(s: pd.Series) -> pd.Series:
+    """array of raw header lines -> flattened comma-split values."""
+
+    def go(lines):
+        if lines is None:
+            return None
+        out: list[str] = []
+        for line in lines:
+            if line is not None:
+                out.extend(split_header_value(line))
+        return out
+
+    return s.map(go, na_action="ignore")
+
+
+def header_values(headers_map: Column, name: str) -> Column:
+    """``header(n)`` over a ``map<string, array<string>>`` of raw header
+    lines (keys lowercase): every occurrence comma-split and flattened,
+    order preserved (DslRecordMapping.java:658-663)."""
+    return split_header_lines_udf(F.element_at(headers_map, F.lit(name.lower())))
+
+
+def header_first(values: Column) -> Column:
+    """``.first()`` (DslRecordMapping.java:670)."""
+    return F.element_at(values, 1)
+
+
+def header_last(values: Column) -> Column:
+    """``.last()`` (DslRecordMapping.java:680)."""
+    return F.element_at(values, -1)
+
+
+def header_get(values: Column, i: int) -> Column:
+    """``.get(i)``: 0-based; negative counts from the end
+    (DslRecordMapping.java:701-720)."""
+    return F.element_at(values, i + 1 if i >= 0 else i)
+
+
+def header_comma_separated(values: Column) -> Column:
+    """``.commaSeparated()`` (DslRecordMapping.java:722-726)."""
+    return F.array_join(values, ",")

@@ -1,0 +1,117 @@
+"""Browser event source (reference S1): the ``GET /csc-event`` wire
+protocol decoded from raw request query strings into the normalized
+DivolteEvent shape.
+
+Wire params (ClientSideCookieEventHandler.java:65-84):
+``p`` partyId, ``s`` sessionId, ``v`` pageViewId, ``e`` eventId,
+``c`` client timestamp (base36 epoch-millis), ``n``/``f``
+new-party/first-in-session flags (the literal ``"t"``), ``l`` location,
+``r`` referer, ``w``/``h`` viewport px, ``i``/``j`` screen px, ``k``
+device pixel ratio (all base36 ints), ``t`` event type, ``u`` mincode
+event parameters, ``x`` checksum.
+
+Semantics preserved (ClientSideCookieEventHandler.java:148-204):
+- missing/u nparseable REQUIRED params (p, s, v, e, n, f, c with valid
+  identifiers) => IncompleteRequestException => the event is dropped;
+- a checksum mismatch does NOT drop: the event is kept with
+  ``corrupt_event = true`` (S4);
+- ``u`` decode failure leaves parameters absent, event kept
+  (:181-192).
+
+Input contract: a DataFrame with a raw query-string column (plus
+optional server-side columns: request timestamp, remote host, user
+agent, cookies/headers). Batch and Structured Streaming share this
+function — it is a pure DataFrame->DataFrame transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.functions.base36 import (
+    try_parse_base36_int,
+    try_parse_base36_long,
+)
+from divolte_collector_spark.functions.checksum import is_checksum_correct
+from divolte_collector_spark.functions.mincode import mincode_to_json_udf
+from divolte_collector_spark.functions.querystring import qs_entries
+
+_TRUE_STRING = "t"  # ClientSideCookieEventHandler.java:65
+
+#: divolte identifier: version ':' base36-timestamp ':' id
+#: (DivolteIdentifier.java:55-61 — tryParse rejects anything else)
+_IDENTIFIER_RE = r"^0:[0-9a-z]+:.+$"
+
+
+def _first_value(entries: Column, key: str) -> Column:
+    """First occurrence of a wire param (Undertow exposes a Deque; the
+    reference reads the first element)."""
+    hits = F.filter(entries, lambda e: e.key == key)
+    return F.when(F.size(hits) > 0, F.element_at(hits, 1).value)
+
+
+def _valid_identifier(col: Column) -> Column:
+    return F.when(col.rlike(_IDENTIFIER_RE), col)
+
+
+def parse_browser_events(
+    requests: DataFrame,
+    qs_col: str = "query_string",
+    request_time_col: str | None = "request_time",
+    keep_incomplete: bool = False,
+) -> DataFrame:
+    """Decode the browser wire protocol into DivolteEvent columns.
+
+    Incomplete requests (missing required params) are dropped unless
+    ``keep_incomplete`` (then flagged ``incomplete_request``).
+    """
+    entries = qs_entries(F.col(qs_col))
+    ev = requests.withColumn("_qs_entries", entries)
+    e = F.col("_qs_entries")
+
+    party_id = _valid_identifier(_first_value(e, "p"))
+    session_id = _valid_identifier(_first_value(e, "s"))
+    client_ts = try_parse_base36_long(_first_value(e, "c"))
+
+    required_ok = (
+        party_id.isNotNull()
+        & session_id.isNotNull()
+        & _first_value(e, "v").isNotNull()
+        & _first_value(e, "e").isNotNull()
+        & _first_value(e, "n").isNotNull()
+        & _first_value(e, "f").isNotNull()
+        & client_ts.isNotNull()
+    )
+
+    out = ev.select(
+        "*",
+        (~is_checksum_correct(F.col(qs_col))).alias("corrupt_event"),
+        party_id.alias("party_id"),
+        session_id.alias("session_id"),
+        _first_value(e, "e").alias("event_id"),
+        F.lit("browser").alias("event_source"),
+        _first_value(e, "t").alias("event_type"),
+        (_first_value(e, "n") == _TRUE_STRING).alias("new_party_id"),
+        (_first_value(e, "f") == _TRUE_STRING).alias("first_in_session"),
+        F.timestamp_millis(client_ts).alias("client_time"),
+        mincode_to_json_udf()(_first_value(e, "u")).alias("event_parameters"),
+        F.struct(
+            _first_value(e, "v").alias("page_view_id"),
+            _first_value(e, "l").alias("location"),
+            _first_value(e, "r").alias("referer"),
+            try_parse_base36_int(_first_value(e, "w")).alias("viewport_pixel_width"),
+            try_parse_base36_int(_first_value(e, "h")).alias("viewport_pixel_height"),
+            try_parse_base36_int(_first_value(e, "i")).alias("screen_pixel_width"),
+            try_parse_base36_int(_first_value(e, "j")).alias("screen_pixel_height"),
+            try_parse_base36_int(_first_value(e, "k")).alias("device_pixel_ratio"),
+        ).alias("browser"),
+        required_ok.alias("_complete"),
+    ).drop("_qs_entries")
+
+    if request_time_col and request_time_col in requests.columns:
+        out = out.withColumn("request_start_time", F.col(request_time_col))
+
+    if keep_incomplete:
+        return out.withColumn("incomplete_request", ~F.col("_complete")).drop("_complete")
+    return out.filter(F.col("_complete")).drop("_complete")

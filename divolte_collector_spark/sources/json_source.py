@@ -1,0 +1,86 @@
+"""JSON event source (reference S2): ``POST {eventPath}?p=<partyId>``
+with a snake_case JSON body (JsonEventHandler.java:97-183,
+EventContainer at :162-183).
+
+Body fields: ``event_type?``, ``session_id!``, ``event_id!``,
+``is_new_party!``, ``is_new_session!``, ``client_timestamp_iso!``
+(ISO-8601 offset datetime), ``parameters?`` (arbitrary JSON).
+
+Semantics preserved:
+- missing required fields / unparseable body / bad party id => event
+  dropped (the handler answers 400, JsonEventHandler.java:128-159);
+- no corruption checksum: hardcoded ``false``
+  (DivolteEvent.java:183);
+- oversized bodies (default max 4096 bytes,
+  JsonSourceConfiguration.java:34-52) => dropped, surfaced via the
+  ``max_body_bytes`` argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_MAXIMUM_BODY_SIZE = 4096  # JsonSourceConfiguration.java:34
+
+_BODY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("session_id", T.StringType()),
+        T.StructField("event_id", T.StringType()),
+        T.StructField("is_new_party", T.BooleanType()),
+        T.StructField("is_new_session", T.BooleanType()),
+        T.StructField("client_timestamp_iso", T.StringType()),
+    ]
+)
+
+_IDENTIFIER_RE = r"^0:[0-9a-z]+:.+$"
+
+
+def parse_json_events(
+    requests: DataFrame,
+    body_col: str = "body",
+    party_id_col: str = "party_id_param",
+    request_time_col: str | None = "request_time",
+    max_body_bytes: int = DEFAULT_MAXIMUM_BODY_SIZE,
+    keep_incomplete: bool = False,
+) -> DataFrame:
+    """Decode JSON-source requests into DivolteEvent columns."""
+    body = F.col(body_col)
+    parsed = F.from_json(body, _BODY_SCHEMA)
+    # ISO-8601 offset datetime, e.g. 2024-01-02T03:04:05.678+02:00;
+    # try_to_timestamp: bad input => null => request dropped (400).
+    client_time = F.try_to_timestamp(parsed.client_timestamp_iso)
+    party_ok = F.col(party_id_col).rlike(_IDENTIFIER_RE)
+    session_ok = parsed.session_id.rlike(_IDENTIFIER_RE)
+
+    required_ok = (
+        (F.octet_length(body) <= max_body_bytes)
+        & party_ok
+        & session_ok
+        & parsed.event_id.isNotNull()
+        & parsed.is_new_party.isNotNull()
+        & parsed.is_new_session.isNotNull()
+        & client_time.isNotNull()
+    )
+
+    out = requests.select(
+        "*",
+        F.lit(False).alias("corrupt_event"),  # DivolteEvent.java:183
+        F.col(party_id_col).alias("party_id"),
+        parsed.session_id.alias("session_id"),
+        parsed.event_id.alias("event_id"),
+        F.lit("json").alias("event_source"),
+        parsed.event_type.alias("event_type"),
+        parsed.is_new_party.alias("new_party_id"),
+        parsed.is_new_session.alias("first_in_session"),
+        client_time.alias("client_time"),
+        F.get_json_object(body, "$.parameters").alias("event_parameters"),
+        required_ok.alias("_complete"),
+    )
+    if request_time_col and request_time_col in requests.columns:
+        out = out.withColumn("request_start_time", F.col(request_time_col))
+    if keep_incomplete:
+        return out.withColumn("incomplete_request", ~F.col("_complete")).drop("_complete")
+    return out.filter(F.col("_complete")).drop("_complete")

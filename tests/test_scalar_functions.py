@@ -1,0 +1,271 @@
+"""Scalar DSL function families: casts (§2.5), regex (§2.7), headers
+(§2.8), boolean algebra (§2.12), digests (§2.13), base36, URI (§2.6),
+user-agent (§2.10)."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.functions import booleans as B
+from divolte_collector_spark.functions import casts as C
+from divolte_collector_spark.functions.base36 import (
+    base36_encode,
+    try_parse_base36_int,
+    try_parse_base36_long,
+)
+from divolte_collector_spark.functions.digests import (
+    STATIC_SALT,
+    digest,
+    seeded_digest,
+    to_base64,
+    to_hex_lower,
+    to_hex_upper,
+)
+from divolte_collector_spark.functions.headers import (
+    header_comma_separated,
+    header_first,
+    header_get,
+    header_last,
+    header_values,
+    split_header_value,
+)
+from divolte_collector_spark.functions.regexops import match_group, matches
+from divolte_collector_spark.functions.uri import (
+    uri_decoded_fragment,
+    uri_decoded_query,
+    uri_host,
+    uri_path,
+    uri_port,
+    uri_raw_path,
+    uri_scheme,
+)
+from divolte_collector_spark.functions.useragent import user_agent_struct
+
+
+def _one(spark, cols: dict):
+    df = spark.range(1)
+    return df.select(*[c.alias(k) for k, c in cols.items()]).first()
+
+
+# --- casts ------------------------------------------------------------------
+
+def test_tryparse_casts(spark):
+    df = spark.createDataFrame(
+        [("42", "3.5", "TRUE"), ("nope", "junk", "yes"), (None, None, None)],
+        "i string, f string, b string",
+    )
+    rows = df.select(
+        C.try_parse_int32(F.col("i")).alias("i32"),
+        C.try_parse_int64(F.col("i")).alias("i64"),
+        C.try_parse_fp64(F.col("f")).alias("f64"),
+        C.try_parse_bool(F.col("b")).alias("b"),
+    ).collect()
+    assert (rows[0].i32, rows[0].i64, rows[0].f64, rows[0].b) == (42, 42, 3.5, True)
+    # unparseable => absent (null), never error; 'yes' is NOT true
+    assert (rows[1].i32, rows[1].i64, rows[1].f64, rows[1].b) == (None, None, None, False)
+    assert (rows[2].i32, rows[2].b) == (None, None)
+
+
+def test_tryparse_int_rejects_decimal_and_overflow(spark):
+    r = _one(
+        spark,
+        {
+            "dec": C.try_parse_int32(F.lit("3.7")),
+            "ovf": C.try_parse_int32(F.lit("4294967296")),
+            "ok64": C.try_parse_int64(F.lit("4294967296")),
+        },
+    )
+    assert r.dec is None and r.ovf is None and r.ok64 == 4294967296
+
+
+# --- base36 -----------------------------------------------------------------
+
+def test_base36_roundtrip(spark):
+    r = _one(
+        spark,
+        {
+            "enc": base36_encode(F.lit(1412220184033)),
+            "dec": try_parse_base36_long(F.lit("i0rjfnxd")),
+            "neg": try_parse_base36_long(F.lit("-ql2p2c")),
+            "bad": try_parse_base36_long(F.lit("a_b")),
+            "i": try_parse_base36_int(F.lit("1ak")),
+        },
+    )
+    assert r.enc == "i0rjfnxd"
+    assert r.dec == 1412220184033
+    assert r.neg == -int("ql2p2c", 36)
+    assert r.bad is None
+    assert r.i == int("1ak", 36)
+
+
+# --- regex ------------------------------------------------------------------
+
+def test_regex_full_match_and_groups(spark):
+    r = _one(
+        spark,
+        {
+            "m1": matches(F.lit("abc123"), r"[a-z]+\d+"),
+            "m2": matches(F.lit("abc123x"), r"[a-z]+\d+"),  # full-string: no
+            "g1": match_group(F.lit("abc123"), r"([a-z]+)(\d+)", 2),
+            "gn": match_group(F.lit("abc123"), r"(?<word>[a-z]+)\d+", "word"),
+            "gm": match_group(F.lit("zzz"), r"([a-z]+)(\d+)", 1),  # no match
+            "ge": match_group(F.lit("abc"), r"([a-z]+)(\d*)", 2),  # empty group
+            "mn": matches(F.lit(None).cast("string"), "x"),
+        },
+    )
+    assert r.m1 is True and r.m2 is False
+    assert r.g1 == "123" and r.gn == "abc"
+    assert r.gm is None and r.ge is None and r.mn is None
+
+
+# --- headers ----------------------------------------------------------------
+
+def test_split_header_value_pure():
+    # RFC comma splitting with quoted strings and escapes
+    assert split_header_value("a, b ,c") == ["a", "b", "c"]
+    assert split_header_value('x="a,b", y') == ["x=a,b", "y"]
+    assert split_header_value('"quoted \\" comma, here", tail') == [
+        'quoted " comma, here', "tail"]
+    assert split_header_value("one,,three") == ["one", "", "three"]
+    assert split_header_value('"unterminated') == ["unterminated"]
+
+
+def test_header_operators(spark):
+    df = spark.createDataFrame(
+        [({"accept": ["text/html, application/json", "image/png"]},)],
+        "headers map<string,array<string>>",
+    )
+    vals = header_values(F.col("headers"), "Accept")
+    r = df.select(
+        vals.alias("all"),
+        header_first(vals).alias("first"),
+        header_last(vals).alias("last"),
+        header_get(vals, 1).alias("g1"),
+        header_get(vals, -2).alias("gm2"),
+        header_comma_separated(vals).alias("joined"),
+    ).first()
+    assert r.all == ["text/html", "application/json", "image/png"]
+    assert r.first == "text/html" and r.last == "image/png"
+    assert r.g1 == "application/json" and r.gm2 == "application/json"
+    assert r.joined == "text/html,application/json,image/png"
+
+
+# --- boolean algebra --------------------------------------------------------
+
+def test_optional_boolean_algebra(spark):
+    t, f, n = F.lit(True), F.lit(False), F.lit(None).cast("boolean")
+    r = _one(
+        spark,
+        {
+            "and_tn": B.opt_and(t, n),      # absent (NOT SQL: true AND null)
+            "or_tn": B.opt_or(t, n),        # absent (SQL would say true!)
+            "or_tf": B.opt_or(t, f),
+            "not_n": B.opt_not(n),
+            "eq_nn": B.equal_to(n, n),      # two absents are EQUAL
+            "eq_lit_n": B.equal_to_literal(n.cast("string"), "x"),  # absent vs literal: false
+            "present": B.is_present(n),
+            "holds_n": B.cond_holds(n),
+        },
+    )
+    assert r.and_tn is None and r.or_tn is None and r.or_tf is True
+    assert r.not_n is None
+    assert r.eq_nn is True and r.eq_lit_n is False
+    assert r.present is False and r.holds_n is False
+
+
+# --- digests ----------------------------------------------------------------
+
+def test_digest_unseeded_matches_hashlib(spark):
+    expected = hashlib.sha256(b"aLiteralString").digest()
+    r = _one(
+        spark,
+        {
+            "d": digest("SHA-256", F.lit("aLiteralString")),
+            "hexl": to_hex_lower(digest("SHA-256", F.lit("aLiteralString"))),
+            "hexu": to_hex_upper(digest("SHA-256", F.lit("aLiteralString"))),
+            "b64": to_base64(digest("SHA-256", F.lit("aLiteralString"))),
+            "md5": digest("MD5", F.lit("x")),
+        },
+    )
+    assert bytes(r.d) == expected
+    assert r.hexl == expected.hex()
+    assert r.hexu == expected.hex().upper()
+    assert r.b64 == base64.b64encode(expected).decode()
+    assert bytes(r.md5) == hashlib.md5(b"x").digest()
+
+
+def test_digest_absent_pieces_skipped(spark):
+    # digestingMissingValueShouldBeNoop (DslRecordMapperTest.java:583-588):
+    # absent piece => digest of the empty string, not absent.
+    r = _one(
+        spark,
+        {
+            "empty": digest("SHA-256", F.lit(None).cast("string")),
+            "mixed": digest(
+                "SHA-256", F.lit("a"), F.lit(None).cast("string"), F.lit("b")
+            ),
+        },
+    )
+    assert bytes(r.empty) == hashlib.sha256(b"").digest()
+    assert bytes(r.mixed) == hashlib.sha256(b"ab").digest()
+
+
+def test_seeded_digest_pbkdf2_hmac(spark):
+    # Exact JCE parity: key = PBKDF2WithHmacSHA256(seed, STATIC_SALT,
+    # 100000, 32); result = HMAC-SHA256(key, data).
+    key = hashlib.pbkdf2_hmac("sha256", b"foo", STATIC_SALT, 100_000, dklen=32)
+    expected = hmac.new(key, b"payload", "sha256").digest()
+    r = _one(
+        spark,
+        {
+            "s1": seeded_digest("SHA-256", "foo", F.lit("payload")),
+            "s2": seeded_digest("SHA-256", "bar", F.lit("payload")),
+            "u": digest("SHA-256", F.lit("payload")),
+        },
+    )
+    assert bytes(r.s1) == expected
+    # different seeds produce different hashes (shouldSupportSeededDigesting)
+    assert bytes(r.s2) != bytes(r.s1) != bytes(r.u)
+
+
+# --- URI --------------------------------------------------------------------
+
+def test_uri_operators(spark):
+    url = "https://ex.com:8443/a%20b/c?q=1%202&r=x#frag%21"
+    r = _one(
+        spark,
+        {
+            "scheme": uri_scheme(F.lit(url)),
+            "host": uri_host(F.lit(url)),
+            "port": uri_port(F.lit(url)),
+            "raw_path": uri_raw_path(F.lit(url)),
+            "path": uri_path(F.lit(url)),
+            "q": uri_decoded_query(F.lit(url)),
+            "frag": uri_decoded_fragment(F.lit(url)),
+            "noport": uri_port(F.lit("http://ex.com/")),
+        },
+    )
+    assert r.scheme == "https" and r.host == "ex.com" and r.port == 8443
+    assert r.raw_path == "/a%20b/c" and r.path == "/a b/c"
+    assert r.q == "q=1 2&r=x" and r.frag == "frag!"
+    assert r.noport is None  # absent when -1 (DslRecordMapping.java:492)
+
+
+# --- user agent -------------------------------------------------------------
+
+def test_user_agent_struct(spark):
+    chrome = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36")
+    bot = "Googlebot/2.1 (+http://www.google.com/bot.html)"
+    df = spark.createDataFrame([(chrome,), (bot,), (None,)], "ua string")
+    rows = df.select(user_agent_struct(F.col("ua")).alias("u")).collect()
+    c, b, n = rows[0].u, rows[1].u, rows[2].u
+    assert c.name == "Chrome" and c.vendor == "Google" and c.type == "BROWSER"
+    assert c.os_family == "Windows" and c.device_category == "PERSONAL_COMPUTER"
+    assert c.version.startswith("120.")
+    assert b.type == "ROBOT"
+    assert n.name is None

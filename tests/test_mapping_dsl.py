@@ -1,0 +1,295 @@
+"""Mapping DSL compiler tests — ports of the reference's Groovy fixture
+corpus (src/test/resources/*.groovy, driven by DslRecordMapperTest.java):
+flat-mapping, when-mapping, boolean-logic, basic-stop,
+basic-toplevel-exit, nested-conditional-exit, nested-conditional-stop,
+shorthand-conditional-stop, regex-mapping, uri-mapping,
+wrong-types/missing-field validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from divolte_collector_spark.functions.booleans import (
+    equal_to_literal,
+    is_absent,
+    is_present,
+    opt_and,
+    opt_not,
+    opt_or,
+)
+from divolte_collector_spark.functions.regexops import match_group, matches
+from divolte_collector_spark.functions.uri import (
+    uri_host,
+    uri_path,
+    uri_port,
+    uri_scheme,
+)
+from divolte_collector_spark.mapping import MappingBuilder, SchemaMappingException
+
+# a TestRecord.avsc-flavoured target schema (subset, our own definition)
+SCHEMA = {
+    "type": "record",
+    "name": "TestRecord",
+    "fields": [
+        {"name": "sessionStart", "type": "boolean"},
+        {"name": "ts", "type": "long"},
+        {"name": "remoteHost", "type": "string"},
+        {"name": "client", "type": ["null", "string"], "default": None},
+        {"name": "session", "type": ["null", "string"], "default": None},
+        {"name": "pageview", "type": ["null", "string"], "default": None},
+        {"name": "event", "type": ["null", "string"], "default": None},
+        {"name": "eventType", "type": ["null", "string"], "default": None},
+        {"name": "location", "type": ["null", "string"], "default": None},
+        {"name": "referer", "type": ["null", "string"], "default": None},
+        {"name": "queryparam", "type": ["null", "string"], "default": None},
+        {"name": "unreliable", "type": "boolean", "default": False},
+        {"name": "dupe", "type": "boolean", "default": False},
+        {"name": "queryparamBoolean", "type": ["null", "boolean"], "default": None},
+        {"name": "pathBoolean", "type": ["null", "boolean"], "default": None},
+        {"name": "viewportWidth", "type": ["null", "int"], "default": None},
+        {"name": "uriScheme", "type": ["null", "string"], "default": None},
+        {"name": "uriHost", "type": ["null", "string"], "default": None},
+        {"name": "uriPort", "type": ["null", "int"], "default": None},
+        {"name": "uriPath", "type": ["null", "string"], "default": None},
+        {"name": "customCookie", "type": ["null", "string"], "default": None},
+    ],
+}
+
+_EVENT_SCHEMA = (
+    "corrupt_event boolean, first_in_session boolean, ts long, "
+    "remote_host string, referer string, location string, "
+    "viewport_pixel_width int, party_id string, session_id string, "
+    "page_view_id string, event_id string, event_type string"
+)
+
+_ROW = (
+    False, True, 1412220184033, "127.0.0.1",
+    "http://www.example.com/somepage.html", "http://www.example.com/",
+    1106, "pty", "ses", "pv0", "ev0", "pageView",
+)
+
+
+def _events(spark, rows=None):
+    return spark.createDataFrame(rows or [_ROW], _EVENT_SCHEMA)
+
+
+def _std(m: MappingBuilder) -> MappingBuilder:
+    # the fixtures' common preamble
+    m.map_value(F.col("first_in_session"), "sessionStart")
+    m.map_value(F.col("ts"), "ts")
+    m.map_value(F.col("remote_host"), "remoteHost")
+    return m
+
+
+def test_flat_mapping(spark):
+    m = _std(MappingBuilder(SCHEMA))
+    m.map_value(F.col("corrupt_event"), "unreliable")
+    m.map_value(F.col("referer"), "referer")
+    m.map_value(F.col("location"), "location")
+    m.map_value(F.col("viewport_pixel_width"), "viewportWidth")
+    m.map_value(F.col("party_id"), "client")
+    m.map_value(F.col("session_id"), "session")
+    m.map_value(F.col("page_view_id"), "pageview")
+    m.map_value(F.col("event_id"), "event")
+    m.map_value(F.col("event_type"), "eventType")
+    row = m.apply(_events(spark)).first()
+    assert row.sessionStart is True and row.ts == 1412220184033
+    assert row.remoteHost == "127.0.0.1"
+    assert row.unreliable is False
+    assert row.referer == "http://www.example.com/somepage.html"
+    assert row.location == "http://www.example.com/"
+    assert row.viewportWidth == 1106
+    assert (row.client, row.session, row.pageview, row.event, row.eventType) == (
+        "pty", "ses", "pv0", "ev0", "pageView")
+
+
+def test_when_mapping(spark):
+    # when-mapping.groovy: equalTo guards, nesting, presence guards
+    m = _std(MappingBuilder(SCHEMA))
+    with m.when(equal_to_literal(F.col("location"), "http://www.example.com/")):
+        m.map_literal("locationmatch", "eventType")
+        with m.when(
+            equal_to_literal(F.col("referer"), "http://www.example.com/somepage.html")
+        ):
+            m.map_literal("referermatch", "client")
+    with m.when(equal_to_literal(F.col("referer"), "not the referer")):
+        m.map_literal("is set", "queryparam")
+    header = F.lit(None).cast("string")  # X-Non-Existing-Header-Name
+    with m.when(is_absent(header)):
+        m.map_literal("absent", "event")
+    with m.when(is_absent(F.col("location"))):
+        m.map_literal("should not apply", "event")
+    with m.when(is_present(F.col("location"))):
+        m.map_literal("present", "pageview")
+    with m.when(is_present(header)):
+        m.map_literal("should not apply", "pageview")
+    row = m.apply(_events(spark)).first()
+    assert row.eventType == "locationmatch"
+    assert row.client == "referermatch"
+    assert row.queryparam is None
+    assert row.event == "absent"
+    assert row.pageview == "present"
+
+
+def test_boolean_logic(spark):
+    # boolean-logic.groovy over an event with location but no referer
+    rows = [_ROW[:4] + (None,) + _ROW[5:]]
+    m = _std(MappingBuilder(SCHEMA))
+    ref_p, loc_p = is_present(F.col("referer")), is_present(F.col("location"))
+    m.map_value(opt_or(ref_p, loc_p), "unreliable")          # false || true
+    m.map_value(opt_and(loc_p, ref_p), "dupe")               # true && false
+    m.map_value(opt_not(is_absent(F.col("location"))), "queryparamBoolean")
+    m.map_value(opt_and(loc_p, opt_or(ref_p, loc_p)), "pathBoolean")
+    row = m.apply(_events(spark, rows)).first()
+    assert row.unreliable is True
+    assert row.dupe is False
+    assert row.queryparamBoolean is True
+    assert row.pathBoolean is True
+
+
+def test_basic_stop(spark):
+    m = _std(MappingBuilder(SCHEMA))
+    m.map_literal("happened", "client")
+    m.stop_()
+    m.map_literal("should not happen", "session")
+    row = m.apply(_events(spark)).first()
+    assert row.client == "happened" and row.session is None
+    # preamble before the stop still applied
+    assert row.remoteHost == "127.0.0.1"
+
+
+def test_basic_toplevel_exit(spark):
+    m = _std(MappingBuilder(SCHEMA))
+    m.map_literal("happened", "client")
+    m.exit_()
+    m.map_literal("should not happen", "session")
+    row = m.apply(_events(spark)).first()
+    assert row.client == "happened" and row.session is None
+
+
+def test_nested_conditional_exit(spark):
+    # nested-conditional-exit.groovy: exit() breaks the enclosing
+    # SECTION, not just the when block; mapping continues after it.
+    m = _std(MappingBuilder(SCHEMA))
+    loc_p = is_present(F.col("location"))
+    with m.section():
+        with m.when(loc_p):
+            m.map_literal("happened", "client")
+            m.exit_()
+            m.map_literal("should not happen", "session")
+    with m.section():
+        with m.when(loc_p):
+            m.map_literal("happened", "pageview")
+            with m.when(is_absent(F.col("location"))):
+                m.exit_()
+            m.map_literal("happened", "event")
+            with m.when(loc_p):
+                m.exit_()
+            m.map_literal("should not happen", "session")
+    m.map_literal("happened", "customCookie")
+    row = m.apply(_events(spark)).first()
+    assert row.client == "happened"
+    assert row.session is None
+    assert row.pageview == "happened"
+    assert row.event == "happened"
+    assert row.customCookie == "happened"
+
+
+def test_nested_conditional_stop(spark):
+    m = _std(MappingBuilder(SCHEMA))
+    m.map_literal("happened", "client")
+    with m.when(is_present(F.col("location"))):
+        with m.when(is_present(F.col("ts"))):
+            m.stop_()
+    m.map_literal("should not happen", "session")
+    row = m.apply(_events(spark)).first()
+    assert row.client == "happened" and row.session is None
+
+
+def test_shorthand_conditional_stop(spark):
+    # when(cond) stop(): fires per-row — rows WITHOUT location continue
+    rows = [_ROW, _ROW[:5] + (None,) + _ROW[6:]]
+    m = _std(MappingBuilder(SCHEMA))
+    m.map_literal("happened", "client")
+    with m.when(is_present(F.col("location"))):
+        m.stop_()
+    m.map_literal("did happen", "session")
+    vals = {(r.client, r.session) for r in m.apply(_events(spark, rows)).collect()}
+    assert vals == {("happened", None), ("happened", "did happen")}
+
+
+def test_regex_mapping(spark):
+    # regex-mapping.groovy
+    rows = [_ROW[:5] + ("http://www.example.com/path/with/1234/abcd.html",) + _ROW[6:]]
+    regex = r"http://[^/]+/path/with/([0-9]+)/(?<page>[^\.]+)\.html"
+    m = _std(MappingBuilder(SCHEMA))
+    m.map_value(matches(F.col("location"), regex), "pathBoolean")
+    m.map_value(match_group(F.col("location"), regex, 1), "client")
+    m.map_value(match_group(F.col("location"), regex, "page"), "pageview")
+    row = m.apply(_events(spark, rows)).first()
+    assert row.pathBoolean is True
+    assert row.client == "1234"
+    assert row.pageview == "abcd"
+
+
+def test_uri_mapping(spark):
+    rows = [_ROW[:5] + ("https://ex.com:8443/a%20b/c?q=1",) + _ROW[6:]]
+    m = _std(MappingBuilder(SCHEMA))
+    loc = F.col("location")
+    m.map_value(uri_scheme(loc), "uriScheme")
+    m.map_value(uri_host(loc), "uriHost")
+    m.map_value(uri_port(loc), "uriPort")
+    m.map_value(uri_path(loc), "uriPath")
+    row = m.apply(_events(spark, rows)).first()
+    assert (row.uriScheme, row.uriHost, row.uriPort, row.uriPath) == (
+        "https", "ex.com", 8443, "/a b/c")
+
+
+def test_absent_producer_leaves_field(spark):
+    # 'if present, set' — an absent producer must NOT clobber an
+    # earlier assignment (ordered overwrite semantics).
+    m = MappingBuilder(SCHEMA)
+    m.map_literal("first", "client")
+    m.map_value(F.lit(None).cast("string"), "client")
+    row = m.apply(_events(spark)).first()
+    assert row.client == "first"
+
+
+def test_schema_default_for_unmapped(spark):
+    m = MappingBuilder(SCHEMA)
+    row = m.apply(_events(spark)).first()
+    assert row.unreliable is False  # default from schema
+    assert row.client is None       # null default
+
+
+def test_validation_missing_field():
+    m = MappingBuilder(SCHEMA)
+    with pytest.raises(SchemaMappingException):
+        m.map_literal("x", "no_such_field")
+
+
+def test_validation_wrong_literal_type():
+    m = MappingBuilder(SCHEMA)
+    with pytest.raises(SchemaMappingException):
+        m.map_literal("not a boolean", "unreliable")  # wrong-types-literal
+    with pytest.raises(SchemaMappingException):
+        m.map_literal(3.5, "ts")
+
+
+def test_validation_wrong_producer_type(spark):
+    m = MappingBuilder(SCHEMA)
+    m.map_value(F.col("ts"), "remoteHost")  # long -> string field
+    with pytest.raises(SchemaMappingException):
+        m.apply(_events(spark))
+
+
+def test_avsc_rejects_nontrivial_union():
+    bad = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "u", "type": ["null", "string", "long"]}],
+    }
+    with pytest.raises(SchemaMappingException):
+        MappingBuilder(bad)

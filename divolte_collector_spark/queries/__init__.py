@@ -43,6 +43,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         documents,
         embeddings,
         tpch,
+        wire_parity,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,384 @@
+"""Driver-gated parity queries for the wire-protocol and scalar-DSL
+operator families (SURVEY §2.1 S1/S2/S4/S5, §2.5-2.13).
+
+Pattern: synthesize wire traffic FROM the driver's ``events`` table
+with the engine's *encoder* expressions, decode it with the engine's
+*decoder* path (the code under test), and emit fields the DuckDB oracle
+predicts directly from the raw columns — any defect in base36, murmur3
+checksum, mincode, multimap parsing, URL decoding, digesting or header
+splitting breaks the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.functions.base36 import base36_encode
+from divolte_collector_spark.functions.checksum import murmur3_32_signed_udf
+from divolte_collector_spark.functions.digests import (
+    digest,
+    seeded_digest,
+    to_base64,
+    to_hex_lower,
+)
+from divolte_collector_spark.functions.headers import (
+    header_comma_separated,
+    header_first,
+    header_last,
+    split_header_value_udf,
+)
+from divolte_collector_spark.operators.geoip import geoip_enrich
+from divolte_collector_spark.queries import query
+from divolte_collector_spark.session import load_table
+from divolte_collector_spark.sources.browser import parse_browser_events
+from divolte_collector_spark.sources.json_source import parse_json_events
+
+
+# --- S1+S4+S5: browser wire roundtrip ---------------------------------------
+
+_WIRE_ORACLE = """
+SELECT event_id AS src_event_id,
+       '0:' || lower(to_base(epoch_ms(ts), 36)) || ':u' || CAST(user_id AS VARCHAR)
+           AS party_id,
+       '0:' || lower(to_base(epoch_ms(ts), 36)) || ':s' || CAST(user_id AS VARCHAR)
+           AS session_id,
+       epoch_ms(ts) AS client_ms,
+       event_type || CASE WHEN event_id % 13 = 0 THEN 'z' ELSE '' END AS et,
+       CAST(user_id % 1920 AS INT) AS vw,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS BIGINT) AS k,
+       (event_id % 13 = 0) AS corrupt
+FROM events
+"""
+
+
+@query("wire_browser_roundtrip", oracle=_WIRE_ORACLE)
+def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each event as a /csc-event query string (base36 client
+    time and viewport, mincode ``u=``, murmur3_32 ``x=`` checksum),
+    tamper with the ``t`` param on a 1-in-13 subset AFTER checksumming,
+    then decode through sources/browser.py. The oracle predicts every
+    decoded field (and the corruption verdict) from the raw columns."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    b36ms = base36_encode(ms)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    p = F.concat(F.lit("0:"), b36ms, F.lit(":u"), F.col("user_id"))
+    s = F.concat(F.lit("0:"), b36ms, F.lit(":s"), F.col("user_id"))
+    v = F.concat(F.lit("pv"), F.col("event_id"))
+    e = F.concat(F.lit("ev"), F.col("event_id"))
+    n = F.when(F.col("user_id") % 2 == 0, "t").otherwise("f")
+    fl = F.when(F.col("event_id") % 3 == 0, "t").otherwise("f")
+    loc = F.concat(F.lit("http://shop.example/p/"), F.col("event_type"))
+    w = base36_encode((F.col("user_id") % 1920).cast("long"))
+    u = F.concat(F.lit("(dk!"), base36_encode(k), F.lit("!)"))
+    t = F.col("event_type")
+    # canonical checksum string: keys sorted (c,e,f,l,n,p,s,t,u,v,w),
+    # each value ','-terminated then ';' (ClientSideCookieEventHandler
+    # buildNormalizedChecksumString) — built inline, hashed via the
+    # engine's murmur3_32.
+    canon = F.concat(
+        F.lit("c="), b36ms, F.lit(",;"),
+        F.lit("e="), e, F.lit(",;"),
+        F.lit("f="), fl, F.lit(",;"),
+        F.lit("l="), loc, F.lit(",;"),
+        F.lit("n="), n, F.lit(",;"),
+        F.lit("p="), p, F.lit(",;"),
+        F.lit("s="), s, F.lit(",;"),
+        F.lit("t="), t, F.lit(",;"),
+        F.lit("u="), u, F.lit(",;"),
+        F.lit("v="), v, F.lit(",;"),
+        F.lit("w="), w, F.lit(",;"),
+    )
+    with_canon = ev.select(
+        "event_id", "ts", "user_id", "event_type", "props", canon.alias("_canon"),
+        p.alias("_p"), s.alias("_s"), v.alias("_v"), e.alias("_e"),
+        n.alias("_n"), fl.alias("_f"), loc.alias("_l"), w.alias("_w"),
+        u.alias("_u"), b36ms.alias("_c"),
+    )
+    x = base36_encode(murmur3_32_signed_udf(F.col("_canon")))
+    t_wire = F.concat(
+        F.col("event_type"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("z")).otherwise(F.lit("")),
+    )
+    qs = F.concat_ws(
+        "&",
+        F.concat(F.lit("p="), F.col("_p")),
+        F.concat(F.lit("s="), F.col("_s")),
+        F.concat(F.lit("v="), F.col("_v")),
+        F.concat(F.lit("e="), F.col("_e")),
+        F.concat(F.lit("c="), F.col("_c")),
+        F.concat(F.lit("n="), F.col("_n")),
+        F.concat(F.lit("f="), F.col("_f")),
+        F.concat(F.lit("l="), F.col("_l")),
+        F.concat(F.lit("w="), F.col("_w")),
+        F.concat(F.lit("t="), t_wire),
+        F.concat(F.lit("u="), F.col("_u")),
+        F.concat(F.lit("x="), x),
+    )
+    requests = with_canon.select(
+        F.col("event_id").alias("src_event_id"), qs.alias("query_string")
+    )
+    decoded = parse_browser_events(requests)
+    return decoded.select(
+        "src_event_id",
+        "party_id",
+        "session_id",
+        F.unix_millis(F.col("client_time")).alias("client_ms"),
+        F.col("event_type").alias("et"),
+        F.col("browser.viewport_pixel_width").alias("vw"),
+        F.get_json_object(F.col("event_parameters"), "$.k").try_cast("long").alias("k"),
+        F.col("corrupt_event").alias("corrupt"),
+    )
+
+
+# --- S2: JSON source roundtrip ----------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id AS src_event_id,
+       '0:p:u' || CAST(user_id AS VARCHAR) AS party_id,
+       '0:s:u' || CAST(user_id AS VARCHAR) AS session_id,
+       'ev' || CAST(event_id AS VARCHAR) AS out_event_id,
+       event_type AS et,
+       (user_id % 2 = 0) AS new_party,
+       (event_id % 3 = 0) AS first_in_sess,
+       epoch_ms(ts) AS client_ms,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+@query("json_source_roundtrip", oracle=_JSON_ORACLE)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each event as a JSON-source POST body (snake_case
+    EventContainer, ISO-8601 client timestamp), decode through
+    sources/json_source.py."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format(
+        F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+    )
+    body = F.to_json(
+        F.struct(
+            F.col("event_type").alias("event_type"),
+            F.concat(F.lit("0:s:u"), F.col("user_id")).alias("session_id"),
+            F.concat(F.lit("ev"), F.col("event_id")).alias("event_id"),
+            (F.col("user_id") % 2 == 0).alias("is_new_party"),
+            (F.col("event_id") % 3 == 0).alias("is_new_session"),
+            iso.alias("client_timestamp_iso"),
+            F.struct(
+                F.get_json_object(F.col("props"), "$.k")
+                .try_cast("long")
+                .alias("k")
+            ).alias("parameters"),
+        )
+    )
+    requests = ev.select(
+        F.col("event_id").alias("src_event_id"),
+        F.concat(F.lit("0:p:u"), F.col("user_id")).alias("party_id_param"),
+        body.alias("body"),
+    )
+    decoded = parse_json_events(requests)
+    return decoded.select(
+        "src_event_id",
+        "party_id",
+        "session_id",
+        F.col("event_id").alias("out_event_id"),
+        F.col("event_type").alias("et"),
+        F.col("new_party_id").alias("new_party"),
+        F.col("first_in_session").alias("first_in_sess"),
+        F.unix_millis(F.col("client_time")).alias("client_ms"),
+        F.get_json_object(F.col("event_parameters"), "$.k").try_cast("long").alias("k"),
+    )
+
+
+# --- §2.13: digests ---------------------------------------------------------
+
+_DIGEST_ORACLE = """
+SELECT event_id,
+       sha256(CAST(user_id AS VARCHAR) || ':' || event_type) AS sha_hex,
+       md5(CAST(event_id AS VARCHAR)) AS md5_hex
+FROM events
+"""
+
+
+@query("digest_parity", oracle=_DIGEST_ORACLE)
+def q_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """digest('SHA-256'/'MD5') with hex encoding vs DuckDB's native
+    sha256()/md5() (Digester.java piece-concatenation semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    piece = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+    return ev.select(
+        "event_id",
+        to_hex_lower(digest("SHA-256", piece)).alias("sha_hex"),
+        to_hex_lower(digest("MD5", F.col("event_id").cast("string"))).alias("md5_hex"),
+    )
+
+
+# --- §2.8: header splitting -------------------------------------------------
+
+_HEADER_ORACLE = """
+SELECT event_id,
+       'u' || CAST(user_id AS VARCHAR) AS h_first,
+       'last' AS h_last,
+       'u' || CAST(user_id AS VARCHAR) || ',' || event_type || ',has,comma,last'
+           AS h_joined
+FROM events
+"""
+
+
+@query("header_parse", oracle=_HEADER_ORACLE)
+def q_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC comma-splitting with a quoted segment, driven per event; the
+    oracle predicts first/last/commaSeparated directly."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("u"), F.col("user_id"), F.lit(" , "), F.col("event_type"),
+        F.lit(', "has,comma" , last'),
+    )
+    with_line = ev.select("event_id", line.alias("_line"))
+    vals = split_header_value_udf(F.col("_line"))
+    return with_line.select(
+        "event_id",
+        header_first(vals).alias("h_first"),
+        header_last(vals).alias("h_last"),
+        header_comma_separated(vals).alias("h_joined"),
+    )
+
+
+# --- §2.11: geo-IP broadcast range join -------------------------------------
+
+_GEOIP_ORACLE = """
+SELECT e.event_id AS event_id, n.n_name AS country_name
+FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
+"""
+
+
+@query("geoip_enrich_events", oracle=_GEOIP_ORACLE)
+def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation owns the /8 block ``<10+nationkey>.0.0.0/8``; events
+    get a synthetic IPv4 from their user id; the broadcast range join
+    must recover exactly the modulo mapping the oracle computes."""
+    ev = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    geo = nation.select(
+        ((F.col("n_nationkey") + 10).cast("long") * 16777216).alias("range_start"),
+        ((F.col("n_nationkey") + 10).cast("long") * 16777216 + 16777215).alias(
+            "range_end"
+        ),
+        F.col("n_name").alias("country_name"),
+    )
+    ip = F.concat(
+        (F.col("user_id") % 25 + 10).cast("string"), F.lit("."),
+        (F.col("event_id") % 256).cast("string"), F.lit("."),
+        (F.col("user_id") % 256).cast("string"), F.lit("."),
+        F.lit("7"),
+    )
+    with_ip = ev.select("event_id", ip.alias("remote_host"))
+    return geoip_enrich(with_ip, geo, ip_col="remote_host").select(
+        "event_id", "country_name"
+    )
+
+
+# --- §2.3: mapping DSL end-to-end -------------------------------------------
+
+_MAPPING_ORACLE = """
+SELECT user_id AS "user",
+       event_type AS kind,
+       CASE WHEN event_type = 'purchase' AND value > 250 THEN 'whale'
+            WHEN event_type = 'purchase' THEN 'buyer'
+            ELSE 'visitor' END AS segment,
+       (event_type IN ('click', 'view')) AS engagement,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("mapping_dsl_segments", oracle=_MAPPING_ORACLE)
+def q_mapping_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A when/overwrite mapping compiled to one Project, aggregated so
+    the oracle can express it as CASE logic: later ``map`` actions
+    overwrite earlier ones exactly per the interpreter's ordered
+    semantics."""
+    from divolte_collector_spark.functions.booleans import equal_to_literal
+    from divolte_collector_spark.mapping import MappingBuilder
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = {
+        "type": "record",
+        "name": "Segmented",
+        "fields": [
+            {"name": "user", "type": "long"},
+            {"name": "kind", "type": ["null", "string"], "default": None},
+            {"name": "segment", "type": "string", "default": "visitor"},
+            {"name": "engagement", "type": "boolean", "default": False},
+        ],
+    }
+    m = MappingBuilder(schema)
+    m.map_value(F.col("user_id"), "user")
+    m.map_value(F.col("event_type"), "kind")
+    with m.when(equal_to_literal(F.col("event_type"), "purchase")):
+        m.map_literal("buyer", "segment")
+        with m.when(F.col("value") > 250):
+            m.map_literal("whale", "segment")  # overwrites 'buyer'
+    with m.when(
+        equal_to_literal(F.col("event_type"), "click")
+        | equal_to_literal(F.col("event_type"), "view")
+    ):
+        m.map_literal(True, "engagement")
+    mapped = m.apply(ev)
+    return mapped.groupBy("user", "kind", "segment", "engagement").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- §2.10: user-agent classification ---------------------------------------
+
+_UA_ORACLE = """
+SELECT event_id,
+       CASE event_type
+            WHEN 'view' THEN 'Chrome' WHEN 'click' THEN 'Firefox'
+            WHEN 'purchase' THEN 'Safari' ELSE NULL END AS browser_name,
+       CASE event_type
+            WHEN 'view' THEN 'BROWSER' WHEN 'click' THEN 'BROWSER'
+            WHEN 'purchase' THEN 'BROWSER' ELSE 'ROBOT' END AS ua_type,
+       CASE event_type
+            WHEN 'view' THEN 'Windows' WHEN 'click' THEN 'Linux'
+            WHEN 'purchase' THEN 'OS X' ELSE NULL END AS os_family
+FROM events
+"""
+
+_UA_BY_TYPE = {
+    "view": ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+             "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+    "click": "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "purchase": ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+                 "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15"),
+}
+
+
+@query("ua_classify", oracle=_UA_ORACLE)
+def q_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UA classification: a fixed UA string per event
+    type, classified by the pandas-UDF parser; the oracle pins the
+    expected family per type (fixture-pinning, the reference's own
+    strategy for uadetector parity — DslRecordMapperTest.java:107-116)."""
+    from divolte_collector_spark.functions.useragent import user_agent_struct
+
+    ev = load_table(spark, sf_dir, "events")
+    ua = (
+        F.when(F.col("event_type") == "view", F.lit(_UA_BY_TYPE["view"]))
+        .when(F.col("event_type") == "click", F.lit(_UA_BY_TYPE["click"]))
+        .when(F.col("event_type") == "purchase", F.lit(_UA_BY_TYPE["purchase"]))
+        .otherwise(F.lit("curl/8.0"))
+    )
+    with_ua = ev.select("event_id", ua.alias("user_agent"))
+    parsed = with_ua.select(
+        "event_id", user_agent_struct(F.col("user_agent")).alias("_ua")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_ua.name").alias("browser_name"),
+        F.col("_ua.type").alias("ua_type"),
+        F.col("_ua.os_family").alias("os_family"),
+    )

@@ -1,0 +1,102 @@
+"""Structured Streaming ingest pipeline (SURVEY Phase 4; reference
+§3.1's thread/queue topology re-expressed as a streaming plan).
+
+The reference's runtime is: sources enqueue → mapper threads keyed by
+murmur3(partyId) % threads → per-mapping transform → sink pools
+(IncomingRequestProcessor.java:85-137, ProcessingPool.java:87-92).
+The Spark formulation:
+
+- sources: any ``readStream`` of raw requests (file/socket/Kafka); the
+  wire decoding (sources/browser.py, sources/json_source.py) is a pure
+  DataFrame transform and applies to streams unchanged;
+- the party-affinity routing IS shuffle-by-key — nothing to build;
+- dedup: ``dropDuplicatesWithinWatermark`` on (party, session, event)
+  — *exact* within the watermark horizon, strictly stronger than the
+  reference's probabilistic slot array (C6) which admits false
+  positives AND negatives (ShortTermDuplicateMemory.java:108-178);
+- sessionization: ``session_window`` with watermark (C3's 30-minute
+  inactivity gap, server-side);
+- checkpointing replaces the pause/heartbeat recovery machinery
+  (FileFlusher.java:126-160) with stronger no-data-loss semantics;
+  the reference's load-shedding (drop events when queues fill,
+  ProcessingPool.java:88-91) is deliberately NOT reproduced — Spark
+  backpressures instead (documented divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DEDUP_KEYS = ["party_id", "session_id", "event_id"]
+DEFAULT_WATERMARK = "10 minutes"
+DEFAULT_SESSION_GAP = "30 minutes"
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    time_col: str = "client_time",
+    watermark: str = DEFAULT_WATERMARK,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming duplicate suppression (C6/C7).
+
+    Exact event-identity dedup within the watermark horizon. State per
+    key is a single timestamp — at 100 TB/day the state store holds
+    only the horizon's worth of keys, partitioned by the dedup key
+    (same affinity the reference gets from murmur3(partyId) routing).
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys or DEFAULT_DEDUP_KEYS
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    time_col: str = "client_time",
+    party_col: str = "party_id",
+    gap: str = DEFAULT_SESSION_GAP,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Server-side streaming sessionization (C3): 30-minute inactivity
+    windows per party, emitted when the watermark passes the session
+    end. One shuffle on the party key; session state merges are
+    handled by Spark's native session-window operator.
+
+    Pass ``watermark=None`` when the input already carries one (e.g.
+    downstream of :func:`dedup_events_stream` — Spark disallows
+    redefining the watermark between chained stateful operators).
+    """
+    if watermark is not None:
+        events = events.withWatermark(time_col, watermark)
+    return (
+        events.groupBy(F.col(party_col), F.session_window(F.col(time_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+        )
+        .select(
+            party_col,
+            F.col("session_window.start").alias("window_start"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def discard_filtered(
+    events: DataFrame,
+    discard_corrupted: bool = False,
+    discard_duplicates: bool = False,
+    corrupt_col: str = "corrupt_event",
+    duplicate_col: str = "duplicate",
+) -> DataFrame:
+    """Per-mapping discard filters (C7, Mapping.java:57-58,105-107)."""
+    out = events
+    if discard_corrupted:
+        out = out.filter(~F.coalesce(F.col(corrupt_col), F.lit(False)))
+    if discard_duplicates and duplicate_col in events.columns:
+        out = out.filter(~F.coalesce(F.col(duplicate_col), F.lit(False)))
+    return out

@@ -1,0 +1,104 @@
+"""Avro wire-format codec: varint/zigzag goldens from the Avro spec,
+record roundtrips, parsing-canonical-form + fingerprint, Confluent
+framing bytes (ConfluentAvroRecordBufferSerializerTest's territory)."""
+
+from __future__ import annotations
+
+import struct
+
+from divolte_collector_spark.functions.avro_codec import (
+    confluent_frame,
+    decode_record,
+    encode_long,
+    encode_record,
+    encode_string,
+    parsing_canonical_form,
+    schema_fingerprint_sha256,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "TestRecord",
+    "namespace": "io.example",
+    "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "opt", "type": ["null", "string"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+
+def test_varint_zigzag_goldens():
+    # Avro spec examples: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 64->80 01
+    assert encode_long(0) == b"\x00"
+    assert encode_long(-1) == b"\x01"
+    assert encode_long(1) == b"\x02"
+    assert encode_long(-2) == b"\x03"
+    assert encode_long(2) == b"\x04"
+    assert encode_long(-64) == b"\x7f"
+    assert encode_long(64) == b"\x80\x01"
+
+
+def test_string_encoding():
+    assert encode_string("foo") == b"\x06foo"
+    assert encode_string("") == b"\x00"
+
+
+def test_record_roundtrip():
+    rec = {
+        "b": True, "i": -7, "l": 1412220184033, "s": "héllo",
+        "d": -78.3e-10, "opt": None, "arr": [1, -2, 3],
+        "m": {"k1": "v1", "k2": "v2"},
+    }
+    buf = encode_record(SCHEMA, rec)
+    assert decode_record(SCHEMA, buf) == rec
+    rec2 = dict(rec, opt="present")
+    assert decode_record(SCHEMA, encode_record(SCHEMA, rec2)) == rec2
+
+
+def test_union_encoding_bytes():
+    # null branch = union index 0 only; string branch = index 1 + payload
+    s = {"type": "record", "name": "U",
+         "fields": [{"name": "o", "type": ["null", "string"]}]}
+    assert encode_record(s, {"o": None}) == b"\x00"
+    assert encode_record(s, {"o": "x"}) == b"\x02\x02x"
+
+
+def test_parsing_canonical_form():
+    # docs/attributes stripped, fullname resolved, key order fixed
+    cf = parsing_canonical_form(
+        {
+            "type": "record", "name": "R", "namespace": "com.ex",
+            "doc": "ignore me",
+            "fields": [
+                {"name": "f", "type": "int", "doc": "x", "default": 3},
+                {"name": "g", "type": ["null", "string"], "default": None},
+            ],
+        }
+    )
+    assert cf == (
+        '{"name":"com.ex.R","type":"record","fields":'
+        '[{"name":"f","type":"int"},{"name":"g","type":["null","string"]}]}'
+    )
+
+
+def test_fingerprint_stable_and_doc_insensitive():
+    a = {"type": "record", "name": "R",
+         "fields": [{"name": "f", "type": "int"}]}
+    b = {"type": "record", "name": "R", "doc": "different docs",
+         "fields": [{"name": "f", "type": "int", "doc": "note"}]}
+    assert schema_fingerprint_sha256(a) == schema_fingerprint_sha256(b)
+    assert len(schema_fingerprint_sha256(a)) == 32
+
+
+def test_confluent_frame():
+    # 0x00 magic + int32-BE schema id + body
+    framed = confluent_frame(0x0102, b"avro")
+    assert framed == b"\x00" + struct.pack(">i", 0x0102) + b"avro"
+    assert framed[0] == 0
+    assert struct.unpack(">i", framed[1:5])[0] == 258

@@ -1,0 +1,173 @@
+"""Structured Streaming: ingest, dedup-within-watermark (C6),
+session windows (C3), file sink lifecycle (K1), Kafka framing (K3)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.functions.avro_codec import decode_record
+from divolte_collector_spark.streaming.ingest import (
+    dedup_events_stream,
+    discard_filtered,
+    sessionize_stream,
+)
+from divolte_collector_spark.streaming.sinks import file_sink, kafka_frame
+
+_EVENTS_SCHEMA = (
+    "party_id string, session_id string, event_id string, "
+    "client_time timestamp, event_type string, corrupt_event boolean"
+)
+
+_BATCH_SCHEMA = _EVENTS_SCHEMA.replace("client_time timestamp", "client_time string")
+
+
+def _batch(spark):
+    return spark.createDataFrame(_mk_rows(), _BATCH_SCHEMA).withColumn(
+        "client_time", F.col("client_time").cast("timestamp")
+    )
+
+
+def _mk_rows():
+    # party A: two events 5 min apart, one exact duplicate; party B: one
+    # event far later (separate session window).
+    return [
+        ("0:a:1", "0:a:1:s1", "e1", "2024-01-01 10:00:00", "view", False),
+        ("0:a:1", "0:a:1:s1", "e1", "2024-01-01 10:00:01", "view", False),  # dup id
+        ("0:a:1", "0:a:1:s1", "e2", "2024-01-01 10:05:00", "click", True),
+        ("0:b:2", "0:b:2:s1", "e3", "2024-01-01 13:00:00", "view", False),
+        # sentinel far in the future: advances the watermark so the
+        # earlier sessions finalize and emit in append mode
+        ("0:z:9", "0:z:9:s1", "e9", "2024-01-02 09:00:00", "view", False),
+    ]
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="dvs_stream_")
+    rows = [
+        {
+            "party_id": p, "session_id": s, "event_id": e,
+            "client_time": t, "event_type": et, "corrupt_event": c,
+        }
+        for p, s, e, t, et, c in _mk_rows()
+    ]
+    with open(f"{d}/events.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_stream(spark, d):
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .json(d)
+        .withColumn("client_time", F.col("client_time").cast("timestamp"))
+    )
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_dedup(spark, stream_dir):
+    stream = _read_stream(spark, stream_dir)
+    deduped = dedup_events_stream(stream)
+    _run_to_memory(deduped, "dedup_out")
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == ["e1", "e2", "e3", "e9"]  # exact: duplicate e1 suppressed
+
+
+def test_streaming_session_window(spark, stream_dir):
+    stream = _read_stream(spark, stream_dir)
+    sessions = sessionize_stream(dedup_events_stream(stream), watermark=None)
+    _run_to_memory(sessions, "sess_out")
+    rows = spark.sql(
+        "SELECT party_id, n_events FROM sess_out ORDER BY party_id"
+    ).collect()
+    # watermark: availableNow emits finalized windows only after the
+    # watermark advances past them; with one batch the final state is
+    # emitted on the terminal commit.
+    got = {(r.party_id, r.n_events) for r in rows}
+    # the sentinel's own session stays open (watermark never passes it)
+    assert got == {("0:a:1", 2), ("0:b:2", 1)}
+
+
+def test_discard_filters(spark, stream_dir):
+    # C7: discard_corrupted drops flagged events before sinking
+    batch = _batch(spark)
+    kept = discard_filtered(batch, discard_corrupted=True)
+    assert kept.count() == 4
+    assert kept.filter(F.col("corrupt_event")).count() == 0
+
+
+def test_file_sink_rolls_and_publishes(spark, stream_dir):
+    out = tempfile.mkdtemp(prefix="dvs_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dvs_ckpt_")
+    try:
+        stream = _read_stream(spark, stream_dir)
+        q = file_sink(
+            stream, f"{out}/publish", f"{ckpt}/cp", available_now=True
+        ).start()
+        q.awaitTermination(120)
+        published = spark.read.parquet(f"{out}/publish")
+        assert published.count() == 5
+        # hourly roll buckets (partition values read back as ints)
+        rolls = {
+            r.roll
+            for r in published.select(
+                F.col("_roll").cast("string").alias("roll")
+            ).distinct().collect()
+        }
+        assert rolls == {"2024010110", "2024010113", "2024010209"}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_KAFKA_SCHEMA = {
+    "type": "record",
+    "name": "MappedEvent",
+    "fields": [
+        {"name": "party_id", "type": "string"},
+        {"name": "event_id", "type": "string"},
+        {"name": "event_type", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def test_kafka_frame_naked_and_confluent(spark):
+    batch = _batch(spark).select("party_id", "event_id", "event_type")
+    naked = kafka_frame(batch, _KAFKA_SCHEMA, mode="naked").collect()
+    assert len(naked) == 5
+    for r in naked:
+        rec = decode_record(_KAFKA_SCHEMA, bytes(r.value))
+        assert bytes(r.key).decode() == rec["party_id"]
+        assert rec["event_type"] in ("view", "click")
+
+    framed = kafka_frame(
+        batch, _KAFKA_SCHEMA, mode="confluent", confluent_id=7
+    ).collect()
+    for r in framed:
+        v = bytes(r.value)
+        assert v[0] == 0x00  # magic
+        assert int.from_bytes(v[1:5], "big") == 7
+        rec = decode_record(_KAFKA_SCHEMA, v[5:])
+        assert bytes(r.key).decode() == rec["party_id"]
+
+    with pytest.raises(ValueError):
+        kafka_frame(batch, _KAFKA_SCHEMA, mode="confluent")  # id required

@@ -38,10 +38,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def all_queries() -> dict[str, RegisteredQuery]:
     # Import side-effect modules on first use so registration happens.
     from divolte_collector_spark.queries import (  # noqa: F401
+        analytics_ext,
         clickstream,
         divolte_parity,
         documents,
         embeddings,
+        multimodal,
         tpch,
         wire_parity,
     )

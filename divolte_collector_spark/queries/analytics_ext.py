@@ -1,0 +1,102 @@
+"""Relational-surface extensions (SURVEY §2.15): cube / grouping-set
+aggregations, lag/lead window functions, approximate distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.queries import query
+from divolte_collector_spark.session import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- cube -------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
+@query("cube_event_day", oracle=_CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .cube(F.col("event_type"), F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --- lag/lead: dwell time between consecutive events -------------------------
+
+_DWELL_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, ts,
+           lag(ts)  OVER w AS prev_ts,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(prev_ts) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(epoch_ms(ts) - epoch_ms(prev_ts)), 0) AS BIGINT) AS total_dwell_ms,
+       CAST(coalesce(sum(CASE WHEN next_type = 'purchase' THEN 1 END), 0) AS BIGINT)
+           AS n_before_purchase
+FROM seq
+GROUP BY user_id
+"""
+
+
+@query("lag_lead_dwell", oracle=_DWELL_ORACLE)
+def q_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.count("prev_ts").alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.unix_millis(F.col("ts")) - F.unix_millis(F.col("prev_ts"))),
+            F.lit(0),
+        ).cast("long").alias("total_dwell_ms"),
+        F.coalesce(
+            F.sum(F.when(F.col("next_type") == "purchase", 1)), F.lit(0)
+        ).cast("long").alias("n_before_purchase"),
+    )
+
+
+# --- approximate distinct (HLL) ----------------------------------------------
+
+_APPROX_ORACLE = "SELECT CAST(1 AS BOOLEAN) AS within_tolerance"
+
+
+@query("approx_distinct_bounds", oracle=_APPROX_ORACLE)
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct sanity: the HLL estimate of distinct users
+    must land within 5% of the exact count (Spark's default rsd is
+    0.05). The HLL sketch itself isn't portable across engines, so the
+    oracle checks the *bound*, honestly labeled."""
+    ev = _events(spark, sf_dir)
+    agg = ev.agg(
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    return agg.select(
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= F.col("exact") * 0.05
+        ).alias("within_tolerance")
+    )

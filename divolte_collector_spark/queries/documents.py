@@ -394,3 +394,81 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
     )
+
+
+# --- SimHash near-dup -------------------------------------------------------
+#
+# 16-bit SimHash with a portable per-token bit source: bit j of a token
+# is the parity of hex digit j of md5(token) — identical arithmetic in
+# Spark and DuckDB, so the oracle is exact. Scale shape: one explode of
+# distinct tokens (linear in corpus size), one groupBy doc_id computing
+# all 16 signed bit-sums map-side, then a groupBy fingerprint — no
+# pairwise joins anywhere.
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+    FROM planted
+),
+bits AS (
+    SELECT doc_id,
+           {", ".join(
+               f"sum(CASE WHEN (strpos('0123456789abcdef', substring(md5(t), {j+1}, 1)) - 1) % 2 = 1 "
+               f"THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+           )}
+    FROM tok GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id,
+           {" + ".join(f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}
+               AS fingerprint
+    FROM bits
+)
+SELECT CAST(fingerprint AS BIGINT) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = with_planted_dups(_docs(spark, sf_dir))
+    tok = planted.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    )
+    tok = tok.withColumn("h", F.md5(F.col("t").cast("binary")))
+    bit_sums = [
+        F.sum(
+            F.when(
+                (F.expr(f"instr('0123456789abcdef', substring(h, {j+1}, 1))") - 1) % 2 == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = bits.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(_SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

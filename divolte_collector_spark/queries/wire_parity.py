@@ -119,6 +119,10 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     requests = with_canon.select(
         F.col("event_id").alias("src_event_id"), qs.alias("query_string")
     )
+    # the test parquet is a single file => one partition; spread the
+    # per-row UDF work (murmur, mincode) across cores — at production
+    # scale the source is already partitioned and this is a no-op cost
+    requests = requests.repartition(spark.sparkContext.defaultParallelism)
     decoded = parse_browser_events(requests)
     return decoded.select(
         "src_event_id",

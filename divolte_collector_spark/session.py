@@ -35,6 +35,10 @@ def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # wire-param maps keep the FIRST occurrence of a duplicated key
+        # by building map_from_entries over the reversed entry array
+        # (sources/browser.py) — requires LAST_WIN dedup semantics.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # The driver's events.parquet carries TIMESTAMP(NANOS) which the
         # vectorized reader rejects outright; read as long and rescale
         # in load_table (integer division — double math would lose

@@ -44,11 +44,15 @@ _TRUE_STRING = "t"  # ClientSideCookieEventHandler.java:65
 _IDENTIFIER_RE = r"^0:[0-9a-z]+:.+$"
 
 
-def _first_value(entries: Column, key: str) -> Column:
+def _first_value(qs_map: Column, key: str) -> Column:
     """First occurrence of a wire param (Undertow exposes a Deque; the
-    reference reads the first element)."""
-    hits = F.filter(entries, lambda e: e.key == key)
-    return F.when(F.size(hits) > 0, F.element_at(hits, 1).value)
+    reference reads the first element). The map is built once per row
+    from the reversed entry array under LAST_WIN dedup, so the FIRST
+    wire occurrence wins — and each param read is an O(1) map lookup
+    instead of an array filter over the whole entry list (the
+    filter-per-param formulation made the 17-param Project ~20x
+    slower)."""
+    return F.element_at(qs_map, F.lit(key))
 
 
 def _valid_identifier(col: Column) -> Column:
@@ -67,8 +71,9 @@ def parse_browser_events(
     ``keep_incomplete`` (then flagged ``incomplete_request``).
     """
     entries = qs_entries(F.col(qs_col))
-    ev = requests.withColumn("_qs_entries", entries)
-    e = F.col("_qs_entries")
+    first_map = F.map_from_entries(F.reverse(entries))
+    ev = requests.withColumn("_qs_map", first_map)
+    e = F.col("_qs_map")
 
     party_id = _valid_identifier(_first_value(e, "p"))
     session_id = _valid_identifier(_first_value(e, "s"))
@@ -107,7 +112,7 @@ def parse_browser_events(
             try_parse_base36_int(_first_value(e, "k")).alias("device_pixel_ratio"),
         ).alias("browser"),
         required_ok.alias("_complete"),
-    ).drop("_qs_entries")
+    ).drop("_qs_map")
 
     if request_time_col and request_time_col in requests.columns:
         out = out.withColumn("request_start_time", F.col(request_time_col))

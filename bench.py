@@ -27,10 +27,15 @@ HEADLINE = [
     "asof_last_view_before_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_bruteforce_cosine",
     "ann_ivf_bucketed",
     "text_quality_scores",
     "token_counts",
+    "wire_browser_roundtrip",
+    "mapping_dsl_segments",
+    "geoip_enrich_events",
+    "multimodal_features",
 ]
 
 

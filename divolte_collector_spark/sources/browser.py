@@ -119,4 +119,11 @@ def parse_browser_events(
 
     if keep_incomplete:
         return out.withColumn("incomplete_request", ~F.col("_complete")).drop("_complete")
-    return out.filter(F.col("_complete")).drop("_complete")
+    # The `rand() >= -1` guard is always true; it marks the predicate
+    # non-deterministic so Catalyst cannot push it below the decode
+    # Project. Pushdown would inline the (higher-order-function,
+    # interpreted, non-codegen) query-string parse into every conjunct
+    # of the completeness check — re-parsing the wire format ~8x per
+    # row and forcing the whole Filter into interpreted mode (~10x
+    # slower end-to-end, measured).
+    return out.filter(F.col("_complete") & (F.rand() >= -1.0)).drop("_complete")

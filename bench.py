@@ -56,9 +56,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry[name].fn
         t0 = time.time()
-        rows = fn(spark, sf_dir).collect()
+        # full materialization without driver-side row transfer: the
+        # noop sink executes the whole plan and discards rows (a
+        # collect() of a wide 100k-row result measures py4j transfer,
+        # not the engine)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        del rows
     total = round(time.time() - t_total0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -27,9 +27,14 @@ def try_parse_base36_long(col: Column) -> Column:
 
 
 def try_parse_base36_int(col: Column) -> Column:
-    """Base36 string -> int; null when not parseable or out of range."""
-    v = try_parse_base36_long(col)
-    return F.when(v.between(-(2**31), 2**31 - 1), v).try_cast("int")
+    """Base36 string -> int; null when not parseable or out of range.
+
+    try_cast(long -> int) nulls on overflow (ANSI try semantics), which
+    is exactly the range check — an explicit ``between`` guard would
+    triple the expression tree (the long-parse chain re-inlined per
+    reference), bloating codegen for every base36 wire param.
+    """
+    return try_parse_base36_long(col).try_cast("int")
 
 
 def base36_encode(col: Column) -> Column:

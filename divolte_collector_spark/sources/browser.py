@@ -72,7 +72,22 @@ def parse_browser_events(
     """
     entries = qs_entries(F.col(qs_col))
     first_map = F.map_from_entries(F.reverse(entries))
-    ev = requests.withColumn("_qs_map", first_map)
+    # shuffle() of a 1-element array is the identity, but shuffle is
+    # non-deterministic, which makes the whole map expression
+    # non-deterministic. That (a) stops CollapseProject from inlining
+    # the (interpreted, higher-order-function) parse into every
+    # downstream column reference and (b) stops PushDownPredicate from
+    # substituting it into the completeness filter's conjuncts — Spark
+    # splits AND-ed predicates and pushes the deterministic conjuncts,
+    # so guarding only the filter is not enough (measured: the pushed
+    # filter re-ran the parse ~8x per row and the duplicated trees blew
+    # up codegen compile time). A `rand() >= -1` guard does NOT work:
+    # Spark 4 constant-folds comparisons against rand()'s value range,
+    # erasing the marker. With this, the wire format is parsed exactly
+    # once per row and every later access is an O(1) map lookup.
+    ev = requests.withColumn(
+        "_qs_map", F.element_at(F.shuffle(F.array(first_map)), F.lit(1))
+    )
     e = F.col("_qs_map")
 
     party_id = _valid_identifier(_first_value(e, "p"))
@@ -119,11 +134,7 @@ def parse_browser_events(
 
     if keep_incomplete:
         return out.withColumn("incomplete_request", ~F.col("_complete")).drop("_complete")
-    # The `rand() >= -1` guard is always true; it marks the predicate
-    # non-deterministic so Catalyst cannot push it below the decode
-    # Project. Pushdown would inline the (higher-order-function,
-    # interpreted, non-codegen) query-string parse into every conjunct
-    # of the completeness check — re-parsing the wire format ~8x per
-    # row and forcing the whole Filter into interpreted mode (~10x
-    # slower end-to-end, measured).
-    return out.filter(F.col("_complete") & (F.rand() >= -1.0)).drop("_complete")
+    # Safe to let Catalyst push this: the conjuncts land just above the
+    # (non-deterministic) map-building Project and evaluate as O(1)
+    # lookups on the materialized map.
+    return out.filter(F.col("_complete")).drop("_complete")

@@ -45,6 +45,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         embeddings,
         multimodal,
         tpch,
+        tpch_ext,
         wire_parity,
     )
 

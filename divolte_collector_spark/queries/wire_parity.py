@@ -59,7 +59,14 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tamper with the ``t`` param on a 1-in-13 subset AFTER checksumming,
     then decode through sources/browser.py. The oracle predicts every
     decoded field (and the corruption verdict) from the raw columns."""
-    ev = load_table(spark, sf_dir, "events")
+    # The test parquet is a single file => one input partition. Spread
+    # rows across cores BEFORE the encode projection: the canonical
+    # checksum string + murmur UDF on the encode side are per-row heavy,
+    # and with the repartition placed after them (as it was) they ran
+    # serially on one core (~6 s of the old 15 s at sf0.1).
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ms = F.unix_millis(F.col("ts"))
     b36ms = base36_encode(ms)
     k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
@@ -119,10 +126,6 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     requests = with_canon.select(
         F.col("event_id").alias("src_event_id"), qs.alias("query_string")
     )
-    # the test parquet is a single file => one partition; spread the
-    # per-row UDF work (murmur, mincode) across cores — at production
-    # scale the source is already partitioned and this is a no-op cost
-    requests = requests.repartition(spark.sparkContext.defaultParallelism)
     decoded = parse_browser_events(requests)
     return decoded.select(
         "src_event_id",

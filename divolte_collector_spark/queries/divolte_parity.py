@@ -133,3 +133,82 @@ def q_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_duplicates"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- C6: slot-array duplicate memory, exact sequential semantics ------------
+
+_SLOTMEM_ORACLE = """
+WITH base AS (
+    SELECT event_id AS seq,
+           'p' || CAST(user_id AS VARCHAR) || 's' || CAST(user_id AS VARCHAR)
+               || 'e' || CAST(event_id AS VARCHAR) AS ident
+    FROM events
+),
+replayed AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT seq + 10000000 AS seq, ident FROM base WHERE seq % 7 = 0
+),
+hashed AS (
+    SELECT seq,
+           substr(md5(ident), 1, 2)  AS slot,
+           substr(md5(ident), 17, 16) AS signature
+    FROM replayed
+),
+flagged AS (
+    SELECT seq,
+           COALESCE(lag(signature) OVER (PARTITION BY slot ORDER BY seq)
+                    = signature, FALSE) AS dup
+    FROM hashed
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM flagged
+"""
+
+
+@query("dup_memory_slot_emulation", oracle=_SLOTMEM_ORACLE)
+def q_slot_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShortTermDuplicateMemory's exact sequential data-structure
+    semantics (reference C6, ShortTermDuplicateMemory.java:139-178),
+    distributed: duplicate(e) == (the most recent earlier event hashing
+    to e's slot carried e's signature), i.e. a lag window partitioned
+    by slot — one shuffle on a hash-uniform key, no sequential state.
+
+    Every 7th event is replayed after the base stream; with 256 slots
+    and ~10k+ events most slots get overwritten between occurrence and
+    replay, exercising the structure's false-negative behavior (kept,
+    like the reference: the array ALWAYS overwrites).  This portable
+    variant derives slot/signature from md5 so DuckDB replays the
+    identical process; the murmur3_128-faithful variant (Guava
+    UTF-16LE ``putUnencodedChars``, low-int slot, high-long signature)
+    is operators/dupmemory.py, pinned bit-exact by
+    tests/test_dupmemory.py against a sequential replica."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(
+            F.lit("p"), F.col("user_id"), F.lit("s"), F.col("user_id"),
+            F.lit("e"), F.col("event_id"),
+        ).alias("ident"),
+    )
+    replayed = base.unionByName(
+        base.filter(F.col("seq") % 7 == 0).select(
+            (F.col("seq") + 10_000_000).alias("seq"), "ident"
+        )
+    )
+    hashed = replayed.select(
+        "seq",
+        F.substring(F.md5("ident"), 1, 2).alias("slot"),
+        F.substring(F.md5("ident"), 17, 16).alias("signature"),
+    )
+    w = Window.partitionBy("slot").orderBy("seq")
+    flagged = hashed.select(
+        F.coalesce(
+            F.lag("signature").over(w) == F.col("signature"), F.lit(False)
+        ).alias("dup")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_flagged"),
+    )

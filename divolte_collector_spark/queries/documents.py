@@ -186,11 +186,12 @@ JOIN counts cb ON cb.doc_id = common.doc_b
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16, md5-based permutations) -> LSH banding
     (8 bands x 2 rows) -> candidate pairs via band-bucket equi-join ->
     exact Jaccard verification on candidates only.
+    Returns (doc_a, doc_b, jaccard); shared by the pair query and the
+    connected-components clustering step.
 
     This is the scale path: no all-pairs comparison; candidate
     generation is an equi-join on (band_id, band_key), which shuffles
@@ -271,6 +272,51 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_verified_pairs(spark, sf_dir)
+
+
+# --- near-dup clustering: connected components over LSH pairs ---------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE
+pairs AS (
+    SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) mh WHERE jaccard >= 0.5
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, lab) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_cluster_components", oracle=_CC_ORACLE)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from LSH pairs (the step an actual dedup run
+    needs: pick one representative per component, drop the rest).
+    Iterative min-label propagation, O(component diameter) rounds, one
+    shuffle per round — see operators/graph.py.  Component id = min
+    doc_id, i.e. the kept representative.  Oracle = DuckDB recursive
+    CTE over the identical pair set."""
+    from divolte_collector_spark.operators.graph import connected_components
+
+    edges = minhash_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
     )
 
 

@@ -389,3 +389,72 @@ def q_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_ua.type").alias("ua_type"),
         F.col("_ua.os_family").alias("os_family"),
     )
+
+
+# --- §2.6: URI decomposition ------------------------------------------------
+
+_URI_ORACLE = """
+SELECT event_id AS src_event_id,
+       'https' AS scheme,
+       'shop.example' AS host,
+       CASE WHEN user_id % 2 = 0 THEN 8443 ELSE NULL END AS port,
+       '/cat pages/' || event_type AS path_decoded,
+       '/cat%20pages/' || event_type AS path_raw,
+       'q=a b&q=' || CAST(user_id AS VARCHAR) || '&tag=x' AS q_decoded,
+       'a b' AS q_first,
+       CAST(2 AS INT) AS q_n,
+       CASE WHEN event_id % 3 = 0 THEN 'sec tion' ELSE NULL END AS fragment
+FROM events
+"""
+
+
+@query("uri_decompose", oracle=_URI_ORACLE)
+def q_uri_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference §2.6 (UriValueProducer): build a messy URL per event —
+    encoded path segment, multi-valued query param, conditional port
+    and fragment — then recover every accessor through functions/uri.py
+    and the query-string multimap. The oracle predicts each field from
+    the raw columns, so any defect in parse_url usage, port extraction
+    from AUTHORITY, try_url_decode, or multimap multi-value order
+    breaks the hash."""
+    from divolte_collector_spark.functions.querystring import (
+        qs_multimap,
+        qs_value,
+        qs_value_list,
+    )
+    from divolte_collector_spark.functions.uri import (
+        uri_decoded_fragment,
+        uri_decoded_query,
+        uri_host,
+        uri_path,
+        uri_port,
+        uri_raw_path,
+        uri_raw_query,
+        uri_scheme,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://shop.example"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/cat%20pages/"),
+        F.col("event_type"),
+        F.lit("?q=a%20b&q="),
+        F.col("user_id"),
+        F.lit("&tag=x"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("#sec%20tion")).otherwise(F.lit("")),
+    )
+    u = ev.select(F.col("event_id").alias("src_event_id"), url.alias("url"))
+    qmap = qs_multimap(uri_raw_query(F.col("url")))
+    return u.select(
+        "src_event_id",
+        uri_scheme(F.col("url")).alias("scheme"),
+        uri_host(F.col("url")).alias("host"),
+        uri_port(F.col("url")).alias("port"),
+        uri_path(F.col("url")).alias("path_decoded"),
+        uri_raw_path(F.col("url")).alias("path_raw"),
+        uri_decoded_query(F.col("url")).alias("q_decoded"),
+        qs_value(qmap, "q").alias("q_first"),
+        F.size(qs_value_list(qmap, "q")).alias("q_n"),
+        uri_decoded_fragment(F.col("url")).alias("fragment"),
+    )

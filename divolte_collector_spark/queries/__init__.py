@@ -46,6 +46,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         multimodal,
         tpch,
         tpch_ext,
+        tpch_rest,
         wire_parity,
     )
 

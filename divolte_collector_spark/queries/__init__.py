@@ -44,6 +44,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         documents,
         embeddings,
         multimodal,
+        streaming_ext,
         tpch,
         tpch_ext,
         tpch_rest,

@@ -18,12 +18,17 @@ _B36_RE = "^-?[0-9a-zA-Z]+$"
 
 
 def try_parse_base36_long(col: Column) -> Column:
-    """Base36 string -> long; null when not parseable (tryParse)."""
-    neg = col.startswith("-")
-    body = F.when(neg, F.substring(col, 2, 2147483647)).otherwise(col)
-    magnitude = F.conv(body, 36, 10).try_cast("long")
-    signed = F.when(neg, -magnitude).otherwise(magnitude)
-    return F.when(col.rlike(_B36_RE), signed)
+    """Base36 string -> long; null when not parseable (tryParse).
+
+    The sign is applied by multiplication, not a CASE branch: the
+    branch form duplicated the whole conv() subtree into both arms,
+    and with ~7 wire params per decode the duplicated trees dominated
+    Janino whole-stage-codegen compile time (a fixed ~seconds per
+    plan). Here conv() appears exactly once per call site.
+    """
+    sign = F.when(col.startswith("-"), F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    magnitude = F.conv(F.regexp_replace(col, "^-", ""), 36, 10).try_cast("long")
+    return F.when(col.rlike(_B36_RE), sign * magnitude)
 
 
 def try_parse_base36_int(col: Column) -> Column:

@@ -28,16 +28,19 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql import types as T
 
 from divolte_collector_spark.functions.base36 import try_parse_base36_long
-from divolte_collector_spark.functions.murmur import murmur3_32_signed
+from divolte_collector_spark.functions.murmur import (
+    murmur3_32_signed,
+    murmur3_32_signed_batch,
+)
 
 CHECKSUM_PARAM = "x"
 
 
 @pandas_udf(T.LongType())
 def murmur3_32_signed_udf(s: pd.Series) -> pd.Series:
-    return s.map(
-        lambda v: None if v is None else murmur3_32_signed(v.encode("utf-8")),
-        na_action="ignore",
+    # numpy-vectorized across the Arrow batch (see murmur3_32_signed_batch)
+    return pd.Series(
+        murmur3_32_signed_batch(s.tolist()), index=s.index, dtype="Int64"
     )
 
 

@@ -295,3 +295,38 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("_lv")).alias("last_view_ts"),
         )
     )
+
+
+# --- sliding-window rate (F.window with slide < duration) -------------------
+# Each event lands in exactly duration/slide = 4 overlapping windows; the
+# oracle reproduces Spark's window assignment arithmetically (floor to the
+# slide grid, then the 4 preceding starts).
+
+_SLIDING_ORACLE = """
+SELECT (CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900 AS window_start_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY window_start_s
+"""
+
+
+@query("sliding_window_rate", oracle=_SLIDING_ORACLE)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming-compatible formulation: the same groupBy(F.window(...))
+    # works unchanged under readStream + watermark. One shuffle on the
+    # window key; Spark expands each row to its 4 windows map-side
+    # (no self-join), which is the scale-correct sliding-window plan.
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -33,7 +33,10 @@ from divolte_collector_spark.functions.base36 import (
     try_parse_base36_int,
     try_parse_base36_long,
 )
-from divolte_collector_spark.functions.checksum import is_checksum_correct
+from divolte_collector_spark.functions.checksum import (
+    canonical_checksum_string,
+    murmur3_32_signed_udf,
+)
 from divolte_collector_spark.functions.mincode import mincode_to_json_udf
 from divolte_collector_spark.functions.querystring import qs_entries
 
@@ -70,10 +73,8 @@ def parse_browser_events(
     Incomplete requests (missing required params) are dropped unless
     ``keep_incomplete`` (then flagged ``incomplete_request``).
     """
-    entries = qs_entries(F.col(qs_col))
-    first_map = F.map_from_entries(F.reverse(entries))
     # shuffle() of a 1-element array is the identity, but shuffle is
-    # non-deterministic, which makes the whole map expression
+    # non-deterministic, which makes the whole guarded expression
     # non-deterministic. That (a) stops CollapseProject from inlining
     # the (interpreted, higher-order-function) parse into every
     # downstream column reference and (b) stops PushDownPredicate from
@@ -85,8 +86,23 @@ def parse_browser_events(
     # Spark 4 constant-folds comparisons against rand()'s value range,
     # erasing the marker. With this, the wire format is parsed exactly
     # once per row and every later access is an O(1) map lookup.
-    ev = requests.withColumn(
-        "_qs_map", F.element_at(F.shuffle(F.array(first_map)), F.lit(1))
+    def _once(col: Column) -> Column:
+        return F.element_at(F.shuffle(F.array(col)), F.lit(1))
+
+    entries = qs_entries(F.col(qs_col))
+    ev = requests.withColumn("_entries", _once(entries))
+    # first wire occurrence wins: reversed entries under LAST_WIN dedup
+    ev = ev.withColumn(
+        "_qs_map", _once(F.map_from_entries(F.reverse(F.col("_entries"))))
+    )
+    # canonical checksum string built JVM-side from the SAME parse
+    # (sorted keys, multi-values in order, 'x' excluded) — the Python
+    # side of the verdict is only the vectorized murmur3_32. It is
+    # materialized as a guarded column so the pandas UDF receives a
+    # plain attribute reference (Spark 4.1 cannot extract pandas UDFs
+    # whose argument trees contain higher-order-function lambdas).
+    ev = ev.withColumn(
+        "_canon", _once(canonical_checksum_string(F.col("_entries")))
     )
     e = F.col("_qs_map")
 
@@ -104,9 +120,17 @@ def parse_browser_events(
         & client_ts.isNotNull()
     )
 
+    # verdict: signed murmur3_32(canonical) == base36('x'), absent or
+    # unparseable 'x' => incorrect (.orElse(false),
+    # ClientSideCookieEventHandler.java:233); kept + flagged, not dropped
+    checksum_ok = F.coalesce(
+        try_parse_base36_long(_first_value(e, "x"))
+        == murmur3_32_signed_udf(F.col("_canon")),
+        F.lit(False),
+    )
     out = ev.select(
         "*",
-        (~is_checksum_correct(F.col(qs_col))).alias("corrupt_event"),
+        (~checksum_ok).alias("corrupt_event"),
         party_id.alias("party_id"),
         session_id.alias("session_id"),
         _first_value(e, "e").alias("event_id"),
@@ -127,7 +151,7 @@ def parse_browser_events(
             try_parse_base36_int(_first_value(e, "k")).alias("device_pixel_ratio"),
         ).alias("browser"),
         required_ok.alias("_complete"),
-    ).drop("_qs_map")
+    ).drop("_qs_map", "_entries", "_canon")
 
     if request_time_col and request_time_col in requests.columns:
         out = out.withColumn("request_start_time", F.col(request_time_col))

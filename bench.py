@@ -62,6 +62,10 @@ def main() -> None:
         # not the engine)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries are independent: drop any datasets a query persisted
+        # (e.g. the minhash shingle cache) so heap pressure from one
+        # query can't GC-thrash the ones after it.
+        spark.catalog.clearCache()
     total = round(time.time() - t_total0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

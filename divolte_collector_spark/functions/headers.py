@@ -23,38 +23,63 @@ from pyspark.sql import types as T
 
 
 def split_header_value(value: str) -> list[str]:
-    """Split one raw header line into its comma-separated values."""
+    """Split one raw header line into its comma-separated values.
+
+    Exact port of the reference grammar (HeaderValueParser.java:20-193):
+    - values split on top-level commas; EMPTY values are skipped
+      (trailing/doubled commas yield nothing);
+    - quoted strings keep their content verbatim (incl. commas and
+      edge whitespace) with backslash escapes resolved;
+    - runs of SP/HT between tokens inside one value collapse to a
+      single space; leading/trailing whitespace of a value is dropped.
+    """
     out: list[str] = []
-    buf: list[str] = []
     i, n = 0, len(value)
-    while True:
-        # skip optional leading whitespace
-        while i < n and value[i] in " \t":
-            i += 1
-        buf.clear()
-        # scan one value: tokens and quoted strings until ',' at depth 0
-        while i < n and value[i] != ",":
-            c = value[i]
-            if c == '"':
+    while i < n:
+        buf: list[str] = []
+        # loop until a non-empty value is accumulated or input ends
+        while i < n and not buf:
+            while i < n and value[i] in " \t":  # *(SP|HT)
                 i += 1
-                while i < n:
-                    q = value[i]
-                    if q == '"':
+            ws_skipped = False
+            while i < n:
+                c = value[i]
+                if c == ",":
+                    i += 1
+                    break
+                if c == '"':
+                    i += 1
+                    if ws_skipped:
+                        buf.append(" ")
+                        ws_skipped = False
+                    while i < n:  # quoted-string with \-escapes
+                        q = value[i]
+                        if q == '"':
+                            i += 1
+                            break
+                        if q == "\\":
+                            i += 1
+                            if i < n:
+                                buf.append(value[i])
+                                i += 1
+                        else:
+                            buf.append(q)
+                            i += 1
+                else:
+                    if ws_skipped:
+                        buf.append(" ")
+                        ws_skipped = False
+                    start = i
+                    i += 1
+                    while i < n and value[i] not in '," \t':
                         i += 1
-                        break
-                    if q == "\\" and i + 1 < n:
-                        buf.append(value[i + 1])
-                        i += 2
-                    else:
-                        buf.append(q)
+                    buf.append(value[start:i])
+                if i < n and value[i] in " \t":
+                    ws_skipped = True
+                    while i < n and value[i] in " \t":
                         i += 1
-            else:
-                buf.append(c)
-                i += 1
-        out.append("".join(buf).strip())
-        if i >= n:
-            break
-        i += 1  # consume ','
+        if buf:
+            out.append("".join(buf))
     return out
 
 

@@ -42,6 +42,23 @@ from divolte_collector_spark.functions.querystring import qs_entries
 
 _TRUE_STRING = "t"  # ClientSideCookieEventHandler.java:65
 
+#: requests replaying this If-None-Match value are browser-cache
+#: replays: answered 304 and dropped BEFORE parsing (S3,
+#: ClientSideCookieEventHandler.java:58-59,119-137)
+SENTINEL_ETAG = '"6b3edc43-20ec-4078-bc47-e965dd76b88a"'
+
+
+def drop_etag_replays(requests: DataFrame, etag_col: str = "if_none_match") -> DataFrame:
+    """Request-level duplicate suppression (S3): drop rows whose
+    If-None-Match carries the sentinel ETag. A no-op when the ingest
+    doesn't capture the header. Runs before any wire parsing — same
+    ordering as the reference (304 short-circuit before logEvent)."""
+    if etag_col not in requests.columns:
+        return requests
+    return requests.filter(
+        F.col(etag_col).isNull() | (F.col(etag_col) != SENTINEL_ETAG)
+    )
+
 #: divolte identifier: version ':' base36-timestamp ':' id
 #: (DivolteIdentifier.java:55-61 — tryParse rejects anything else)
 _IDENTIFIER_RE = r"^0:[0-9a-z]+:.+$"
@@ -89,6 +106,7 @@ def parse_browser_events(
     def _once(col: Column) -> Column:
         return F.element_at(F.shuffle(F.array(col)), F.lit(1))
 
+    requests = drop_etag_replays(requests)
     entries = qs_entries(F.col(qs_col))
     ev = requests.withColumn("_entries", _once(entries))
     # first wire occurrence wins: reversed entries under LAST_WIN dedup

@@ -293,3 +293,206 @@ def test_avsc_rejects_nontrivial_union():
     }
     with pytest.raises(SchemaMappingException):
         MappingBuilder(bad)
+
+
+# --- ports of the remaining Groovy fixture corpus ---------------------------
+
+
+def test_chained_na_mapping(spark):
+    """chained-na-mapping.groovy: absent referer -> uri -> path -> regex
+    group chain stays absent end-to-end; the field keeps its non-null
+    schema default ('not set' analogue: here the declared default)."""
+    from divolte_collector_spark.functions.uri import uri_path
+
+    schema = dict(SCHEMA)
+    schema = {
+        **SCHEMA,
+        "fields": [
+            {**f, "default": "not set"} if f["name"] == "queryparam" else f
+            for f in SCHEMA["fields"]
+        ],
+    }
+    m = _std(MappingBuilder(schema))
+    ref_path = uri_path(F.col("referer"))
+    m.map_value(match_group(ref_path, "some regex with a (group)", 1), "queryparam")
+    rows = [_ROW[:4] + (None,) + _ROW[5:]]  # referer = None
+    row = m.apply(_events(spark, rows)).first()
+    assert row.queryparam == "not set"
+
+
+def test_client_timestamp_mapping(spark):
+    """client-timestamp.groovy: clientTimestamp() onto ts."""
+    m = MappingBuilder(SCHEMA)
+    m.map_value(F.col("first_in_session"), "sessionStart")
+    m.map_value(F.col("remote_host"), "remoteHost")
+    m.map_value(F.col("ts"), "ts")  # client ts carried as epoch-ms long
+    row = m.apply(_events(spark)).first()
+    assert row.ts == 1412220184033
+
+
+def test_funky_querystring(spark):
+    """funky-querystring-mapping.groovy semantics:
+    ?q=        => q == ""
+    ?q&a=bar   => q == "" and a == "bar"
+    ?=42&q=foo => q == "foo" (empty key kept separately)
+    """
+    from divolte_collector_spark.functions.querystring import qs_multimap
+
+    df = spark.createDataFrame([("a=value&=42&b=&d=word&c&=bla",)], "qs string")
+    got = df.select(
+        *[
+            F.element_at(F.element_at(qs_multimap(F.col("qs")), F.lit(k)), 1).alias(k)
+            for k in ("a", "b", "c", "d")
+        ]
+    ).first()
+    assert got.a == "value"
+    assert got.b == ""
+    assert got.c == ""
+    assert got.d == "word"
+
+
+def test_uri_mapping_raw(spark):
+    """uri-mapping-raw.groovy golden values."""
+    from divolte_collector_spark.functions.uri import (
+        uri_raw_fragment,
+        uri_raw_path,
+        uri_raw_query,
+    )
+
+    loc = (
+        "http://example.com/path/to/resource%20and%20such/page.html"
+        "?q=multiple+words+%24%23%25%26&p=42"
+        "#/client/side/path?x=value&y=42&q=multiple+words+%24%23%25%26"
+    )
+    df = spark.createDataFrame([(loc,)], "location string")
+    row = df.select(
+        uri_raw_path(F.col("location")).alias("p"),
+        uri_raw_query(F.col("location")).alias("q"),
+        uri_raw_fragment(F.col("location")).alias("f"),
+    ).first()
+    assert row.p == "/path/to/resource%20and%20such/page.html"
+    assert row.q == "q=multiple+words+%24%23%25%26&p=42"
+    assert row.f == "/client/side/path?x=value&y=42&q=multiple+words+%24%23%25%26"
+
+
+def test_uri_mapping_fragment_reparse(spark):
+    """uri-mapping-fragment.groovy: parse the raw fragment AS a URI
+    again (Angular-style client-side routes)."""
+    from divolte_collector_spark.functions.querystring import qs_multimap
+    from divolte_collector_spark.functions.uri import (
+        uri_path,
+        uri_raw_fragment,
+        uri_raw_query,
+    )
+
+    loc = (
+        "http://example.com/path/?q=divolte"
+        "#/client/side/path?x=value&y=42&q=multiple+words+%24%23%25%26"
+    )
+    df = spark.createDataFrame([(loc,)], "location string")
+    frag = uri_raw_fragment(F.col("location"))
+    row = df.select(
+        uri_path(frag).alias("p"),
+        uri_raw_query(frag).alias("q"),
+        F.element_at(
+            F.element_at(qs_multimap(uri_raw_query(frag)), F.lit("q")), 1
+        ).alias("qv"),
+    ).first()
+    assert row.p == "/client/side/path"
+    assert row.q == "x=value&y=42&q=multiple+words+%24%23%25%26"
+    assert row.qv == "multiple words $#%&"
+
+
+def test_header_normalization(spark):
+    """header-normalization-mapping.groovy: RFC comma-splitting with
+    quoted strings, multi-line headers flattened in order
+    (DslRecordMapperTest.java:298-312 golden list)."""
+    from divolte_collector_spark.functions.headers import split_header_lines_udf
+
+    lines = [
+        "first",
+        "second, third ,fourth,fifth",
+        '"sixth,still_sixth", seventh,',
+        '" eighth,\\"still eighth "',
+        "ninth  still ninth",
+        "last",
+    ]
+    df = spark.createDataFrame([(lines,)], "h array<string>")
+    got = df.select(split_header_lines_udf(F.col("h")).alias("v")).first().v
+    assert got == [
+        "first",
+        "second",
+        "third",
+        "fourth",
+        "fifth",
+        "sixth,still_sixth",
+        "seventh",
+        ' eighth,"still eighth ',
+        "ninth still ninth",
+        "last",
+    ]
+
+
+def test_event_param_jsonpath_presence(spark):
+    """event-param-jsonpath-presence.groovy: path('$.foo').isPresent()
+    guards; missing path => false branch (absent, not error)."""
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "flag1", "type": "boolean", "default": False},
+            {"name": "flag2", "type": "boolean", "default": False},
+        ],
+    }
+    m = MappingBuilder(schema)
+    params = F.col("event_parameters")
+    m.map_literal(False, "flag1")
+    with m.when(F.get_json_object(params, "$.foo").isNotNull()):
+        m.map_literal(True, "flag1")
+    m.map_literal(False, "flag2")
+    with m.when(F.get_json_object(params, "$.missing").isNotNull()):
+        m.map_literal(True, "flag2")
+    df = spark.createDataFrame(
+        [('{"foo": "string", "bar": 42}',)], "event_parameters string"
+    )
+    row = m.apply(df).first()
+    assert row.flag1 is True
+    assert row.flag2 is False
+
+
+def test_event_param_jsonpath_values(spark):
+    """event-param-jsonpath-mapping.groovy: scalar, int and wildcard
+    array extraction (itemPrices = $.items[*].price)."""
+    payload = (
+        '{"foo": "string", "bar": 42, "items": ['
+        '{"name": "apple", "count": 3, "price": 1.23},'
+        '{"name": "pear", "count": 1, "price": 0.89}]}'
+    )
+    df = spark.createDataFrame([(payload,)], "event_parameters string")
+    p = F.col("event_parameters")
+    row = df.select(
+        F.get_json_object(p, "$.foo").alias("paramValue"),
+        F.get_json_object(p, "$.bar").cast("int").alias("paramIntValue"),
+        F.from_json(
+            F.get_json_object(p, "$.items[*].price"), "array<double>"
+        ).alias("itemPrices"),
+    ).first()
+    assert row.paramValue == "string"
+    assert row.paramIntValue == 42
+    assert row.itemPrices == [1.23, 0.89]
+
+
+def test_custom_cookie_mapping(spark):
+    """custom-cookie-mapping.groovy: cookie(name) from the request's
+    cookie map."""
+    m = MappingBuilder(SCHEMA)
+    m.map_value(F.col("first_in_session"), "sessionStart")
+    m.map_value(F.col("ts"), "ts")
+    m.map_value(F.col("remote_host"), "remoteHost")
+    m.map_value(F.element_at(F.col("cookies"), F.lit("custom_cookie")), "customCookie")
+    df = _events(spark).withColumn(
+        "cookies",
+        F.create_map(F.lit("custom_cookie"), F.lit("custom_cookie_value")),
+    )
+    row = m.apply(df).first()
+    assert row.customCookie == "custom_cookie_value"

@@ -130,7 +130,12 @@ def test_split_header_value_pure():
     assert split_header_value('x="a,b", y') == ["x=a,b", "y"]
     assert split_header_value('"quoted \\" comma, here", tail') == [
         'quoted " comma, here', "tail"]
-    assert split_header_value("one,,three") == ["one", "", "three"]
+    # empty values are skipped (HeaderValueParser.java:180-190 loops
+    # until a NON-empty value accumulates; DslRecordMapperTest's golden
+    # list has no empty for the trailing comma in '"...", seventh,')
+    assert split_header_value("one,,three") == ["one", "three"]
+    # internal whitespace runs collapse to a single space
+    assert split_header_value("ninth  still ninth") == ["ninth still ninth"]
     assert split_header_value('"unterminated') == ["unterminated"]
 
 

@@ -122,3 +122,21 @@ def test_json_required_fields_drop(spark):
     # raising the size limit admits the oversized body (config knob,
     # JsonSourceConfiguration.java:34-52)
     assert _json(spark, rows, max_body_bytes=100_000).count() == 2
+
+
+def test_etag_replay_dropped_before_parse(spark):
+    """S3: the sentinel If-None-Match marks a browser-cache replay —
+    dropped before parsing; other ETags (or none) pass through."""
+    from divolte_collector_spark.sources.browser import SENTINEL_ETAG
+
+    df = spark.createDataFrame(
+        [
+            (_GOOD_QS, SENTINEL_ETAG),
+            (_GOOD_QS, None),
+            (_GOOD_QS, '"some-other-etag"'),
+        ],
+        "query_string string, if_none_match string",
+    )
+    out = parse_browser_events(df)
+    assert out.count() == 2
+    assert out.filter(F.col("if_none_match") == SENTINEL_ETAG).count() == 0

@@ -50,6 +50,16 @@ def main() -> None:
 
     # Warm the JVM/codegen path once on a trivial action.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the python-worker fleet too (pandas UDF queries otherwise pay
+    # the 32-process fork+import on their first use).
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")  # lambda: immune to
+    # `from __future__ import annotations` stringized type hints
+    spark.range(100000).repartition(32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_total0 = time.time()

@@ -126,6 +126,14 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     requests = with_canon.select(
         F.col("event_id").alias("src_event_id"), qs.alias("query_string")
     )
+    # Exchange between the encode and decode python stages. Chained
+    # ArrowEvalPython nodes in ONE task pipeline each need their own
+    # python worker -> 2x32 workers forked simultaneously, which
+    # dominated the cold run (~20s at ANY sf; 5s with the exchange —
+    # the two stages then run sequentially and REUSE one 32-worker
+    # fleet). A real ingest has this boundary anyway: the decoder
+    # consumes a Kafka/file source, not an in-task synthesis stage.
+    requests = requests.repartition(32, "src_event_id")
     decoded = parse_browser_events(requests)
     return decoded.select(
         "src_event_id",

@@ -151,18 +151,38 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+# Universal-hash permutation family over ONE base hash per shingle:
+# h_k(x) = (a_k * (md5_60(x) mod 2^30) + b_k) mod (2^61 - 1).
+# One md5 per shingle instead of K (measured ~2x on the signature
+# stage); a_k < 2^30 and base < 2^30 keep every intermediate < 2^61,
+# exact in BIGINT on both engines (DuckDB errors on overflow, Java
+# wraps — staying under 2^63 sidesteps both).
+_MH_P = (1 << 61) - 1
+_MH_MOD = 1 << 30
+_MH_PARAMS = [
+    ((1103515245 * k + 12345) % _MH_MOD | 1, (2654435761 * (k + 1)) % _MH_MOD)
+    for k in range(MINHASH_K)
+]
+_SEED_VALUES = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_MH_PARAMS))
+
 _MINHASH_ORACLE = f"""
 WITH planted AS ({_PLANTED_SQL}),
 sh AS ({_SHINGLE_SQL}),
-seeds AS (SELECT unnest(range(0, {MINHASH_K})) AS h),
+seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
+sh2 AS (
+    SELECT doc_id, shingle,
+           CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                % {_MH_MOD} AS BIGINT) AS hsh
+    FROM sh
+),
 sig AS (
-    SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle)) AS mh
-    FROM sh CROSS JOIN seeds
+    SELECT doc_id, h, min((a * hsh + b) % {_MH_P}) AS mh
+    FROM sh2 CROSS JOIN seeds
     GROUP BY doc_id, h
 ),
 band AS (
     SELECT doc_id, h // {MINHASH_K // LSH_BANDS} AS band_id,
-           md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+           string_agg(mh::VARCHAR, '|' ORDER BY h) AS band_key
     FROM sig GROUP BY doc_id, band_id
 ),
 cand AS (
@@ -201,17 +221,22 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = planted.select(
         "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
     ).persist()  # consumed by signature, count, and verification branches
-    # All K min-hashes in ONE aggregation: each shingle row projects its K
-    # seed-hashes as columns and a single groupBy(doc_id) takes K mins.
-    # Versus the naive crossJoin(seeds) formulation this avoids
-    # materializing K x |shingles| rows and a second band-grouping
-    # shuffle (measured 3x at sf0.1); semantics (and oracle) unchanged.
-    sig = sh.groupBy("doc_id").agg(
+    # All K min-hashes in ONE aggregation: one md5 per shingle row, K
+    # cheap integer permutations of it as columns, a single
+    # groupBy(doc_id) takes K mins. Versus the naive crossJoin(seeds)
+    # formulation this avoids materializing K x |shingles| rows and a
+    # second band-grouping shuffle (measured 3x at sf0.1); versus K
+    # md5s per shingle the arithmetic family halves the hash cost.
+    hsh = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % F.lit(_MH_MOD)
+    )
+    sig = sh.withColumn("_hsh", hsh).groupBy("doc_id").agg(
         *[
-            F.min(
-                F.md5(F.concat(F.lit(str(h)), F.lit("|"), F.col("shingle")).cast("binary"))
-            ).alias(f"mh{h}")
-            for h in range(MINHASH_K)
+            F.min((F.lit(a) * F.col("_hsh") + F.lit(b)) % F.lit(_MH_P)).alias(
+                f"mh{k}"
+            )
+            for k, (a, b) in enumerate(_MH_PARAMS)
         ]
     )
     rows_per_band = MINHASH_K // LSH_BANDS
@@ -222,16 +247,14 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).cast("int").alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{h}")
-                                    for h in range(
-                                        b * rows_per_band, (b + 1) * rows_per_band
-                                    )
-                                ],
-                            ).cast("binary")
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{h}").cast("string")
+                                for h in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
                         ).alias("band_key"),
                     )
                     for b in range(LSH_BANDS)

@@ -58,25 +58,32 @@ def canonical_checksum_string(entries: Column) -> Column:
         lambda e, i: F.struct(e.key.alias("key"), i.alias("idx"), e.value.alias("value")),
     )
     ordered = F.array_sort(indexed)
-    keys = F.array_distinct(F.transform(ordered, lambda e: e.key))
-    kept = F.filter(keys, lambda k: k != CHECKSUM_PARAM)
-    return F.array_join(
-        F.transform(
-            kept,
-            lambda k: F.concat(
-                k,
-                F.lit("="),
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.filter(ordered, lambda e: e.key == k),
-                        lambda e: F.concat(e.value, F.lit(",")),
-                    ),
+    kept = F.filter(ordered, lambda e: e.key != CHECKSUM_PARAM)
+    # Single indexed pass (the earlier per-distinct-key filter was
+    # O(keys x entries) of interpreted element scans per row): each
+    # element opens a new "key=" group iff its key differs from its
+    # predecessor's (1-based element_at(kept, i) IS the predecessor of
+    # the 0-based i-th element), values are ','-terminated, groups
+    # ';'-closed.
+    pieces = F.transform(
+        kept,
+        lambda e, i: F.concat(
+            F.when(
+                (i == F.lit(0))
+                | (F.element_at(kept, i)["key"] != e.key),
+                F.concat(
+                    F.when(i > F.lit(0), F.lit(";")).otherwise(F.lit("")),
+                    e.key,
+                    F.lit("="),
                 ),
-                F.lit(";"),
-            ),
+            ).otherwise(F.lit("")),
+            e.value,
+            F.lit(","),
         ),
-        "",
+    )
+    return F.concat(
+        F.array_join(pieces, ""),
+        F.when(F.size(kept) > 0, F.lit(";")).otherwise(F.lit("")),
     )
 
 

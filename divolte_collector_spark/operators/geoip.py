@@ -110,3 +110,44 @@ def geoip_enrich(
     )
     out = ev.join(F.broadcast(bucketed), cond, "left")
     return out.drop("_ip_long", "_bucket", "bucket", "range_start", "range_end")
+
+
+class HotReloadingGeoTable:
+    """Live-reloadable geo dimension (reference
+    ExternalDatabaseLookupService.java:51-95: a file watcher swaps the
+    MaxMind reader atomically while the server keeps running).
+
+    Spark formulation: the CSV is (re)loaded on the driver when its
+    mtime changes and re-broadcast on the next access — wire it into a
+    streaming pipeline with ``foreachBatch``, calling :meth:`current`
+    per epoch so every micro-batch joins against the freshest table.
+    Between reloads the broadcasted dim is reused (no per-batch cost).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark = spark
+        self._path = path
+        self._mtime: float | None = None
+        self._table: DataFrame | None = None
+
+    def current(self) -> DataFrame:
+        import os
+
+        mtime = os.stat(self._path).st_mtime
+        if self._table is None or mtime != self._mtime:
+            # cache() so the parsed dim is materialized once per
+            # version; the old version's cache is dropped on swap.
+            if self._table is not None:
+                self._table.unpersist()
+            self._table = geo_table_from_csv(self._spark, self._path).cache()
+            self._mtime = mtime
+        return self._table
+
+    def enrich_each_batch(self, ip_col: str = "remote_host"):
+        """``foreachBatch``-compatible wrapper: returns a function
+        (batch_df, epoch_id) -> enriched batch for sinks to consume."""
+
+        def fn(batch_df: DataFrame, _epoch_id: int) -> DataFrame:
+            return geoip_enrich(batch_df, self.current(), ip_col=ip_col)
+
+        return fn

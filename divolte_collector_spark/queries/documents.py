@@ -550,3 +550,93 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- deterministic stratified sampling --------------------------------------
+# Training pipelines sample per-stratum quotas (per language, per
+# source). A hash-ordered row_number makes the sample deterministic and
+# therefore oracle-checkable — and at 100 TB it is exactly the
+# shuffle-once plan you want (one window per stratum, no global sort,
+# no driver-side randomness).
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 20
+"""
+
+
+@query("stratified_sample_docs", oracle=_STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# --- document chunking ------------------------------------------------------
+# Fixed-size token windows with overlap (stride < size), the standard
+# pre-tokenization step for LLM training corpora. Pure array
+# expressions: tokens once per doc, chunk index sequence exploded
+# map-side — no UDF, no shuffle (narrow transform of the scan).
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id, chunk_id,
+       array_to_string(toks[(chunk_id * {_CHUNK_STRIDE} + 1)
+                           :(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})],
+                       ' ') AS chunk_text
+FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           unnest(range(0, greatest(1, CAST(ceil(
+               (len(string_split(text, ' ')) - {_CHUNK_SIZE})
+               / {_CHUNK_STRIDE}.0) AS BIGINT) + 1))) AS chunk_id
+    FROM documents
+)
+"""
+
+
+@query("document_chunks", oracle=_CHUNK_ORACLE)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - _CHUNK_SIZE) / float(_CHUNK_STRIDE)).cast("long")
+        + 1,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.col("chunk_id") * _CHUNK_STRIDE + 1,
+                    _CHUNK_SIZE,
+                ),
+            ).alias("chunk_text"),
+        )
+    )

@@ -274,3 +274,30 @@ def test_user_agent_struct(spark):
     assert c.version.startswith("120.")
     assert b.type == "ROBOT"
     assert n.name is None
+
+
+def test_geoip_hot_reload(spark, tmp_path):
+    """ExternalDatabaseLookupService parity: a changed geo file is
+    picked up on next access; unchanged files are not reloaded."""
+    import time
+
+    from divolte_collector_spark.operators.geoip import (
+        HotReloadingGeoTable,
+        geoip_enrich,
+    )
+
+    p = tmp_path / "geo.csv"
+    p.write_text("range_start,range_end,city_name\n0,4294967295,Everywhere\n")
+    hot = HotReloadingGeoTable(spark, str(p))
+    ev = spark.createDataFrame([("1.2.3.4",)], "remote_host string")
+    assert (
+        geoip_enrich(ev, hot.current()).first().city_name == "Everywhere"
+    )
+    t1 = hot._table
+    assert hot.current() is t1  # unchanged file => same broadcasted dim
+
+    time.sleep(0.01)
+    p.write_text("range_start,range_end,city_name\n0,4294967295,Elsewhere\n")
+    import os
+    os.utime(p)  # ensure mtime moves even on coarse filesystems
+    assert geoip_enrich(ev, hot.current()).first().city_name == "Elsewhere"

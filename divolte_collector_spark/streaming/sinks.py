@@ -89,6 +89,7 @@ def kafka_frame(
     schema: dict,
     mode: str = "naked",
     confluent_id: int | None = None,
+    key_col: str = "party_id",
 ) -> DataFrame:
     """Project a mapped-event DataFrame into Kafka (key, value) bytes.
 
@@ -115,7 +116,7 @@ def kafka_frame(
                 if mode == "confluent":
                     body = confluent_frame(confluent_id, body)
                 vals.append(body)
-            yield pd.DataFrame({"key": pdf["party_id"].astype(str), "value": vals})
+            yield pd.DataFrame({"key": pdf[key_col].astype(str), "value": vals})
 
     return df.mapInPandas(encode, out_schema).select(
         F.col("key").cast("binary").alias("key"), "value"

@@ -274,26 +274,34 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Exact-Jaccard verification restricted to LSH candidates only —
     # the all-pairs shingle self-join would defeat the point of LSH
-    # (measured: 200x slower at sf0.1 before this restriction).
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # (measured: 200x slower at sf0.1 before this restriction). The
+    # verification itself joins per-doc shingle ARRAYS (|docs| rows)
+    # instead of exploded shingle rows (|tokens| rows) and intersects
+    # in-memory: two joins against a table 100x smaller, with
+    # array_intersect bounded by document length.
+    doc_sh = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    a = doc_sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = doc_sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    jaccard = n_common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - n_common
     )
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
     )
 

@@ -179,3 +179,129 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos") >= 0.4).select(
         "vec_a", "vec_b", F.round(F.col("cos"), 4).alias("cosine_sim")
     )
+
+
+# --- IVF with LEARNED centroids (one Lloyd iteration) -----------------------
+# The label-bucketed IVF above assumes a pre-existing coarse key; real
+# corpora need the centroids learned. One deterministic Lloyd step:
+# init centroids = the first K vectors (hash-free, reproducible),
+# assign all vectors (max cosine, ties by centroid id), recompute
+# centroids as the element-wise mean ROUNDED to 6 decimals (killing
+# cross-engine float-summation-order divergence at cluster boundaries),
+# then probe queries search only their assigned cluster.
+#
+# Scale shape: assignment is a broadcast of K centroids against the
+# fact (no shuffle), the recompute is one posexplode+groupBy shuffle
+# bounded by K x dims rows out, and the final search is an equi-join
+# on the cluster id. Additional Lloyd iterations repeat the same two
+# steps — cost is linear per iteration with no driver-side data.
+
+N_CLUSTERS = 8
+
+_KMEANS_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CLUSTERS}),
+a1 AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c0.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c0.cemb) DESC, c0.cid
+               ) AS rn
+        FROM e CROSS JOIN c0) x
+    WHERE rn = 1
+),
+c1 AS (
+    SELECT cid, list(av ORDER BY dim) AS cemb FROM (
+        SELECT cid, dim, round(avg(v), 6) AS av
+        FROM (SELECT cid, unnest(emb) AS v,
+                     generate_subscripts(emb, 1) AS dim
+              FROM a1) u
+        GROUP BY cid, dim) m
+    GROUP BY cid
+),
+a2 AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c1.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c1.cemb) DESC, c1.cid
+               ) AS rn
+        FROM e CROSS JOIN c1) x
+    WHERE rn = 1
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.emb, c.emb) AS cos
+    FROM a2 q JOIN a2 c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY_VECTORS}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def _assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast K centroids, window by
+    vector — no shuffle of the fact side beyond the window's own."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        cosine(F.col("emb"), F.col("cemb")).desc(), F.col("cid")
+    )
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+
+
+@query("ann_ivf_kmeans", oracle=_KMEANS_IVF_ORACLE)
+def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    c0 = e.filter(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a1 = _assign(e, c0)
+    c1 = (
+        a1.select("cid", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "av"))).alias("pairs"))
+        .select("cid", F.transform(F.col("pairs"), lambda p: p.av).alias("cemb"))
+    )
+    a2 = _assign(e, c1)
+    probes = a2.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("cid").alias("q_cid"),
+    )
+    scored = (
+        a2.join(F.broadcast(probes), (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 4).alias("cosine_sim"),
+            "rnk",
+        )
+    )

@@ -301,3 +301,38 @@ def test_geoip_hot_reload(spark, tmp_path):
     import os
     os.utime(p)  # ensure mtime moves even on coarse filesystems
     assert geoip_enrich(ev, hot.current()).first().city_name == "Elsewhere"
+
+
+def test_digest_json_fixture(spark):
+    """digest-json.groovy golden (DslRecordMapperTest.java:568-572):
+    scalar JSON nodes digest as text ('string', '42', 'apple');
+    non-scalar results ($.items, $.items[*].name) are absent pieces.
+    Expected digest input: 'string42apple'."""
+    from divolte_collector_spark.functions.jsonops import (
+        json_path_exists,
+        json_path_scalar,
+    )
+
+    payload = (
+        '{"foo": "string", "bar": 42, "items": ['
+        '{"name": "apple", "count": 3, "price": 1.23},'
+        '{"name": "pear", "count": 1, "price": 0.89}]}'
+    )
+    p = F.lit(payload)
+    r = _one(
+        spark,
+        {
+            "d": digest(
+                "SHA-256",
+                json_path_scalar(p, "$.foo"),
+                json_path_scalar(p, "$.bar"),
+                json_path_scalar(p, "$.items"),
+                json_path_scalar(p, "$.items[*].name"),
+                json_path_scalar(p, "$.items[0].name"),
+            ),
+            "present": json_path_exists(p, "$.foo"),
+            "missing": json_path_exists(p, "$.nope"),
+        },
+    )
+    assert bytes(r.d) == hashlib.sha256(b"string42apple").digest()
+    assert r.present is True and r.missing is False

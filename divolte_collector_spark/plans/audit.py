@@ -1,0 +1,60 @@
+"""Extract scale-relevant properties from a DataFrame's physical plan."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """The 'formatted' explain output as a string."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@dataclass
+class PlanAudit:
+    n_exchanges: int
+    n_broadcast_hash_joins: int
+    n_sortmerge_joins: int
+    has_nested_loop_join: bool
+    has_cartesian_product: bool
+    n_python_eval_nodes: int
+    n_wholestage_codegen: int
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    plan = explain_formatted(df)
+
+    def nodes(name: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    schemas = [
+        line.split("ReadSchema: ", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema: " in line
+    ]
+    return PlanAudit(
+        n_exchanges=nodes("Exchange"),
+        n_broadcast_hash_joins=nodes("BroadcastHashJoin"),
+        n_sortmerge_joins=nodes("SortMergeJoin"),
+        has_nested_loop_join=nodes("BroadcastNestedLoopJoin") > 0,
+        has_cartesian_product=nodes("CartesianProduct") > 0,
+        n_python_eval_nodes=nodes("ArrowEvalPython") + nodes("BatchEvalPython"),
+        n_wholestage_codegen=len(
+            set(re.findall(r"codegen id : (\d+)", plan))
+        ),
+        pushed_filters=[p for p in pushed if p],
+        read_schemas=schemas,
+    )

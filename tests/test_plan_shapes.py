@@ -6,77 +6,69 @@ aggregation — the properties that decide whether a query survives a
 
 from __future__ import annotations
 
-import pytest
-
+from divolte_collector_spark.plans import audit, explain_formatted
 from divolte_collector_spark.queries import all_queries
 
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(spark, name: str) -> str:
-    df = all_queries()[name].fn(spark, SF)
-    jvm = spark._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+def _audit(spark, name: str):
+    return audit(all_queries()[name].fn(spark, SF))
 
 
 def test_q6_filters_pushed_to_scan(spark):
-    plan = _plan(spark, "q6_forecast_revenue")
-    assert "PushedFilters: [" in plan
-    # all four predicates reach the parquet scan
-    for col in ("l_shipdate", "l_discount", "l_quantity"):
-        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1].split("]")[0]
-    # column pruning: the scan must not read the full 11-column row
-    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
-    assert "l_returnflag" not in read_schema
-    assert "l_extendedprice" in read_schema
+    a = _audit(spark, "q6_forecast_revenue")
+    # all predicates reach the parquet scan
+    pushed = ";".join(a.pushed_filters)
+    for frag in ("l_shipdate", "l_discount,0.04", "l_quantity,24"):
+        assert frag in pushed
+    # column pruning: 4 needed columns, not the 11-column row
+    assert len(a.read_schemas) == 1
+    assert "l_returnflag" not in a.read_schemas[0]
+    assert "l_extendedprice" in a.read_schemas[0]
+    assert a.n_exchanges == 1  # single partial+final agg exchange
 
 
 def test_q5_dimensions_broadcast(spark):
-    plan = _plan(spark, "q5_regional_revenue")
-    assert "BroadcastHashJoin" in plan
-    # the fact side must never be nested-loop joined
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    a = _audit(spark, "q5_regional_revenue")
+    assert a.n_broadcast_hash_joins == 5  # orders,customer,supplier,nation,region
+    assert not a.has_nested_loop_join
+    assert not a.has_cartesian_product
+    assert a.n_exchanges == 1  # only the final groupBy shuffles
 
 
 def test_q1_partial_aggregation(spark):
-    plan = _plan(spark, "q1_pricing_summary")
-    # partial (map-side) agg before the exchange, final after: two
-    # HashAggregate nodes around one Exchange
+    plan = explain_formatted(all_queries()["q1_pricing_summary"].fn(spark, SF))
+    # partial (map-side) agg before the exchange, final after
     assert plan.count("HashAggregate") >= 2
-    assert plan.count("Exchange") >= 1
-
-
-def _n_exchanges(plan: str) -> int:
-    # formatted mode lists each node once in the detail section as
-    # "(<id>) Exchange"
-    import re
-
-    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert "Exchange" in plan
 
 
 def test_exact_dedup_single_shuffle(spark):
-    plan = _plan(spark, "dedup_exact")
-    # one hash-partitioned exchange on the content hash; partial+final agg
-    assert _n_exchanges(plan) == 1
-    assert plan.count("HashAggregate") >= 2
+    a = _audit(spark, "dedup_exact")
+    assert a.n_exchanges == 1
 
 
 def test_geoip_broadcast_not_nested_loop(spark):
-    plan = _plan(spark, "geoip_enrich_events")
-    assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    a = _audit(spark, "geoip_enrich_events")
+    assert a.n_broadcast_hash_joins >= 1
+    assert not a.has_nested_loop_join
 
 
 def test_ann_ivf_no_cartesian(spark):
-    plan = _plan(spark, "ann_ivf_bucketed")
-    assert "CartesianProduct" not in plan
+    a = _audit(spark, "ann_ivf_bucketed")
+    assert not a.has_cartesian_product
 
 
 def test_sessionize_single_shuffle_on_user(spark):
-    plan = _plan(spark, "sessionize_30min")
-    # the windows and the session agg share the user_id partitioning:
-    # exactly one hash exchange of the fact
-    assert _n_exchanges(plan) == 1
+    # the windows and the session agg share the user_id partitioning
+    a = _audit(spark, "sessionize_30min")
+    assert a.n_exchanges == 1
+
+
+def test_wire_decode_parses_once(spark):
+    # the guarded parse keeps python UDF evaluation to the two decode
+    # UDFs (checksum murmur + mincode); no duplicated eval nodes
+    a = _audit(spark, "wire_browser_roundtrip")
+    assert a.n_python_eval_nodes <= 3  # encode murmur + decode pair
+    assert not a.has_cartesian_product

@@ -336,3 +336,14 @@ def test_digest_json_fixture(spark):
     )
     assert bytes(r.d) == hashlib.sha256(b"string42apple").digest()
     assert r.present is True and r.missing is False
+
+
+def test_digest_documented_algorithms(spark):
+    """digest-with-documented-algorithms.groovy: every algorithm named
+    in the mapping docs constructs and digests (MD5, SHA-1, SHA-256,
+    SHA-512 — the JCE MessageDigest guaranteed set)."""
+    algs = {"MD5": "md5", "SHA-1": "sha1", "SHA-256": "sha256", "SHA-512": "sha512"}
+    cols = {a: digest(a, F.lit("x")) for a in algs}
+    r = _one(spark, cols)
+    for jce, pyname in algs.items():
+        assert bytes(r[jce]) == hashlib.new(pyname, b"x").digest()

@@ -496,3 +496,30 @@ def test_custom_cookie_mapping(spark):
     )
     row = m.apply(df).first()
     assert row.customCookie == "custom_cookie_value"
+
+
+def test_event_param_runtime_mismatch_keeps_going(spark):
+    """event-param-jsonpath-mismatch.groovy: a runtime type mismatch
+    maps nothing (absent), and LATER mappings still complete
+    (DslRecordMapperTest.java:353-358)."""
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "paramIntValue", "type": ["null", "int"], "default": None},
+            {"name": "after", "type": ["null", "string"], "default": None},
+        ],
+    }
+    m = MappingBuilder(schema)
+    # $.foo is the STRING "string" — int target mismatches at runtime
+    m.map_value(
+        F.get_json_object(F.col("event_parameters"), "$.foo").try_cast("int"),
+        "paramIntValue",
+    )
+    m.map_value(F.lit("done"), "after")
+    df = spark.createDataFrame(
+        [('{"foo": "string", "bar": 42}',)], "event_parameters string"
+    )
+    row = m.apply(df).first()
+    assert row.paramIntValue is None
+    assert row.after == "done"

@@ -69,3 +69,81 @@ def stateful_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).select("event_id", "first_in_session")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SESSION_WINDOW_STREAM_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS seq
+    FROM flagged
+), agg AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, seq
+)
+SELECT user_id, n_events, session_start, session_end
+FROM agg
+-- append-mode emission: a session window [start, last+gap) is emitted
+-- once the watermark (here: max event time, delay 0) passes its END
+WHERE epoch_ms(session_end) + 1800000 <= (SELECT max(epoch_ms(ts)) FROM events)
+"""
+
+
+@query("streaming_session_windows", oracle=_SESSION_WINDOW_STREAM_ORACLE)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window over a REAL stream (availableNow):
+    30-minute inactivity windows per user, append-mode emission gated
+    by the watermark. The oracle reproduces both the window merge
+    (gap >= 30 min splits — session_window closes when the gap reaches
+    the timeout) and the emission rule (window end = last event + gap
+    must be <= the final watermark).
+    """
+    from divolte_collector_spark.streaming.ingest import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts").alias("client_time"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dvs_sesswin_")
+    name = "sess_windows_" + uuid.uuid4().hex[:8]
+    try:
+        # default JSON timestamp format truncates to milliseconds;
+        # keep microseconds so session bounds match the source exactly
+        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
+        stream = (
+            spark.readStream.schema("user_id string, client_time timestamp")
+            .option("timestampFormat", fmt)
+            .json(tmp)
+        )
+        sessions = sessionize_stream(
+            stream, party_col="user_id", watermark="0 seconds"
+        )
+        q = (
+            sessions.select(
+                "user_id", "n_events", "session_start", "session_end"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.table(name).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

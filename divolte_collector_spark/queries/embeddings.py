@@ -275,30 +275,48 @@ def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame
     return e.select("vec_id", "emb", (-best["ncid"]).cast("long").alias("cid"))
 
 
+def lloyd_iterate(
+    e: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iterations: int = 1,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Run N Lloyd iterations and return (assignments, centroids).
+
+    Per iteration: map-side assignment against driver-held centroids
+    (no fact shuffle), then one posexplode+groupBy shuffle bounded by
+    K x dims output rows to recompute means (rounded to 6 decimals for
+    cross-engine determinism). K x dims doubles travel through the
+    driver per iteration — the standard Lloyd data flow; the fact
+    table never leaves the executors."""
+    assigned = None
+    for _ in range(iterations):
+        assigned = _assign(e, centroids)
+        c_df = (
+            assigned.select("cid", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("av"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "av"))).alias("pairs"))
+            .select("cid", F.transform(F.col("pairs"), lambda p: p.av).alias("cemb"))
+        )
+        centroids = [
+            (int(r.cid), [float(x) for x in r.cemb]) for r in c_df.collect()
+        ]
+    return assigned, centroids
+
+
 @query("ann_ivf_kmeans", oracle=_KMEANS_IVF_ORACLE)
 def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
-    # init + per-iteration centroid collection: K x dims doubles to the
-    # driver (a few KB) — the standard Lloyd data flow, NOT a data
-    # collect; the fact table never leaves the executors.
     c0 = [
         (int(r.vec_id), [float(x) for x in r.emb])
         for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
     ]
-    a1 = _assign(e, c0)
-    c1_df = (
-        a1.select("cid", F.posexplode("emb").alias("dim", "v"))
-        .groupBy("cid", "dim")
-        .agg(F.round(F.avg("v"), 6).alias("av"))
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "av"))).alias("pairs"))
-        .select("cid", F.transform(F.col("pairs"), lambda p: p.av).alias("cemb"))
-    )
-    c1 = [
-        (int(r.cid), [float(x) for x in r.cemb]) for r in c1_df.collect()
-    ]
+    # ONE iteration here because the unrolled SQL oracle encodes one;
+    # lloyd_iterate(e, c0, iterations=N) is the production knob.
+    _, c1 = lloyd_iterate(e, c0, iterations=1)
     a2 = _assign(e, c1)
     probes = a2.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),

@@ -347,3 +347,16 @@ def test_digest_documented_algorithms(spark):
     r = _one(spark, cols)
     for jce, pyname in algs.items():
         assert bytes(r[jce]) == hashlib.new(pyname, b"x").digest()
+
+
+def test_digest_bytes_pieces(spark):
+    """digest-bytebuffer.groovy: a binary piece digests as its raw
+    bytes (no UTF-8 re-encoding); mixed with string pieces in order."""
+    raw = bytes([0, 255, 128, 7])
+    df = spark.createDataFrame([(raw,)], "b binary")
+    r = df.select(
+        digest("SHA-256", F.col("b")).alias("only_bytes"),
+        digest("SHA-256", F.lit("pre"), F.col("b")).alias("mixed"),
+    ).first()
+    assert bytes(r.only_bytes) == hashlib.sha256(raw).digest()
+    assert bytes(r.mixed) == hashlib.sha256(b"pre" + raw).digest()

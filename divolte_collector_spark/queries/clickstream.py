@@ -330,3 +330,31 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --- generic as-of operator, oracle-gated -----------------------------------
+
+_ASOF_OP_ORACLE = """
+SELECT e.event_id AS event_id, e.user_id AS user_id, max(v.ts) AS asof_ts
+FROM events e LEFT JOIN events v
+  ON v.user_id = e.user_id AND v.event_type = 'view' AND v.ts <= e.ts
+WHERE e.event_type = 'purchase'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@query("asof_operator_last_view", oracle=_ASOF_OP_ORACLE)
+def q_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reusable operators/asof.py join (union + single window, no
+    pairwise explosion) applied to purchases<-views; the oracle is the
+    O(n^2) LEFT-JOIN formulation it replaces."""
+    from divolte_collector_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts"
+    ).select("event_id", "user_id", F.col("asof_ts"))

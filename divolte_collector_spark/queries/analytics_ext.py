@@ -100,3 +100,42 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact") * 0.05
         ).alias("within_tolerance")
     )
+
+
+# --- generic range join operator, oracle-gated ------------------------------
+
+_RANGE_JOIN_ORACLE = """
+WITH bands AS (
+    SELECT b.b AS band_id, b.b * 2000.0 AS lo, (b.b + 1) * 2000.0 AS hi
+    FROM (SELECT unnest(range(0, 300)) AS b) b
+)
+SELECT bd.band_id AS band_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN bands bd ON o.o_totalprice >= bd.lo AND o.o_totalprice < bd.hi
+GROUP BY bd.band_id
+"""
+
+
+@query("range_join_price_bands", oracle=_RANGE_JOIN_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/rangejoin.py over generated price bands: each 2000-wide
+    band spans 4 buckets of width 500 (exercising multi-bucket
+    explosion); the oracle is the plain non-equi BETWEEN join the
+    bucket strategy replaces."""
+    from divolte_collector_spark.operators.rangejoin import range_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.range(300).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 2000.0).alias("lo"),
+        ((F.col("id") + 1) * 2000.0).alias("hi"),
+    )
+    joined = range_join(
+        o, bands, point="o_totalprice", bucket_width=500.0, how="inner"
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

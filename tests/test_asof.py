@@ -90,3 +90,29 @@ def test_left_columns_preserved(spark):
     out = asof_join(trades, quotes, "sym", "t", "qt")
     assert set(trades.columns) <= set(out.columns)
     assert out.count() == trades.count()
+
+
+def test_range_join_semantics(spark):
+    """Half-open [lo, hi) bands, multi-bucket spanning, left-null when
+    no band contains the point, hash join not nested-loop."""
+    from divolte_collector_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame(
+        [(0.0,), (499.9,), (500.0,), (1999.99,), (2000.0,), (-5.0,)], "v double"
+    )
+    bands = spark.createDataFrame(
+        [(0.0, 500.0, "low"), (500.0, 2000.0, "mid")], "lo double, hi double, tag string"
+    )
+    out = {
+        r.v: r.tag
+        for r in range_join(facts, bands, "v", bucket_width=100.0).collect()
+    }
+    assert out[0.0] == "low"
+    assert out[499.9] == "low"
+    assert out[500.0] == "mid"  # hi exclusive, lo inclusive
+    assert out[1999.99] == "mid"
+    assert out[2000.0] is None  # beyond all bands
+    assert out[-5.0] is None
+
+    plan = range_join(facts, bands, "v", bucket_width=100.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -648,3 +648,68 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+# --- end-to-end corpus cleaning pipeline ------------------------------------
+# The composition an actual pretraining-data run executes: exact dedup
+# (keep the lowest doc_id per content hash) -> quality gate (length +
+# stopword-ratio bands) -> language gate (n-gram heuristic). One
+# narrow scan computes every per-doc signal; the only shuffle is the
+# dedup groupBy on the content hash. Output: the kept corpus manifest.
+
+_CLEAN_ORACLE = """
+WITH planted AS ({planted}),
+scored AS (
+    SELECT doc_id, text,
+           md5(text) AS content_hash,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+                           x -> x = 'the' OR x = 'a')) AS n_stop
+    FROM planted
+),
+dedup AS (
+    SELECT *, row_number() OVER (PARTITION BY content_hash
+                                 ORDER BY doc_id) AS rn
+    FROM scored
+)
+SELECT doc_id, content_hash, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM dedup
+WHERE rn = 1
+  AND n_tokens BETWEEN 10 AND 5000
+  AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6
+  AND len(list_filter(string_split(text, ' '), x -> x = 'the')) >= 2
+"""
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=_CLEAN_ORACLE.format(planted=_PLANTED_SQL),
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = with_planted_dups(_docs(spark, sf_dir))
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    n_the = F.size(F.filter(toks, lambda x: x == "the"))
+    scored = planted.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        n_the.alias("n_the"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("content_hash").orderBy("doc_id")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("n_tokens").between(10, 5000)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens")).between(0.02, 0.6)
+            & (F.col("n_the") >= 2)
+        )
+        .select("doc_id", "content_hash", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )

@@ -343,7 +343,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
-    )
+    ).persist()  # feeds both the MAX and the filter; AQE does not
+    # reuse the duplicated agg subtree (0 ReusedExchange measured)
     # Scalar subquery as a broadcast 1-row cross join — NOT a global
     # window, which would funnel `rev` through a single partition.
     mx = rev.agg(F.max("total_revenue").alias("_mx"))

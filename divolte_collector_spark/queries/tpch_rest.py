@@ -179,11 +179,12 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("part_value")
         )
-    )
-    # The per-part aggregate feeds BOTH the total and the filter; at
-    # 100 TB it is far smaller than lineitem (|parts| rows) — reuse it
-    # rather than re-scanning the fact. Scalar total as a broadcast
-    # 1-row cross join, never a global window.
+    ).persist()
+    # The per-part aggregate feeds BOTH the total and the filter; it is
+    # far smaller than lineitem (|parts| rows) and AQE does NOT reuse
+    # the duplicated subtree (verified: 0 ReusedExchange, the fact agg
+    # ran twice) — persist() makes the reuse explicit. Scalar total as
+    # a broadcast 1-row cross join, never a global window.
     total = value_by_part.agg((F.sum("part_value") * 0.001).alias("_threshold"))
     return (
         value_by_part.join(F.broadcast(total))

@@ -103,7 +103,9 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eu_supply = supply.join(
         F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
-    )
+    ).persist()  # consumed by the per-part MIN and the outer join;
+    # without this the lineitem aggregation executes twice (AQE showed
+    # no ReusedExchange for the duplicated subtree)
     # Decorrelated MIN: per-part minimum over the already-region-filtered
     # supply, joined back on the part key (map-side: same partitioning).
     min_cost = eu_supply.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(

@@ -190,6 +190,8 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .select(F.to_date(F.col("ts")).alias("day"), "user_id")
         .distinct()
+        .persist()  # both sides of the self-join; without it the
+        # events scan + distinct executes twice (no AQE subtree reuse)
     )
     nxt = du.select(
         F.col("user_id").alias("b_user"), F.col("day").alias("b_day")

@@ -127,7 +127,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir))
     sh = planted.select(
         "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
-    )
+    ).persist()  # three consumers (counts + both self-join sides);
+    # the shingle explode would otherwise run three times
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

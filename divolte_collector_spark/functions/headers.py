@@ -5,7 +5,8 @@ commas with RFC-7230 quoted-string and backslash-escape handling, each
 value trimmed of surrounding whitespace (HeaderValueParser.java:20-124
 — behavior reimplemented from the grammar: values separated by ``,``,
 ``"``-quoted segments keep commas/spaces, ``\\``-escapes inside quotes
-are unwrapped, empty segments between separators yield empty values).
+are unwrapped; empty values — doubled/trailing commas, empty quoted
+strings, whitespace-only segments — are skipped entirely).
 
 Quoted-string scanning is inherently stateful, so the split is a small
 pure function in an Arrow-batched pandas UDF (headers are short; this

@@ -26,9 +26,30 @@ def json_path(col: Column, path: str) -> Column:
 
 def json_path_scalar(col: Column, path: str) -> Column:
     """JsonPath extraction with the reference's scalar-only semantics:
-    a result whose serialization is an object or array is absent."""
+    a result node that is an object or array is absent.
+
+    Node-type detection goes through VARIANT (``schema_of_variant`` of
+    the extracted node) rather than sniffing the first character of the
+    serialization: ``get_json_object`` returns scalar strings unquoted,
+    so a string value like ``"[a]"`` would otherwise be misclassified
+    as an array (Digester.java:92-110 classifies by node type, not by
+    text)."""
     raw = F.get_json_object(col, path)
-    non_scalar = raw.startswith("[") | raw.startswith("{")
+    if "*" in path or ".." in path:
+        # Indefinite path: jayway always wraps matches in a list, so the
+        # result node is non-scalar by construction — get_json_object's
+        # array serialization (leading '[') detects exactly that; variant
+        # extraction doesn't support wildcards anyway.
+        non_scalar = raw.startswith("[")
+    else:
+        node_schema = F.schema_of_variant(
+            F.try_variant_get(F.try_parse_json(col), path, "variant")
+        )
+        non_scalar = (
+            node_schema.startswith("ARRAY")
+            | node_schema.startswith("OBJECT")
+            | node_schema.startswith("STRUCT")
+        )
     return F.when(raw.isNotNull() & ~non_scalar, raw)
 
 

@@ -44,7 +44,9 @@ def _ts(lit: str):
 _Q2_ORACLE = """
 WITH supply AS (
     SELECT l_partkey, l_suppkey,
-           round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE),
+                 4) AS unit_cost
     FROM lineitem
     GROUP BY l_partkey, l_suppkey
 )
@@ -96,9 +98,17 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-                "unit_cost"
-            )
+            # Unit cost = total price / total quantity, summed in exact
+            # decimal (associative — identical on any cluster size /
+            # engine), then ONE double division + round. avg(double)
+            # would depend on partial-agg order and could flip a .xxxx5
+            # rounding boundary between Spark and DuckDB (q11 decimal
+            # discipline).
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("unit_cost")
         )
     )
     eu_supply = supply.join(

@@ -61,6 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ``nanosAsLong``) are rescaled to TimestampType at microsecond
     precision — matching DuckDB's ns->us truncation on fetch.
     """
+    # nanosAsLong is a *runtime* SQL conf: set it here (not only at
+    # builder time in get_spark) so load_table works on ANY SparkSession,
+    # including an external harness's bare session. Without it, reading
+    # events.parquet (TIMESTAMP(NANOS)) raises PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Wire-param maps rely on LAST_WIN dedup (see get_spark comment);
+    # also runtime-settable, so pin it for external sessions too.
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -68,5 +77,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         field = dict(zip(df.schema.names, df.schema.fields))
         if isinstance(field["ts"].dataType, T.LongType):
+            # TIMESTAMP(NANOS) read as long via nanosAsLong: rescale with
+            # integer division (double math would lose precision > 2^53 ns).
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Normalize TIMESTAMP_NTZ columns (parquet timestamp[us] without UTC
+    # adjustment — the driver's current testdata) to TimestampType. With
+    # the session timezone pinned UTC above, the cast maps wall-time to
+    # the identical instant, so every downstream unix_micros/unix_millis
+    # call and window arithmetic keeps working, and collect() in a UTC
+    # runtime yields the same wall-clock values DuckDB reports.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

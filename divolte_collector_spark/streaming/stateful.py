@@ -103,7 +103,14 @@ def _make_labeler(gap_ms: int):
             last_ms, session_id = state.get
         else:
             last_ms, session_id = -1, None
-        for pdf in pdfs:
+        # Materialize ALL chunks before sorting: Spark only guarantees the
+        # grouping key per chunk, so one party's events can arrive split
+        # across multiple Arrow batches (> arrow.maxRecordsPerBatch) in
+        # arbitrary relative order. Sorting per-chunk would regress last_ms
+        # silently. Memory is bounded by one party's per-batch events,
+        # which the state design already assumes is small.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values("client_time")
             for ev_id, ts in zip(pdf["event_id"], pdf["client_time"]):
                 ms = int(ts.value // 1_000_000)  # pandas ns -> ms

@@ -63,6 +63,10 @@ class Topology:
     _sources: dict[str, DataFrame] = field(default_factory=dict)
     _mappings: dict[str, _Mapping] = field(default_factory=dict)
     _sinks: dict[str, _Sink] = field(default_factory=dict)
+    # built once per topology; holds persisted fan-out outputs so
+    # repeated sink_inputs()/start() calls don't leak executor cache
+    _mapped_cache: dict[str, DataFrame] | None = field(default=None, repr=False)
+    _persisted: list[DataFrame] = field(default_factory=list, repr=False)
 
     def add_source(self, name: str, events: DataFrame) -> "Topology":
         if name in self._sources:
@@ -101,7 +105,14 @@ class Topology:
     # -- building ------------------------------------------------------------
 
     def _mapped(self) -> dict[str, DataFrame]:
-        """mapping name -> transformed union of its sources."""
+        """mapping name -> transformed union of its sources.
+
+        Built once and memoized: the fan-out persist() must not be
+        re-created on every sink_inputs()/start() call, or prior
+        persisted copies would linger in executor cache unreleased.
+        """
+        if self._mapped_cache is not None:
+            return self._mapped_cache
         fanout: dict[str, int] = {m: 0 for m in self._mappings}
         for sink in self._sinks.values():
             for m in sink.mappings:
@@ -116,8 +127,19 @@ class Topology:
             if fanout.get(m.name, 0) > 1 and not mapped.isStreaming:
                 # serialize-once fan-out (AvroRecordBuffer semantics)
                 mapped = mapped.persist(StorageLevel.MEMORY_AND_DISK)
+                self._persisted.append(mapped)
             out[m.name] = mapped
+        self._mapped_cache = out
         return out
+
+    def stop(self) -> None:
+        """Release persisted fan-out outputs (call after sinks finish).
+
+        The next sink_inputs()/start() rebuilds the mapping outputs."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+        self._mapped_cache = None
 
     def sink_inputs(self) -> dict[str, DataFrame]:
         """sink name -> union of its mappings' outputs (validated).

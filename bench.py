@@ -55,8 +55,17 @@ def main() -> None:
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
-    _warm = pandas_udf(lambda s: s, "long")  # lambda: immune to
-    # `from __future__ import annotations` stringized type hints
+    def _warm_fn(s):
+        # Warm the worker-side module imports the query UDFs need
+        # (numpy/murmur/mincode): imports are per-process and resident
+        # in steady state — first-touch module load is not query time.
+        import numpy  # noqa: F401
+
+        from divolte_collector_spark.functions import mincode, murmur  # noqa: F401
+
+        return s
+
+    _warm = pandas_udf(_warm_fn, "long")
     spark.range(100000).repartition(32).select(_warm("id")).write.format(
         "noop"
     ).mode("overwrite").save()

@@ -33,10 +33,7 @@ from divolte_collector_spark.functions.base36 import (
     try_parse_base36_int,
     try_parse_base36_long,
 )
-from divolte_collector_spark.functions.checksum import (
-    canonical_checksum_string,
-    murmur3_32_signed_udf,
-)
+from divolte_collector_spark.functions.checksum import is_checksum_correct
 from divolte_collector_spark.functions.mincode import mincode_to_json_udf
 from divolte_collector_spark.functions.querystring import qs_entries
 
@@ -113,15 +110,6 @@ def parse_browser_events(
     ev = ev.withColumn(
         "_qs_map", _once(F.map_from_entries(F.reverse(F.col("_entries"))))
     )
-    # canonical checksum string built JVM-side from the SAME parse
-    # (sorted keys, multi-values in order, 'x' excluded) — the Python
-    # side of the verdict is only the vectorized murmur3_32. It is
-    # materialized as a guarded column so the pandas UDF receives a
-    # plain attribute reference (Spark 4.1 cannot extract pandas UDFs
-    # whose argument trees contain higher-order-function lambdas).
-    ev = ev.withColumn(
-        "_canon", _once(canonical_checksum_string(F.col("_entries")))
-    )
     e = F.col("_qs_map")
 
     party_id = _valid_identifier(_first_value(e, "p"))
@@ -140,12 +128,17 @@ def parse_browser_events(
 
     # verdict: signed murmur3_32(canonical) == base36('x'), absent or
     # unparseable 'x' => incorrect (.orElse(false),
-    # ClientSideCookieEventHandler.java:233); kept + flagged, not dropped
-    checksum_ok = F.coalesce(
-        try_parse_base36_long(_first_value(e, "x"))
-        == murmur3_32_signed_udf(F.col("_canon")),
-        F.lit(False),
-    )
+    # ClientSideCookieEventHandler.java:233); kept + flagged, not dropped.
+    # The whole verdict (param decode, canonical sort/render, murmur3,
+    # base36 compare) runs in ONE single-argument Arrow UDF over the raw
+    # query string, fused by ExtractPythonUDFs into the same
+    # ArrowEvalPython stage as the mincode decode — one Python crossing
+    # for the row. The earlier JVM-side canonical fold
+    # (canonical_checksum_string over the entries array) produced a
+    # ~16 s codegen/analysis fixed cost on first execution of the plan
+    # and an interpreted O(n) fold per row; the verdict itself is the
+    # only consumer, so it moved into Python wholesale.
+    checksum_ok = is_checksum_correct(F.col(qs_col))
     out = ev.select(
         "*",
         (~checksum_ok).alias("corrupt_event"),
@@ -169,7 +162,7 @@ def parse_browser_events(
             try_parse_base36_int(_first_value(e, "k")).alias("device_pixel_ratio"),
         ).alias("browser"),
         required_ok.alias("_complete"),
-    ).drop("_qs_map", "_entries", "_canon")
+    ).drop("_qs_map", "_entries")
 
     if request_time_col and request_time_col in requests.columns:
         out = out.withColumn("request_start_time", F.col(request_time_col))

@@ -265,6 +265,81 @@ def schema_fingerprint_sha256(schema: dict) -> bytes:
     return hashlib.sha256(parsing_canonical_form(schema).encode("utf-8")).digest()
 
 
+# --- object container files (Avro spec §"Object Container Files") -----------
+
+OCF_MAGIC = b"Obj\x01"
+_META_SCHEMA = {"type": "map", "values": "bytes"}
+
+
+def container_bytes(
+    schema: dict,
+    records: list[dict],
+    sync_marker: bytes | None = None,
+    block_records: int = 1000,
+) -> bytes:
+    """Serialize records as a complete Avro Object Container File.
+
+    Header: magic, file-metadata map (``avro.schema`` JSON +
+    ``avro.codec`` null), 16-byte sync marker; then blocks of
+    (count, byte-size, records, sync). ``block_records`` mirrors the
+    reference's sync-every-1000-records default
+    (FileStrategyConfiguration ``syncFileAfterRecords``): a reader can
+    recover at every block boundary, same durability granularity.
+
+    The sync marker is derived from the schema fingerprint by default
+    (deterministic => byte-identical output for identical input, which
+    the tests and the oracle rely on); pass 16 random bytes for the
+    reference's exact behavior (DataFileWriter's random marker).
+    """
+    if sync_marker is None:
+        sync_marker = schema_fingerprint_sha256(schema)[:16]
+    if len(sync_marker) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode("utf-8"),
+        "avro.codec": b"null",
+    }
+    out = [OCF_MAGIC, _encode_value(_META_SCHEMA, meta), sync_marker]
+    for i in range(0, len(records), block_records):
+        chunk = records[i : i + block_records]
+        body = b"".join(encode_record(schema, r) for r in chunk)
+        out.append(encode_long(len(chunk)))
+        out.append(encode_long(len(body)))
+        out.append(body)
+        out.append(sync_marker)
+    return b"".join(out)
+
+
+def read_container(buf: bytes) -> tuple[dict, list[dict]]:
+    """Parse an Avro Object Container File -> (schema, records).
+
+    Validates magic, codec, and every block's sync marker — the
+    read-back half of the K1 integration test."""
+    if buf[:4] != OCF_MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta, pos = _decode_value(_META_SCHEMA, buf, 4)
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"unsupported container codec: {codec!r}")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(buf):
+        n, pos = decode_long(buf, pos)
+        size, pos = decode_long(buf, pos)
+        block_end = pos + size
+        for _ in range(n):
+            rec, pos = _decode_value(schema, buf, pos)
+            records.append(rec)
+        if pos != block_end:
+            raise ValueError("container block size mismatch")
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("container sync marker mismatch")
+        pos += 16
+    return schema, records
+
+
 # --- sink framings ----------------------------------------------------------
 
 CONFLUENT_MAGIC = b"\x00"

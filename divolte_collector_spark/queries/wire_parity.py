@@ -466,3 +466,67 @@ def q_uri_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(qs_value_list(qmap, "q")).alias("q_n"),
         uri_decoded_fragment(F.col("url")).alias("fragment"),
     )
+
+
+# --- K1: Avro container file roundtrip --------------------------------------
+
+_AVRO_ORACLE = """
+SELECT event_id, event_type AS et, epoch_ms(ts) AS client_ms,
+       CAST(user_id AS VARCHAR) AS party
+FROM events
+"""
+
+
+@query("avro_container_roundtrip", oracle=_AVRO_ORACLE)
+def q_avro_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 byte-format parity: each Arrow batch is serialized into a
+    complete Avro Object Container File (magic, schema metadata, sync
+    markers, 1000-record blocks — functions/avro_codec.py) and decoded
+    back through the container reader; the oracle predicts every field
+    from the raw columns, so any encode/decode defect in the container
+    framing or the record codec breaks the hash. The same encode path
+    feeds the foreachBatch file sink (streaming/sinks.py
+    write_avro_files, FileFlusher.java:183-208 lifecycle)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from divolte_collector_spark.functions.avro_codec import (
+        container_bytes,
+        read_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "DivolteEvent",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "et", "type": ["null", "string"], "default": None},
+            {"name": "client_ms", "type": "long"},
+            {"name": "party", "type": "string"},
+        ],
+    }
+    cols = [f["name"] for f in schema["fields"]]
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("et", T.StringType()),
+            T.StructField("client_ms", T.LongType()),
+            T.StructField("party", T.StringType()),
+        ]
+    )
+
+    def roundtrip(it):
+        for pdf in it:
+            records = pdf.to_dict("records")
+            buf = container_bytes(schema, records)
+            _, decoded = read_container(buf)
+            yield pd.DataFrame(decoded, columns=cols)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("event_type").alias("et"),
+        F.unix_millis(F.col("ts")).alias("client_ms"),
+        F.col("user_id").cast("string").alias("party"),
+    )
+    return ev.mapInPandas(roundtrip, out_schema)

@@ -38,6 +38,7 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from divolte_collector_spark.functions.avro_codec import (
     confluent_frame,
+    container_bytes,
     encode_record,
     schema_fingerprint_sha256,
 )
@@ -62,6 +63,109 @@ def file_sink(
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .partitionBy("_roll")
+        .outputMode("append")
+    )
+    if available_now:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+def write_avro_files(
+    batch_df: DataFrame,
+    schema: dict,
+    path: str,
+    batch_tag: str,
+    roll_column: str = "client_time",
+    host_string: str = "spark",
+) -> list[tuple[str, int]]:
+    """Write one Avro container file per (roll bucket, partition) —
+    the distributed core of the K1 sink, callable from ``foreachBatch``
+    or on a batch DataFrame directly.
+
+    Lifecycle parity (FileFlusher.java:183-208, HdfsFileManager.java:47,
+    79-127): records append to a ``.partial`` inflight file which is
+    atomically renamed into the publish directory on roll; empty files
+    are discarded (never published). Naming is the reference's
+    ``<yyyyLLddHHmmss>-divolte-tracking-<host>-<instance>.avro``
+    (FileFlusher.java:54,262) with the roll bucket as the date part and
+    the partition id as the instance number.
+
+    Scale: the encode+write runs inside ``mapInPandas`` on the
+    executors — each partition streams its own container file to
+    (shared) storage; the driver only collects the (filename, count)
+    manifest. At 100 TB nothing funnels through the driver.
+    """
+    import os
+
+    columns = [f["name"] for f in schema["fields"]]
+    out_schema = T.StructType(
+        [T.StructField("file", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    bucketed = batch_df.withColumn(
+        "_roll", F.date_format(F.col(roll_column), "yyyyMMddHHmmss")
+    )
+
+    def write_partition(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        by_roll: dict[str, list[dict]] = {}
+        for pdf in iterator:
+            for row in pdf.to_dict("records"):
+                by_roll.setdefault(row["_roll"], []).append(
+                    {c: row.get(c) for c in columns}
+                )
+        os.makedirs(path, exist_ok=True)
+        names: list[str] = []
+        counts: list[int] = []
+        for roll, records in by_roll.items():
+            if not records:
+                continue  # empties are discarded, never published
+            name = f"{roll}-divolte-tracking-{host_string}-{batch_tag}-{pid}.avro"
+            inflight = os.path.join(path, name + ".partial")
+            with open(inflight, "wb") as fh:
+                fh.write(container_bytes(schema, records))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(inflight, os.path.join(path, name))  # atomic publish
+            names.append(name)
+            counts.append(len(records))
+        yield pd.DataFrame({"file": names, "n": counts})
+
+    # repartition on the roll bucket so each bucket lands in few
+    # partitions (few output files per roll), matching the one-file-
+    # per-roll-per-writer layout of the reference's flusher threads
+    manifest = (
+        bucketed.repartition("_roll").mapInPandas(write_partition, out_schema).collect()
+    )
+    return [(r["file"], r["n"]) for r in manifest]
+
+
+def avro_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    schema: dict,
+    roll_column: str = "client_time",
+    trigger_seconds: int | None = 30,
+    available_now: bool = False,
+) -> DataStreamWriter:
+    """K1: rolling TRUE-Avro container file sink for a streaming
+    DataFrame, via ``foreachBatch`` + :func:`write_avro_files`.
+
+    Each micro-batch publishes per-roll-bucket ``.avro`` container
+    files through the ``.partial`` → rename protocol; a downstream
+    Avro consumer of the reference's files can read these unchanged.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_avro_files(
+            batch_df, schema, path, batch_tag=str(batch_id), roll_column=roll_column
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
     if available_now:

@@ -102,3 +102,37 @@ def test_confluent_frame():
     assert framed == b"\x00" + struct.pack(">i", 0x0102) + b"avro"
     assert framed[0] == 0
     assert struct.unpack(">i", framed[1:5])[0] == 258
+
+
+def test_container_roundtrip():
+    # Object Container File: magic + meta map + sync, blocks of
+    # (count, size, records, sync); read_container validates all three
+    from divolte_collector_spark.functions.avro_codec import (
+        container_bytes,
+        read_container,
+    )
+
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "note", "type": ["null", "string"], "default": None},
+        ],
+    }
+    records = [{"id": f"e{i}", "n": i, "note": None if i % 2 else "x"}
+               for i in range(2500)]
+    buf = container_bytes(schema, records, block_records=1000)
+    assert buf[:4] == b"Obj\x01"
+    got_schema, got = read_container(buf)
+    assert got_schema["name"] == "E"
+    assert got == records
+    # deterministic: same input -> byte-identical container
+    assert buf == container_bytes(schema, records, block_records=1000)
+    # corrupted sync marker is detected
+    import pytest as _pytest
+
+    bad = bytearray(buf)
+    bad[-1] ^= 0xFF
+    with _pytest.raises(ValueError):
+        read_container(bytes(bad))

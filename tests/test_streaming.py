@@ -171,3 +171,61 @@ def test_kafka_frame_naked_and_confluent(spark):
 
     with pytest.raises(ValueError):
         kafka_frame(batch, _KAFKA_SCHEMA, mode="confluent")  # id required
+
+
+def test_avro_file_sink_writes_real_containers(spark, stream_dir):
+    # K1 with true Avro container output: FileFlusher lifecycle
+    # (.partial inflight -> atomic publish, empties discarded),
+    # reference naming, and a downstream Avro reader gets the records
+    # back with the canonical schema fingerprint intact.
+    import os
+
+    from divolte_collector_spark.functions.avro_codec import (
+        read_container,
+        schema_fingerprint_sha256,
+    )
+    from divolte_collector_spark.streaming.sinks import avro_file_sink
+
+    schema = {
+        "type": "record",
+        "name": "DivolteEvent",
+        "fields": [
+            {"name": "party_id", "type": "string"},
+            {"name": "event_id", "type": "string"},
+            {"name": "event_type", "type": ["null", "string"], "default": None},
+            {"name": "client_ms", "type": "long"},
+        ],
+    }
+    out = tempfile.mkdtemp(prefix="dvs_avro_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dvs_avro_ckpt_")
+    try:
+        stream = _read_stream(spark, stream_dir).select(
+            "party_id", "event_id", "event_type", "client_time",
+            F.unix_millis(F.col("client_time")).alias("client_ms"),
+        )
+        q = avro_file_sink(
+            stream, out, f"{ckpt}/cp", schema, available_now=True
+        ).start()
+        q.awaitTermination(120)
+
+        files = sorted(os.listdir(out))
+        assert files, "no avro files published"
+        # lifecycle: no inflight files remain; naming matches the
+        # reference's <date>-divolte-tracking-<host>-<instance>.avro
+        assert not [f for f in files if f.endswith(".partial")]
+        assert all("-divolte-tracking-" in f and f.endswith(".avro") for f in files)
+
+        got = []
+        expect_fp = schema_fingerprint_sha256(schema)
+        for f in files:
+            with open(os.path.join(out, f), "rb") as fh:
+                got_schema, recs = read_container(fh.read())
+            assert schema_fingerprint_sha256(got_schema) == expect_fp
+            got.extend(recs)
+        assert sorted(r["event_id"] for r in got) == ["e1", "e1", "e2", "e3", "e9"]
+        by_id = {r["event_id"]: r for r in got}
+        assert by_id["e2"]["event_type"] == "click"
+        assert by_id["e2"]["client_ms"] == 1704103500000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -28,9 +28,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: full derived-field surface of the reference's GeoIpValueProducer
+#: (DslRecordMapping.java:753-965), snake_cased. Arrays carry the
+#: subdivision hierarchy (least -> most specific); most_specific_* are
+#: the last element, matching CityResponse.getMostSpecificSubdivision.
 GEO_FIELDS = [
-    "city_name", "country_code", "country_name", "continent_code",
-    "latitude", "longitude", "time_zone", "postal_code",
+    "city_id", "city_name",
+    "continent_code", "continent_id", "continent_name",
+    "country_code", "country_id", "country_name",
+    "latitude", "longitude", "metro_code", "time_zone", "postal_code",
+    "most_specific_subdivision_code", "most_specific_subdivision_id",
+    "most_specific_subdivision_name",
+    "registered_country_code", "registered_country_id",
+    "registered_country_name",
+    "represented_country_code", "represented_country_id",
+    "represented_country_name",
+    "subdivision_codes", "subdivision_ids", "subdivision_names",
+    "autonomous_system_number", "autonomous_system_organization",
+    "domain", "isp", "organisation",
+    "anonymous_proxy", "satellite_provider",
 ]
 
 
@@ -65,6 +81,124 @@ def geo_table_from_csv(spark: SparkSession, path: str) -> DataFrame:
             "range_end", start + size - 1
         )
     return df
+
+
+def geoip2_city_dim(
+    blocks: DataFrame,
+    locations: DataFrame,
+    asn: DataFrame | None = None,
+) -> DataFrame:
+    """Assemble the wide geo dimension from GeoIP2-City CSV tables.
+
+    ``blocks`` (GeoIP2-City-Blocks-IPv4.csv): network/range columns +
+    geoname_id, registered_country_geoname_id,
+    represented_country_geoname_id, postal_code, latitude, longitude,
+    is_anonymous_proxy, is_satellite_provider.
+    ``locations`` (GeoIP2-City-Locations-*.csv): geoname_id,
+    continent_code/continent_name, country_iso_code/country_name,
+    subdivision_{1,2}_{iso_code,name}, city_name, metro_code,
+    time_zone (+ IDs via geoname_id).
+    ``asn`` (optional GeoIP2-ISP/ASN CSV): range columns +
+    autonomous_system_number, autonomous_system_organization, isp,
+    organization, domain.
+
+    Joined once on the driver-side-small dims; the result is the
+    broadcastable table :func:`geoip_enrich` consumes. Subdivision
+    arrays are built least->most specific; most_specific_* are their
+    last element — exactly CityResponse.getSubdivisions() /
+    getMostSpecificSubdivision() (DslRecordMapping.java:864-896).
+    """
+    loc = locations
+    city = blocks.join(
+        F.broadcast(
+            loc.select(
+                F.col("geoname_id").alias("_loc_id"),
+                F.col("city_name"),
+                F.col("geoname_id").cast("int").alias("city_id"),
+                "continent_code",
+                F.col("continent_geoname_id").cast("int").alias("continent_id"),
+                "continent_name",
+                F.col("country_iso_code").alias("country_code"),
+                F.col("country_geoname_id").cast("int").alias("country_id"),
+                "country_name",
+                "metro_code", "time_zone",
+                "subdivision_1_iso_code", "subdivision_1_name",
+                F.col("subdivision_1_geoname_id").cast("int").alias(
+                    "subdivision_1_id"
+                ),
+                "subdivision_2_iso_code", "subdivision_2_name",
+                F.col("subdivision_2_geoname_id").cast("int").alias(
+                    "subdivision_2_id"
+                ),
+            )
+        ),
+        F.col("geoname_id") == F.col("_loc_id"),
+        "left",
+    )
+    # registered / represented country resolve through the same
+    # locations table by their own geoname ids
+    for role in ("registered", "represented"):
+        city = city.join(
+            F.broadcast(
+                loc.select(
+                    F.col("geoname_id").alias(f"_{role}_id"),
+                    F.col("country_iso_code").alias(f"{role}_country_code"),
+                    F.col("geoname_id").cast("int").alias(f"{role}_country_id"),
+                    F.col("country_name").alias(f"{role}_country_name"),
+                )
+            ),
+            F.col(f"{role}_country_geoname_id") == F.col(f"_{role}_id"),
+            "left",
+        )
+    subdiv = lambda c1, c2: F.filter(  # noqa: E731
+        F.array(F.col(c1), F.col(c2)), lambda x: x.isNotNull()
+    )
+    city = city.select(
+        "*",
+        subdiv("subdivision_1_iso_code", "subdivision_2_iso_code").alias(
+            "subdivision_codes"
+        ),
+        subdiv("subdivision_1_id", "subdivision_2_id").alias("subdivision_ids"),
+        subdiv("subdivision_1_name", "subdivision_2_name").alias(
+            "subdivision_names"
+        ),
+    ).select(
+        "*",
+        F.element_at(F.col("subdivision_codes"), -1).alias(
+            "most_specific_subdivision_code"
+        ),
+        F.element_at(F.col("subdivision_ids"), -1).alias(
+            "most_specific_subdivision_id"
+        ),
+        F.element_at(F.col("subdivision_names"), -1).alias(
+            "most_specific_subdivision_name"
+        ),
+        F.col("is_anonymous_proxy").cast("boolean").alias("anonymous_proxy"),
+        F.col("is_satellite_provider").cast("boolean").alias(
+            "satellite_provider"
+        ),
+    )
+    if asn is not None:
+        city = city.join(
+            F.broadcast(
+                asn.select(
+                    F.col("range_start").alias("_asn_start"),
+                    F.col("range_end").alias("_asn_end"),
+                    "autonomous_system_number",
+                    "autonomous_system_organization",
+                    "isp",
+                    F.col("organization").alias("organisation"),
+                    "domain",
+                )
+            ),
+            (F.col("range_start") >= F.col("_asn_start"))
+            & (F.col("range_end") <= F.col("_asn_end")),
+            "left",
+        ).drop("_asn_start", "_asn_end")
+    keep = ["range_start", "range_end"] + [
+        f for f in GEO_FIELDS if f in city.columns
+    ]
+    return city.select(*keep)
 
 
 def _with_prefix_buckets(geo: DataFrame) -> DataFrame:

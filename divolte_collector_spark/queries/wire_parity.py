@@ -263,7 +263,42 @@ def q_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- §2.11: geo-IP broadcast range join -------------------------------------
 
 _GEOIP_ORACLE = """
-SELECT e.event_id AS event_id, n.n_name AS country_name
+SELECT e.event_id AS event_id,
+       CAST(n.n_nationkey * 1000 + 7 AS INT) AS city_id,
+       'City_' || n.n_name AS city_name,
+       'C' || CAST(n.n_regionkey AS VARCHAR) AS continent_code,
+       CAST(n.n_regionkey + 6000000 AS INT) AS continent_id,
+       'Continent_' || CAST(n.n_regionkey AS VARCHAR) AS continent_name,
+       'N' || CAST(n.n_nationkey AS VARCHAR) AS country_code,
+       CAST(n.n_nationkey + 4000000 AS INT) AS country_id,
+       n.n_name AS country_name,
+       n.n_nationkey * 1.5 AS latitude,
+       n.n_nationkey * -2.25 AS longitude,
+       CAST(n.n_nationkey % 100 AS INT) AS metro_code,
+       'Zone/' || n.n_name AS time_zone,
+       'P' || CAST(n.n_nationkey AS VARCHAR) AS postal_code,
+       'S2-' || CAST(n.n_nationkey AS VARCHAR)
+           AS most_specific_subdivision_code,
+       CAST(n.n_nationkey * 10 + 2 AS INT) AS most_specific_subdivision_id,
+       'Sub2 ' || n.n_name AS most_specific_subdivision_name,
+       'R' || CAST(n.n_nationkey AS VARCHAR) AS registered_country_code,
+       CAST(n.n_nationkey + 8000000 AS INT) AS registered_country_id,
+       'Reg_' || n.n_name AS registered_country_name,
+       'Q' || CAST(n.n_nationkey AS VARCHAR) AS represented_country_code,
+       CAST(n.n_nationkey + 9000000 AS INT) AS represented_country_id,
+       'Rep_' || n.n_name AS represented_country_name,
+       ['S1-' || CAST(n.n_nationkey AS VARCHAR),
+        'S2-' || CAST(n.n_nationkey AS VARCHAR)] AS subdivision_codes,
+       [CAST(n.n_nationkey * 10 + 1 AS INT),
+        CAST(n.n_nationkey * 10 + 2 AS INT)] AS subdivision_ids,
+       ['Sub1 ' || n.n_name, 'Sub2 ' || n.n_name] AS subdivision_names,
+       CAST(64512 + n.n_nationkey AS INT) AS autonomous_system_number,
+       'AS Org ' || n.n_name AS autonomous_system_organization,
+       lower(n.n_name) || '.example' AS domain,
+       'ISP ' || n.n_name AS isp,
+       'Org ' || n.n_name AS organisation,
+       (n.n_nationkey % 7 = 0) AS anonymous_proxy,
+       (n.n_nationkey % 11 = 0) AS satellite_provider
 FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
 """
 
@@ -272,15 +307,77 @@ FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
 def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each nation owns the /8 block ``<10+nationkey>.0.0.0/8``; events
     get a synthetic IPv4 from their user id; the broadcast range join
-    must recover exactly the modulo mapping the oracle computes."""
+    must recover the modulo mapping for the FULL GeoIpValueProducer
+    accessor surface (32 derived fields incl. subdivision arrays and
+    ASN/ISP, DslRecordMapping.java:753-965) — the oracle predicts every
+    field straight from the raw columns."""
     ev = load_table(spark, sf_dir, "events")
     nation = load_table(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    keys = key.cast("string")
     geo = nation.select(
-        ((F.col("n_nationkey") + 10).cast("long") * 16777216).alias("range_start"),
-        ((F.col("n_nationkey") + 10).cast("long") * 16777216 + 16777215).alias(
-            "range_end"
+        (key + 10).cast("long").alias("_blk"),
+        (key * 1000 + 7).cast("int").alias("city_id"),
+        F.concat(F.lit("City_"), F.col("n_name")).alias("city_name"),
+        F.concat(F.lit("C"), F.col("n_regionkey").cast("string")).alias(
+            "continent_code"
         ),
+        (F.col("n_regionkey") + 6000000).cast("int").alias("continent_id"),
+        F.concat(
+            F.lit("Continent_"), F.col("n_regionkey").cast("string")
+        ).alias("continent_name"),
+        F.concat(F.lit("N"), keys).alias("country_code"),
+        (key + 4000000).cast("int").alias("country_id"),
         F.col("n_name").alias("country_name"),
+        (key * 1.5).alias("latitude"),
+        (key * -2.25).alias("longitude"),
+        (key % 100).cast("int").alias("metro_code"),
+        F.concat(F.lit("Zone/"), F.col("n_name")).alias("time_zone"),
+        F.concat(F.lit("P"), keys).alias("postal_code"),
+        F.concat(F.lit("R"), keys).alias("registered_country_code"),
+        (key + 8000000).cast("int").alias("registered_country_id"),
+        F.concat(F.lit("Reg_"), F.col("n_name")).alias("registered_country_name"),
+        F.concat(F.lit("Q"), keys).alias("represented_country_code"),
+        (key + 9000000).cast("int").alias("represented_country_id"),
+        F.concat(F.lit("Rep_"), F.col("n_name")).alias("represented_country_name"),
+        F.array(
+            F.concat(F.lit("S1-"), keys), F.concat(F.lit("S2-"), keys)
+        ).alias("subdivision_codes"),
+        F.array(
+            (key * 10 + 1).cast("int"), (key * 10 + 2).cast("int")
+        ).alias("subdivision_ids"),
+        F.array(
+            F.concat(F.lit("Sub1 "), F.col("n_name")),
+            F.concat(F.lit("Sub2 "), F.col("n_name")),
+        ).alias("subdivision_names"),
+        (key + 64512).cast("int").alias("autonomous_system_number"),
+        F.concat(F.lit("AS Org "), F.col("n_name")).alias(
+            "autonomous_system_organization"
+        ),
+        F.concat(F.lower(F.col("n_name")), F.lit(".example")).alias("domain"),
+        F.concat(F.lit("ISP "), F.col("n_name")).alias("isp"),
+        F.concat(F.lit("Org "), F.col("n_name")).alias("organisation"),
+        (key % 7 == 0).alias("anonymous_proxy"),
+        (key % 11 == 0).alias("satellite_provider"),
+    )
+    # most-specific accessors derive from the arrays (last element),
+    # the same way geoip2_city_dim builds them from the CSV columns
+    geo = geo.select(
+        "*",
+        F.element_at(F.col("subdivision_codes"), -1).alias(
+            "most_specific_subdivision_code"
+        ),
+        F.element_at(F.col("subdivision_ids"), -1).alias(
+            "most_specific_subdivision_id"
+        ),
+        F.element_at(F.col("subdivision_names"), -1).alias(
+            "most_specific_subdivision_name"
+        ),
+    )
+    geo = geo.select(
+        (F.col("_blk") * 16777216).alias("range_start"),
+        (F.col("_blk") * 16777216 + 16777215).alias("range_end"),
+        *[c for c in geo.columns if c != "_blk"],
     )
     ip = F.concat(
         (F.col("user_id") % 25 + 10).cast("string"), F.lit("."),
@@ -289,8 +386,10 @@ def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("7"),
     )
     with_ip = ev.select("event_id", ip.alias("remote_host"))
+    from divolte_collector_spark.operators.geoip import GEO_FIELDS
+
     return geoip_enrich(with_ip, geo, ip_col="remote_host").select(
-        "event_id", "country_name"
+        "event_id", *GEO_FIELDS
     )
 
 

@@ -360,3 +360,76 @@ def test_digest_bytes_pieces(spark):
     ).first()
     assert bytes(r.only_bytes) == hashlib.sha256(raw).digest()
     assert bytes(r.mixed) == hashlib.sha256(b"pre" + raw).digest()
+
+
+def test_geoip2_city_dim_full_surface(spark):
+    """geoip2_city_dim assembles the full GeoIpValueProducer field
+    surface (DslRecordMapping.java:753-965) from GeoIP2-City-style
+    blocks+locations(+ASN) tables: subdivision arrays least->most
+    specific, most_specific_* as their last element, registered /
+    represented countries resolved through the locations table."""
+    from divolte_collector_spark.operators.geoip import (
+        GEO_FIELDS,
+        geoip2_city_dim,
+        geoip_enrich,
+    )
+
+    blocks = spark.createDataFrame(
+        [
+            # 10.0.0.0/24 -> city 100, registered 200, represented 300
+            (167772160, 167772415, 100, 200, 300, "1234AB", 52.1, 4.3, 0, 1),
+        ],
+        "range_start long, range_end long, geoname_id int,"
+        " registered_country_geoname_id int,"
+        " represented_country_geoname_id int, postal_code string,"
+        " latitude double, longitude double, is_anonymous_proxy int,"
+        " is_satellite_provider int",
+    )
+    locations = spark.createDataFrame(
+        [
+            (100, "Delft", "EU", 6255148, "Europe", "NL", 2750405,
+             "Netherlands", 11, "Europe/Amsterdam",
+             "ZH", "South Holland", 2743698, "DF", "Delft District", 999),
+            (200, None, "EU", 6255148, "Europe", "BE", 2802361,
+             "Belgium", None, None, None, None, None, None, None, None),
+            (300, None, "EU", 6255148, "Europe", "LU", 2960313,
+             "Luxembourg", None, None, None, None, None, None, None, None),
+        ],
+        "geoname_id int, city_name string, continent_code string,"
+        " continent_geoname_id int, continent_name string,"
+        " country_iso_code string, country_geoname_id int,"
+        " country_name string, metro_code int, time_zone string,"
+        " subdivision_1_iso_code string, subdivision_1_name string,"
+        " subdivision_1_geoname_id int, subdivision_2_iso_code string,"
+        " subdivision_2_name string, subdivision_2_geoname_id int",
+    )
+    asn = spark.createDataFrame(
+        [(167772160, 167772671, 64512, "ExampleNet", "Example ISP",
+          "Example Org", "example.net")],
+        "range_start long, range_end long, autonomous_system_number int,"
+        " autonomous_system_organization string, isp string,"
+        " organization string, domain string",
+    )
+    dim = geoip2_city_dim(blocks, locations, asn=asn)
+    assert set(GEO_FIELDS) <= set(dim.columns)
+
+    ev = spark.createDataFrame([("e1", "10.0.0.7"), ("e2", "11.9.9.9")],
+                               "event_id string, remote_host string")
+    rows = {r.event_id: r for r in geoip_enrich(ev, dim).collect()}
+    hit = rows["e1"]
+    assert hit.city_name == "Delft" and hit.city_id == 100
+    assert hit.country_code == "NL" and hit.country_id == 2750405
+    assert hit.continent_name == "Europe" and hit.continent_id == 6255148
+    assert hit.registered_country_code == "BE"
+    assert hit.registered_country_name == "Belgium"
+    assert hit.represented_country_code == "LU"
+    assert hit.subdivision_codes == ["ZH", "DF"]
+    assert hit.subdivision_ids == [2743698, 999]
+    assert hit.most_specific_subdivision_name == "Delft District"
+    assert hit.autonomous_system_number == 64512
+    assert hit.isp == "Example ISP" and hit.organisation == "Example Org"
+    assert hit.domain == "example.net"
+    assert hit.anonymous_proxy is False and hit.satellite_provider is True
+    # no-match keeps the event with null geo fields (never dropped)
+    miss = rows["e2"]
+    assert miss.city_name is None and miss.country_code is None

@@ -57,3 +57,73 @@ def json_path_exists(col: Column, path: str) -> Column:
     """Presence test (suppress-exceptions: missing/bad path => false,
     never error)."""
     return F.get_json_object(col, path).isNotNull()
+
+
+#: definite-path operators get_json_object can express; anything else
+#: (wildcards, recursive descent, [?(...)] filters, slices, unions)
+#: needs the jayway-equivalent evaluator below
+_GJO_SUBSET = __import__("re").compile(
+    r"^\$(\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*$"
+)
+
+
+def is_gjo_expressible(path: str) -> bool:
+    """True when ``get_json_object`` covers the path (dotted/indexed
+    definite subset) — the JVM fast path; everything else falls back to
+    :func:`json_path_full`."""
+    return bool(_GJO_SUBSET.match(path))
+
+
+def json_path_full(col: Column, path: str) -> Column:
+    """Full JsonPath (jayway semantics, DslRecordMapping.java:587-593):
+    supports ``[?(@.x > n)]`` filters, wildcards, recursive descent —
+    the constructs ``get_json_object`` cannot express. Evaluated by an
+    Arrow-batched pandas UDF over ``jsonpath-ng``; the path compiles
+    ONCE at plan-build time (mirroring ``JsonPath.compile`` at mapping
+    build, :588) and ships to the workers in the closure.
+
+    Result semantics match the raw ``json_path``: the matched node's
+    JSON serialization (indefinite paths — filters/wildcards/descent —
+    always serialize as a list, as jayway does with
+    suppress-exceptions), null when nothing matches or the document is
+    malformed."""
+    import json as _json
+
+    from jsonpath_ng.ext import parse as _jp_parse
+
+    expr = _jp_parse(path)  # compile once, at build time
+    indefinite = not is_gjo_expressible(path)
+
+    def _eval_batch(s):
+        import pandas as pd
+
+        def one(doc):
+            try:
+                matches = [m.value for m in expr.find(_json.loads(doc))]
+            except Exception:
+                return None  # suppress-exceptions configuration (:77-81)
+            if indefinite:
+                return _json.dumps(matches, separators=(",", ":"))
+            if not matches:
+                return None
+            v = matches[0]
+            return v if isinstance(v, str) else _json.dumps(
+                v, separators=(",", ":")
+            )
+
+        return s.map(one, na_action="ignore")
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    return pandas_udf(_eval_batch, T.StringType())(col)
+
+
+def json_path_auto(col: Column, path: str) -> Column:
+    """Route a JsonPath to the cheapest evaluator: the JVM
+    ``get_json_object`` for the definite dotted/indexed subset, the
+    jsonpath-ng Arrow UDF for everything else. This is the
+    ``eventParameters().path(...)`` entry point."""
+    if is_gjo_expressible(path):
+        return json_path(col, path)
+    return json_path_full(col, path)

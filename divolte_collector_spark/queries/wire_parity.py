@@ -629,3 +629,53 @@ def q_avro_container(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("party"),
     )
     return ev.mapInPandas(roundtrip, out_schema)
+
+
+# --- §2.9: full JsonPath (filters) ------------------------------------------
+
+_JSONPATH_ORACLE = """
+SELECT event_id,
+       CASE WHEN user_id % 50 > 30 AND event_id % 100 > 30
+                THEN '["a","b"]'
+            WHEN user_id % 50 > 30 THEN '["a"]'
+            WHEN event_id % 100 > 30 THEN '["b"]'
+            ELSE '[]' END AS pricey_names,
+       '[' || CAST(user_id % 50 AS VARCHAR) || ','
+           || CAST(event_id % 100 AS VARCHAR) || ']' AS all_prices,
+       CAST(user_id % 50 AS VARCHAR) AS first_price,
+       json_extract_string(props, '$.k') AS k
+FROM events
+"""
+
+
+@query("event_params_jsonpath_filter", oracle=_JSONPATH_ORACLE)
+def q_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-JsonPath parity (event-param-jsonpath-mapping.groovy;
+    DslRecordMapping.java:587-593 compiles jayway paths incl.
+    ``[?(@...)]`` filters): synthesize a nested parameters document per
+    event, extract through ``json_path_auto`` — the filter and wildcard
+    paths route to the jsonpath-ng Arrow UDF, the definite paths to
+    JVM ``get_json_object`` — and let the oracle predict every result
+    from the raw columns."""
+    from divolte_collector_spark.functions.jsonops import json_path_auto
+
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"items":[{"name":"a","price":'),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit('},{"name":"b","price":'),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit('}],"k":'),
+        F.get_json_object(F.col("props"), "$.k"),
+        F.lit("}"),
+    )
+    with_doc = ev.select("event_id", doc.alias("_doc"))
+    return with_doc.select(
+        "event_id",
+        json_path_auto(F.col("_doc"), "$.items[?(@.price > 30)].name").alias(
+            "pricey_names"
+        ),
+        json_path_auto(F.col("_doc"), "$.items[*].price").alias("all_prices"),
+        json_path_auto(F.col("_doc"), "$.items[0].price").alias("first_price"),
+        json_path_auto(F.col("_doc"), "$.k").alias("k"),
+    )

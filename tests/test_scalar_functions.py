@@ -433,3 +433,38 @@ def test_geoip2_city_dim_full_surface(spark):
     # no-match keeps the event with null geo fields (never dropped)
     miss = rows["e2"]
     assert miss.city_name is None and miss.country_code is None
+
+
+def test_jsonpath_filter_and_routing(spark):
+    """event-param-jsonpath fixtures: definite paths route to
+    get_json_object, indefinite (filter/wildcard/descent) paths to the
+    jsonpath-ng Arrow UDF with jayway list semantics; malformed docs
+    and missing paths are absent, never errors."""
+    from divolte_collector_spark.functions.jsonops import (
+        is_gjo_expressible,
+        json_path_auto,
+    )
+
+    assert is_gjo_expressible("$.foo")
+    assert is_gjo_expressible("$.items[0].price")
+    assert not is_gjo_expressible("$.items[*].price")
+    assert not is_gjo_expressible("$.items[?(@.price > 3)].name")
+    assert not is_gjo_expressible("$..price")
+
+    doc = ('{"foo":"string","bar":42,"items":['
+           '{"name":"apple","count":3,"price":1.23},'
+           '{"name":"pear","count":1,"price":0.89}]}')
+    df = spark.createDataFrame([(doc,), ("not json",)], ["j"])
+    row, bad = df.select(
+        json_path_auto(F.col("j"), "$.items[?(@.price > 1)].name").alias("f"),
+        json_path_auto(F.col("j"), "$.items[*].count").alias("w"),
+        json_path_auto(F.col("j"), "$..price").alias("d"),
+        json_path_auto(F.col("j"), "$.foo").alias("s"),
+        json_path_auto(F.col("j"), "$.missing[?(@.x > 1)]").alias("m"),
+    ).collect()
+    assert row.f == '["apple"]'
+    assert row.w == "[3,1]"
+    assert row.d == "[1.23,0.89]"
+    assert row.s == "string"
+    assert row.m == "[]"  # present doc, no matches: empty list (jayway)
+    assert bad.f is None and bad.w is None and bad.s is None

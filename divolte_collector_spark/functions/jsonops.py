@@ -74,6 +74,32 @@ def is_gjo_expressible(path: str) -> bool:
     return bool(_GJO_SUBSET.match(path))
 
 
+def _jayway_numeric_filters(node, _seen=None):
+    """Rewrite int filter literals to float in a compiled jsonpath-ng
+    tree. jsonpath-ng's ``Expression.find`` coerces the *matched value*
+    to ``int`` when the literal is an int (``ext/filter.py``:
+    ``int(value)``), so ``[?(@.price > 1)]`` silently truncates 1.23 to
+    1 and misses — jayway compares numerically. Floating the literal
+    disables that cast path while preserving the comparison result for
+    integer-valued data."""
+    if _seen is None:
+        _seen = set()
+    if id(node) in _seen or not hasattr(node, "__dict__"):
+        return node
+    _seen.add(id(node))
+    from jsonpath_ng.ext.filter import Expression as _FilterExpr
+
+    if isinstance(node, _FilterExpr) and type(node.value) is int:
+        node.value = float(node.value)
+    for v in vars(node).values():
+        if isinstance(v, (list, tuple)):
+            for item in v:
+                _jayway_numeric_filters(item, _seen)
+        else:
+            _jayway_numeric_filters(v, _seen)
+    return node
+
+
 def json_path_full(col: Column, path: str) -> Column:
     """Full JsonPath (jayway semantics, DslRecordMapping.java:587-593):
     supports ``[?(@.x > n)]`` filters, wildcards, recursive descent —
@@ -91,7 +117,7 @@ def json_path_full(col: Column, path: str) -> Column:
 
     from jsonpath_ng.ext import parse as _jp_parse
 
-    expr = _jp_parse(path)  # compile once, at build time
+    expr = _jayway_numeric_filters(_jp_parse(path))  # compile once
     indefinite = not is_gjo_expressible(path)
 
     def _eval_batch(s):

@@ -342,3 +342,212 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+# --- two-iteration Lloyd (the production knob, oracle-proven) ---------------
+# ann_ivf_kmeans proves ONE Lloyd step; this unrolls the oracle to TWO
+# so lloyd_iterate(..., iterations=N) is demonstrated as a loop, not a
+# parameter that only ever ran once.  Each unrolled step is the same
+# two CTEs: nearest-centroid assignment (row_number over the K-way
+# cross), then the per-(cid, dim) mean rounded to 6 decimals.
+
+def _assign_cte(name: str, centroids: str) -> str:
+    return f"""{name} AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, {centroids}.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, {centroids}.cemb)
+                            DESC, {centroids}.cid
+               ) AS rn
+        FROM e CROSS JOIN {centroids}) x
+    WHERE rn = 1
+)"""
+
+
+def _recompute_cte(name: str, assigned: str) -> str:
+    return f"""{name} AS (
+    SELECT cid, list(av ORDER BY dim) AS cemb FROM (
+        SELECT cid, dim, round(avg(v), 6) AS av
+        FROM (SELECT cid, unnest(emb) AS v,
+                     generate_subscripts(emb, 1) AS dim
+              FROM {assigned}) u
+        GROUP BY cid, dim) m
+    GROUP BY cid
+)"""
+
+
+_KMEANS2_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CLUSTERS}),
+{_assign_cte("a1", "c0")},
+{_recompute_cte("c1", "a1")},
+{_assign_cte("a2", "c1")},
+{_recompute_cte("c2", "a2")},
+{_assign_cte("a3", "c2")},
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.emb, c.emb) AS cos
+    FROM a3 q JOIN a3 c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY_VECTORS}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_ivf_kmeans2", oracle=_KMEANS2_ORACLE)
+def q_ivf_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations through the SAME lloyd_iterate loop the
+    one-iteration query uses — proving the iteration knob against a
+    twice-unrolled oracle.  Scale shape per iteration is unchanged:
+    map-side assignment against driver-held centroids (no fact
+    shuffle), one posexplode+groupBy shuffle bounded by K x dims."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    c0 = [
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
+    ]
+    _, c2 = lloyd_iterate(e, c0, iterations=2)
+    a3 = _assign(e, c2)
+    probes = a3.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("cid").alias("q_cid"),
+    )
+    scored = a3.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 4).alias("cosine_sim"),
+            "rnk",
+        )
+    )
+
+
+# --- sign-LSH (random hyperplane) bucketed near-dup -------------------------
+# The scale path for embedding near-duplicates: an all-pairs cosine
+# join is O(n^2) and dies at 100 TB; sign-LSH buckets vectors by the
+# SIGN PATTERN of dot products against a set of hyperplanes (Charikar
+# SimHash for real vectors), so candidate generation is an equi-join
+# on (band, 4-bit key) and only bucket-mates get exact verification.
+# Hyperplanes are DATA-DERIVED (the first N_PLANES embeddings) so the
+# DuckDB oracle reproduces them exactly — no cross-engine RNG.  At
+# scale you widen BITS_PER_BAND with log(n) (16 buckets/band here is
+# sized for the 500-vector test SF) and keep bands for recall;
+# sign-agreement probability for angle theta is 1 - theta/pi, so a
+# 0.4-cosine pair matches a 4-bit band w.p. ~0.16 and >=1 of 4 bands
+# w.p. ~0.5 — recall is tunable, the all-pairs baseline
+# (embedding_near_dup) stays as the exact-recall reference.
+
+N_PLANES = 16
+BITS_PER_BAND = 4
+N_BANDS = N_PLANES // BITS_PER_BAND
+NEAR_DUP_THRESHOLD = 0.4
+
+_SIGN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+h AS (SELECT vec_id AS hid, emb AS hemb FROM e WHERE vec_id < {N_PLANES}),
+sig AS (
+    SELECT e.vec_id,
+           string_agg(CASE WHEN list_dot_product(e.emb, h.hemb) >= 0
+                           THEN '1' ELSE '0' END, '' ORDER BY h.hid) AS bits
+    FROM e CROSS JOIN h GROUP BY e.vec_id
+),
+banded AS (
+    SELECT vec_id, b.band,
+           substr(bits, b.band * {BITS_PER_BAND} + 1, {BITS_PER_BAND}) AS key
+    FROM sig, (VALUES {",".join(f"({i})" for i in range(N_BANDS))}) b(band)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+                 AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(ea.emb, eb.emb), 4) AS cosine_sim
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.emb, eb.emb) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@query("embedding_near_dup_lsh", oracle=_SIGN_LSH_ORACLE)
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup: sign-LSH bands -> equi-join candidates ->
+    exact cosine verification.  No cartesian anywhere: signatures are
+    a narrow map (N_PLANES JVM-side dots against driver-held planes),
+    candidate generation shuffles on (band, key), verification runs
+    once per DISTINCT candidate pair."""
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    planes = sorted(
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in e.filter(F.col("vec_id") < N_PLANES).collect()
+    )
+    bits = [
+        F.when(
+            dot(F.col("emb"), F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for _, p in planes
+    ]
+    sig = F.concat(*bits)
+    banded = (
+        e.withColumn(
+            "bk",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.substring(
+                                sig, band * BITS_PER_BAND + 1, BITS_PER_BAND
+                            ).alias("key"),
+                        )
+                        for band in range(N_BANDS)
+                    ]
+                )
+            ),
+        )
+        .select("vec_id", "emb", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        # a pair sharing multiple bands appears once per band: dedup
+        # BEFORE the exact verification so each pair is scored once
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"))
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(F.col("cos"), 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,123 @@
+"""Kafka ingest source: decode path (naked + Confluent framing,
+corrupt-value tolerance) without a broker; connector-dependent wiring
+skip-marked where the jar is absent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.functions.avro_codec import (
+    confluent_frame,
+    encode_record,
+)
+from divolte_collector_spark.sources.kafka_source import (
+    decode_kafka_events,
+    event_spark_schema,
+    kafka_connector_available,
+    kafka_events,
+    kafka_sink_writer,
+)
+
+_SCHEMA = {
+    "type": "record",
+    "name": "MappedEvent",
+    "fields": [
+        {"name": "party_id", "type": "string"},
+        {"name": "event_id", "type": "string"},
+        {"name": "event_type", "type": ["null", "string"], "default": None},
+        {"name": "client_ms", "type": "long"},
+    ],
+}
+
+_RECORDS = [
+    {"party_id": "0:a:1", "event_id": "e1", "event_type": "view", "client_ms": 1000},
+    {"party_id": "0:b:2", "event_id": "e2", "event_type": None, "client_ms": 2000},
+    {"party_id": "0:c:3", "event_id": "e3", "event_type": "click", "client_ms": 3000},
+]
+
+
+def _kafka_shaped(spark, values):
+    """A DataFrame with the standard kafka source column shape."""
+    rows = [
+        (rec["party_id"].encode(), v, "events", i % 2, i)
+        for i, (rec, v) in enumerate(zip(_RECORDS, values))
+    ]
+    return spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long"
+    )
+
+
+def test_decode_naked(spark):
+    values = [encode_record(_SCHEMA, r) for r in _RECORDS]
+    out = decode_kafka_events(_kafka_shaped(spark, values), _SCHEMA)
+    assert [f.name for f in out.schema.fields] == [
+        "party_id", "event_id", "event_type", "client_ms",
+        "_topic", "_partition", "_offset",
+    ]
+    rows = {r.event_id: r for r in out.collect()}
+    assert rows["e1"].party_id == "0:a:1" and rows["e1"].client_ms == 1000
+    assert rows["e2"].event_type is None
+    assert rows["e3"]._topic == "events" and rows["e3"]._offset == 2
+    # typed columns: downstream aggregation stays JVM-side
+    assert out.schema["client_ms"].dataType.simpleString() == "bigint"
+
+
+def test_decode_confluent_and_corrupt_tolerance(spark):
+    values = [
+        confluent_frame(7, encode_record(_SCHEMA, _RECORDS[0])),
+        b"\xff not confluent",  # bad magic -> all-null event, not an error
+        confluent_frame(7, encode_record(_SCHEMA, _RECORDS[2])),
+    ]
+    out = decode_kafka_events(
+        _kafka_shaped(spark, values), _SCHEMA, mode="confluent"
+    ).collect()
+    by_off = {r._offset: r for r in out}
+    assert by_off[0].party_id == "0:a:1"
+    assert by_off[1].party_id is None and by_off[1].event_id is None
+    assert by_off[1]._topic == "events"  # provenance survives corruption
+    assert by_off[2].event_type == "click"
+
+    with pytest.raises(ValueError):
+        decode_kafka_events(_kafka_shaped(spark, values), _SCHEMA, mode="zstd")
+
+
+def test_event_spark_schema_unions_and_arrays():
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "double"}},
+            {"name": "kv", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    t = event_spark_schema(schema)
+    assert t["s"].dataType.simpleString() == "string"
+    assert t["xs"].dataType.simpleString() == "array<double>"
+    assert t["kv"].dataType.simpleString() == "map<string,bigint>"
+
+
+def test_kafka_end_to_end_requires_connector(spark):
+    """The full scan→decode wiring and the K3 writer need the
+    spark-sql-kafka jar; where absent this skips (the decode half is
+    covered above against the same column shape the scan produces)."""
+    if not kafka_connector_available(spark):
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    stream = kafka_events(
+        spark, "localhost:9092", "divolte", _SCHEMA, starting_offsets="earliest"
+    )
+    assert stream.isStreaming
+    mapped = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.concat(F.lit("0:a:"), F.col("value")).alias("party_id"),
+            F.concat(F.lit("e"), F.col("value")).alias("event_id"),
+            F.lit("view").alias("event_type"),
+            F.col("value").alias("client_ms"),
+        )
+    )
+    writer = kafka_sink_writer(
+        mapped, "localhost:9092", "divolte", "/tmp/ckpt", _SCHEMA
+    )
+    assert writer is not None

@@ -72,3 +72,36 @@ def test_wire_decode_parses_once(spark):
     a = _audit(spark, "wire_browser_roundtrip")
     assert a.n_python_eval_nodes <= 3  # encode murmur + decode pair
     assert not a.has_cartesian_product
+
+
+def test_sign_lsh_near_dup_no_cartesian(spark):
+    # the LSH variant exists precisely to kill the all-pairs join:
+    # candidates must come from an equi-join on (band, key)
+    a = _audit(spark, "embedding_near_dup_lsh")
+    assert not a.has_cartesian_product
+    assert not a.has_nested_loop_join
+
+
+def test_kmeans2_no_fact_shuffle_for_assignment(spark):
+    # assignment is map-side against driver-held centroids; the only
+    # shuffles are the pair-dedup/recompute aggregations and the final
+    # top-k window — never a fact-vs-centroid join
+    a = _audit(spark, "ann_ivf_kmeans2")
+    assert not a.has_cartesian_product
+    assert not a.has_nested_loop_join
+
+
+def test_jsonpath_filter_single_python_stage(spark):
+    # the three indefinite paths evaluate in ONE ArrowEvalPython node
+    # (common json parse amortized per batch); definite paths stay on
+    # the JVM as get_json_object
+    a = _audit(spark, "event_params_jsonpath_filter")
+    assert a.n_python_eval_nodes <= 1
+    assert a.n_exchanges == 0  # narrow map over the scan, no shuffle
+
+
+def test_avro_container_roundtrip_no_shuffle(spark):
+    # encode+decode is a narrow mapInPandas pipeline over the scan
+    a = _audit(spark, "avro_container_roundtrip")
+    assert not a.has_cartesian_product
+    assert a.n_exchanges <= 1

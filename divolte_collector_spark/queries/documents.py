@@ -221,27 +221,40 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir))
     sh = planted.select(
         "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
-    ).persist()  # consumed by signature, count, and verification branches
-    # All K min-hashes in ONE aggregation: one md5 per shingle row, K
-    # cheap integer permutations of it as columns, a single
-    # groupBy(doc_id) takes K mins. Versus the naive crossJoin(seeds)
-    # formulation this avoids materializing K x |shingles| rows and a
-    # second band-grouping shuffle (measured 3x at sf0.1); versus K
-    # md5s per shingle the arithmetic family halves the hash cost.
+    )
+    # All K min-hashes AND the per-doc shingle arrays the verification
+    # step needs in ONE aggregation: one md5 per shingle row, K cheap
+    # integer permutations of it as columns, a single groupBy(doc_id).
+    # The exploded |tokens|-row relation is consumed exactly once and
+    # never persisted — what persists is the compact |docs|-row
+    # aggregate feeding the three downstream consumers (bands + both
+    # verification sides). Versus the previous two-aggregation shape
+    # this halves the shuffle volume of the heaviest relation and
+    # removes the multi-hundred-MB executor-cache residency that made
+    # this query's wall time swing 3x under memory pressure. Versus the
+    # naive crossJoin(seeds) formulation it avoids K x |shingles| rows;
+    # versus K md5s per shingle the arithmetic family halves hash cost.
     hsh = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
         % F.lit(_MH_MOD)
     )
-    sig = sh.withColumn("_hsh", hsh).groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("_hsh") + F.lit(b)) % F.lit(_MH_P)).alias(
-                f"mh{k}"
-            )
-            for k, (a, b) in enumerate(_MH_PARAMS)
-        ]
+    doc_agg = (
+        sh.withColumn("_hsh", hsh)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("shingle").alias("shs"),
+            F.count(F.lit(1)).alias("n_sh"),
+            *[
+                F.min((F.lit(a) * F.col("_hsh") + F.lit(b)) % F.lit(_MH_P)).alias(
+                    f"mh{k}"
+                )
+                for k, (a, b) in enumerate(_MH_PARAMS)
+            ],
+        )
+        .persist()
     )
     rows_per_band = MINHASH_K // LSH_BANDS
-    band = sig.select(
+    band = doc_agg.select(
         "doc_id",
         F.explode(
             F.array(
@@ -278,14 +291,10 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-Jaccard verification restricted to LSH candidates only —
     # the all-pairs shingle self-join would defeat the point of LSH
     # (measured: 200x slower at sf0.1 before this restriction). The
-    # verification itself joins per-doc shingle ARRAYS (|docs| rows)
-    # instead of exploded shingle rows (|tokens| rows) and intersects
-    # in-memory: two joins against a table 100x smaller, with
-    # array_intersect bounded by document length.
-    doc_sh = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shs"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
+    # verification joins the per-doc shingle ARRAYS already computed in
+    # doc_agg (|docs| rows, no extra pass over the exploded relation)
+    # and intersects in-memory, bounded by document length.
+    doc_sh = doc_agg.select("doc_id", "shs", "n_sh")
     a = doc_sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),

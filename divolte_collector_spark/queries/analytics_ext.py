@@ -139,3 +139,42 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --- skew mitigation: salted two-phase aggregation --------------------------
+# A groupBy on a LOW-cardinality key (event_type: a handful of values
+# over the whole corpus) concentrates each key's entire volume into
+# one reducer task — at 100 TB, four tasks do all the work while the
+# other 31,996 idle. Salting splits each hot key across N_SALT
+# reducers, then a second, tiny aggregation merges the partials. The
+# salt here is the high-cardinality user_id itself — phase 1 groups by
+# (key, user): map-side partial agg absorbs the per-user repetition,
+# the shuffle spreads each hot key over as many reducers as it has
+# users, and the phase-1 output doubles as the DISTINCT step (one row
+# per (key, user) makes n_users a plain COUNT in phase 2 — Spark's own
+# count-distinct rewrite would add a third exchange). Deterministic,
+# so the single-phase oracle predicts it exactly. AQE's skew handling
+# covers skewed JOINS; skewed aggregations need this formulation.
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("salted_hot_key_agg", oracle=_SALTED_ORACLE)
+def q_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "user_id", "value")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("pv"), 2).alias("sum_value"),
+    )

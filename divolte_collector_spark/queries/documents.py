@@ -723,3 +723,41 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "content_hash", F.col("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+# --- UDTF surface: the same chunker as a table function ---------------------
+# §2.15 declares the UDTF surface (Python UDTFs, Spark 3.5+). The
+# DataFrame chunker above (sequence+explode+slice, pure JVM) is the
+# production path; this variant demonstrates the table-function API —
+# an Arrow-optimized UDTF applied per input row via a SQL LATERAL
+# join — against the SAME oracle, so the two formulations are proven
+# equivalent. Use the UDTF form when chunking logic outgrows what
+# array expressions express (tokenizer-aware splits, sentence
+# boundaries); it stays a narrow map over the scan — no shuffle.
+
+
+@query("document_chunks_udtf", oracle=_CHUNK_ORACLE)
+def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+
+    @udtf(
+        returnType="doc_id: bigint, chunk_id: bigint, chunk_text: string",
+        useArrow=True,
+    )
+    class ChunkDocument:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ") if text is not None else [""]
+            n = max(1, math.ceil((len(toks) - size) / stride) + 1)
+            for i in range(n):
+                yield doc_id, i, " ".join(toks[i * stride : i * stride + size])
+
+    spark.udtf.register("chunk_document", ChunkDocument)
+    _docs(spark, sf_dir).createOrReplaceTempView("_chunk_docs_in")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk_text "
+        "FROM _chunk_docs_in, LATERAL chunk_document(doc_id, text) c"
+    )

@@ -551,3 +551,43 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEAR_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round(F.col("cos"), 4).alias("cosine_sim"))
     )
+
+
+# --- int8 symmetric quantization --------------------------------------------
+# Embedding preprocessing a large-scale vector pipeline runs before
+# indexing/serving: per-vector symmetric int8 quantization (scale =
+# absmax/127, q_i = round(x_i / scale)). Pure array expressions — a
+# narrow map over the scan, no shuffle, no Python. The explicit
+# floor(x+0.5) rounding is deterministic and identical across engines
+# (half-up everywhere, where round() families differ on ties).
+
+_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (
+    SELECT vec_id, emb,
+           list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+    FROM e
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       CASE WHEN scale = 0
+            THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+       END AS q
+FROM s
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    scale = (
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    s = e.select("vec_id", "emb", scale)
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("emb"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("emb"), lambda x: F.floor(x / F.col("scale") + 0.5))
+    )
+    return s.select("vec_id", F.round("scale", 9).alias("scale"), q.alias("q"))

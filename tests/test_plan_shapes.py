@@ -105,3 +105,17 @@ def test_avro_container_roundtrip_no_shuffle(spark):
     a = _audit(spark, "avro_container_roundtrip")
     assert not a.has_cartesian_product
     assert a.n_exchanges <= 1
+
+
+def test_quantize_narrow_map_no_shuffle(spark):
+    a = _audit(spark, "embedding_quantize_int8")
+    assert a.n_exchanges == 0
+    assert a.n_python_eval_nodes == 0  # pure array expressions
+
+
+def test_salted_agg_two_exchanges(spark):
+    # phase 1 shuffles on (key, salt) — the whole point: a hot key
+    # spreads over N_SALT reducers; phase 2 is the tiny merge
+    a = _audit(spark, "salted_hot_key_agg")
+    assert a.n_exchanges == 2
+    assert not a.has_cartesian_product

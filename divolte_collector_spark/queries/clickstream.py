@@ -360,3 +360,74 @@ def q_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, views, on="user_id", left_time="ts", right_time="ts"
     ).select("event_id", "user_id", F.col("asof_ts"))
+
+
+# --- §2.9 eventParameters(): whole-JSON -> typed record ---------------------
+
+_PARAMS_RECORD_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN event_id % 3 = 0
+                THEN ['tag' || CAST(user_id % 5 AS VARCHAR)]
+            WHEN event_id % 3 = 1
+                THEN ['a' || json_extract_string(props, '$.k'), 'b']
+            ELSE NULL END AS tags,
+       CAST(user_id % 10 AS BIGINT) AS nested_a
+FROM events
+"""
+
+
+@query("event_params_record", oracle=_PARAMS_RECORD_ORACLE)
+def q_event_params_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``eventParameters()`` mapped onto a TYPED record target
+    (DslRecordMapping.java:575-632 + AvroGenericRecordMapper.java:
+    159-209): the whole parameters document parses against a declared
+    schema — recursive records, arrays, unknown properties ignored,
+    unparseable leaves absent (tryParse rule), and Jackson's
+    ACCEPT_SINGLE_VALUE_AS_ARRAY leniency (a scalar where the target
+    wants an array becomes a one-element array).
+
+    Spark-first: ONE ``from_json`` in PERMISSIVE mode does the
+    recursive typed parse JVM-side (a field-level mismatch nulls that
+    field only, matching per-leaf absence); the single-value-as-array
+    case falls back through ``coalesce`` to the scalar text wrapped in
+    ``array()`` — no Python, no second full parse (the fallback reads
+    one path via get_json_object)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k")
+    # synthesize the parameters document: scalar-tag rows exercise the
+    # single-value-as-array path, array-tag rows the plain path, the
+    # rest have no tags; 'junk'/'unknown' fields must be ignored
+    doc = F.concat(
+        F.lit('{"k": '), k,
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit(', "tags": "tag'), (F.col("user_id") % 5), F.lit('"')),
+        ).when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit(', "tags": ["a'), k, F.lit('", "b"]')),
+        ).otherwise(F.lit("")),
+        F.lit(', "nested": {"a": '), (F.col("user_id") % 10),
+        F.lit(', "junk": 7}, "unknown": 1}'),
+    )
+    with_doc = ev.select("event_id", doc.alias("_doc"))
+    parsed = with_doc.select(
+        "event_id",
+        F.from_json(
+            "_doc", "k long, tags array<string>, nested struct<a: long>"
+        ).alias("r"),
+        F.get_json_object("_doc", "$.tags").alias("_tags_raw"),
+    )
+    tags_lenient = F.coalesce(
+        F.col("r.tags"),
+        F.when(
+            F.col("_tags_raw").isNotNull() & ~F.col("_tags_raw").startswith("["),
+            F.array(F.col("_tags_raw")),
+        ),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("r.k").alias("k"),
+        tags_lenient.alias("tags"),
+        F.col("r.nested.a").alias("nested_a"),
+    )

@@ -761,3 +761,164 @@ def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_id, c.chunk_text "
         "FROM _chunk_docs_in, LATERAL chunk_document(doc_id, text) c"
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+# The training-data op near-dup does NOT cover: a train document is
+# contaminated if it shares ANY k-gram with the held-out eval set —
+# threshold-free overlap, not similarity. Scale shape: the eval side
+# is tiny by construction (benchmarks are thousands of docs, the
+# corpus is billions) — its distinct shingle set BROADCASTS, and the
+# train side streams through a broadcast semi-join-style equi-join +
+# per-doc count. The corpus never shuffles on the shingle key.
+
+_EVAL_DOCS = 20
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+    FROM toks
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_EVAL_DOCS})
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id >= {_EVAL_DOCS}
+GROUP BY s.doc_id
+"""
+
+
+@query("decontaminate_against_eval", oracle=_DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") < _EVAL_DOCS)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= _EVAL_DOCS)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+# Regex scrubbing of email/phone patterns before training. The corpus
+# is synthetic, so PII is PLANTED deterministically (every 7th doc
+# gains an email + phone token) and the oracle plants identically.
+# Patterns avoid engine-specific syntax (no lookarounds) so Java regex
+# and RE2 agree. Pure regexp expressions — narrow map, no shuffle; the
+# md5 of the redacted text proves byte-identical redaction output
+# without hauling full text through the compare.
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact-' || CAST(doc_id % 10 AS VARCHAR)
+                     || '@mail.example call 555-0199'
+                ELSE text END AS text
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM planted
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       md5(redacted) AS redacted_hash
+FROM red
+"""
+
+
+@query("pii_redact", oracle=_PII_ORACLE)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact-"),
+                (F.col("doc_id") % 10),
+                F.lit("@mail.example call 555-0199"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+    )
+
+
+# --- intra-document repetition filter ---------------------------------------
+# Gopher-style repetition signals: the fraction of duplicate tokens
+# and duplicate bigrams INSIDE each document (boilerplate and
+# degenerate generations repeat heavily). Pure array expressions over
+# the token array — narrow map, no shuffle, no Python.
+
+_REPETITION_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sig AS (
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_tok,
+           1.0 - CAST(len(list_distinct(list_transform(
+                     range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+                 AS DOUBLE) / (len(t) - 1) AS dup_bigram
+    FROM toks
+)
+SELECT doc_id, round(dup_tok, 6) AS dup_token_ratio,
+       round(dup_bigram, 6) AS dup_bigram_ratio,
+       (dup_tok >= 0.3) AS flagged
+FROM sig
+"""
+
+
+@query("repetition_filter", oracle=_REPETITION_ORACLE)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(
+        toks
+    )
+    dup_bigram = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast(
+        "double"
+    ) / (F.size(toks) - 1)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(dup_tok, 6).alias("dup_token_ratio"),
+        F.round(dup_bigram, 6).alias("dup_bigram_ratio"),
+        (dup_tok >= 0.3).alias("flagged"),
+    )

@@ -119,3 +119,18 @@ def test_salted_agg_two_exchanges(spark):
     a = _audit(spark, "salted_hot_key_agg")
     assert a.n_exchanges == 2
     assert not a.has_cartesian_product
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    # the eval shingle set broadcasts; the corpus never shuffles on
+    # the shingle key (only the per-doc count aggregates)
+    a = _audit(spark, "decontaminate_against_eval")
+    assert a.n_broadcast_hash_joins >= 1
+    assert not a.has_cartesian_product
+
+
+def test_pii_and_repetition_narrow_maps(spark):
+    for name in ("pii_redact", "repetition_filter"):
+        a = _audit(spark, name)
+        assert a.n_exchanges == 0, name
+        assert a.n_python_eval_nodes == 0, name

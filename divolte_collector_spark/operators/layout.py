@@ -56,3 +56,44 @@ def write_events_partitioned(
 def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned table; date predicates prune partitions."""
     return spark.read.parquet(path)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_value: str,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one date partition into ``target_files`` files.
+
+    The maintenance half of the layout story: streaming ingest (or a
+    misconfigured backfill) leaves a day directory with many small
+    files; queries then pay per-file open/footer costs and lose page-
+    stat pruning. Compaction reads the partition, rewrites it at the
+    target file count (re-sorted, so page stats re-tighten), and swaps
+    the directory in with rename — readers see the old or the new
+    layout, never a mix. On an object store the swap step would go
+    through a manifest/table-format commit instead; the read-rewrite
+    core is identical. Returns the row count of the compacted
+    partition.
+    """
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"{PARTITION_COL}={partition_value}")
+    df = spark.read.parquet(part_dir)
+    n = df.count()
+    tmp = part_dir + ".compacting"
+    old = part_dir + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        df.repartition(target_files)
+        .sortWithinPartitions(*[c for c in ("party_id",) if c in df.columns])
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.replace(part_dir, old)  # readers renaming-in-flight see old data
+    os.replace(tmp, part_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

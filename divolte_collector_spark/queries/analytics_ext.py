@@ -178,3 +178,35 @@ def q_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum("pv"), 2).alias("sum_value"),
     )
+
+
+# --- pivot (conditional aggregation) ----------------------------------------
+# groupBy().pivot() with an EXPLICIT value list — at scale the value
+# list must always be declared (implicit pivot runs a distinct job
+# over the fact table first); with it, the pivot compiles to one
+# pass of conditional aggregates, a single shuffle on the grouping
+# key, exactly like the hand-written FILTER formulation the oracle
+# uses.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(
+           f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query("pivot_event_type_daily", oracle=_PIVOT_ORACLE)
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )

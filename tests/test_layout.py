@@ -58,3 +58,32 @@ def test_partitioned_write_prunes_and_bounds_files(spark):
         assert sample
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_merges_small_files(spark):
+    import glob as _glob
+
+    from divolte_collector_spark.operators.layout import compact_partition
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "party_id", F.concat(F.lit("0:a:u"), F.col("user_id"))
+    )
+    out = tempfile.mkdtemp(prefix="dvs_compact_")
+    try:
+        write_events_partitioned(ev, out, files_per_partition=4)
+        day_dir = sorted(_glob.glob(f"{out}/event_date=*"))[0]
+        day = day_dir.rsplit("=", 1)[1]
+        before = len(_glob.glob(f"{day_dir}/*.parquet"))
+        total_before = spark.read.parquet(day_dir).count()
+
+        n = compact_partition(spark, out, day, target_files=1)
+
+        assert n == total_before
+        files = _glob.glob(f"{day_dir}/*.parquet")
+        assert len(files) == 1, files
+        assert before >= 1
+        # table still reads whole and the partition column survives
+        back = read_events_partitioned(spark, out)
+        assert back.filter(F.col("event_date") == day).count() == total_before
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

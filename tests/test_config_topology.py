@@ -1,0 +1,153 @@
+"""Config-driven topology: reference.conf-shaped dict -> validated
+graph, with the reference's startup-failure semantics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.functions.avro_codec import decode_record
+from divolte_collector_spark.streaming.config import build_topology
+from divolte_collector_spark.streaming.topology import TopologyError
+
+_SCHEMA = {
+    "type": "record",
+    "name": "MappedEvent",
+    "fields": [
+        {"name": "party_id", "type": ["null", "string"], "default": None},
+        {"name": "event_id", "type": ["null", "string"], "default": None},
+        {"name": "event_type", "type": ["null", "string"], "default": None},
+    ],
+}
+
+# no 'x' checksum param => decoded events carry corrupt_event=true
+_QS = (
+    "p=0%3Ai1t84hgy%3Aparty&s=0%3Ai1t84hgy%3Asession&v=pv0&e=ev{n}&"
+    "c=i0rjfnxd&n=t&f=t&l=http%3A%2F%2Fexample.com%2Fhome&t=pageView"
+)
+
+
+def _raw_browser(spark):
+    return spark.createDataFrame(
+        [(_QS.format(n=i),) for i in range(3)], "query_string string"
+    )
+
+
+def _raw_json(spark):
+    def body(i):
+        return json.dumps(
+            {
+                "event_type": "signup",
+                "session_id": "0:i1t84hgy:sess",
+                "event_id": f"j-{i}",
+                "is_new_party": False,
+                "is_new_session": True,
+                "client_timestamp_iso": "2024-01-02T03:04:05.678+02:00",
+            }
+        )
+
+    return spark.createDataFrame(
+        [(body(i), "0:i1t84hgy:party") for i in range(2)],
+        "body string, party_id_param string",
+    )
+
+
+_CONFIG = {
+    "sources": {
+        "browser": {"type": "browser"},
+        "json_api": {"type": "json"},
+    },
+    "mappings": {
+        "keep_all": {
+            "sources": ["browser", "json_api"],
+            "sinks": ["kafka_sink"],
+            "mapping_script": "project",
+        },
+        "strict": {
+            "sources": ["browser"],
+            "sinks": ["kafka_sink"],
+            "mapping_script": "project",
+            "discard_corrupted": True,
+        },
+    },
+    "sinks": {
+        "kafka_sink": {"type": "kafka", "avro_schema": _SCHEMA, "mode": "naked"},
+    },
+}
+
+
+def _project(df):
+    return df.select("party_id", "event_id", "event_type")
+
+
+def test_config_builds_and_flows(spark):
+    topo = build_topology(
+        _CONFIG,
+        raw_sources={"browser": _raw_browser(spark), "json_api": _raw_json(spark)},
+        mapping_registry={"project": _project},
+    )
+    inputs = topo.sink_inputs()
+    # keep_all passes 3 corrupt browser + 2 clean json = 5; strict
+    # discards its 3 corrupt browser events entirely = 0
+    assert inputs["kafka_sink"].count() == 5 + 0
+    framed = topo.start()["kafka_sink"]
+    rows = framed.collect()
+    assert len(rows) == 5
+    rec = decode_record(_SCHEMA, bytes(rows[0].value))
+    assert rec["party_id"] == "0:i1t84hgy:party"
+    topo.stop()
+
+
+def test_config_validation_failures(spark):
+    raw = {"browser": _raw_browser(spark), "json_api": _raw_json(spark)}
+    reg = {"project": _project}
+
+    bad_type = {
+        **_CONFIG,
+        "sources": {"browser": {"type": "carrier-pigeon"}, "json_api": {"type": "json"}},
+    }
+    with pytest.raises(TopologyError, match="unknown type"):
+        build_topology(bad_type, raw, reg)
+
+    unknown_sink = {
+        **_CONFIG,
+        "mappings": {
+            "m": {"sources": ["browser"], "sinks": ["nope"], "mapping_script": "project"}
+        },
+    }
+    with pytest.raises(TopologyError, match="unknown sinks"):
+        build_topology(unknown_sink, raw, reg)
+
+    unknown_script = {
+        **_CONFIG,
+        "mappings": {
+            "m": {
+                "sources": ["browser"],
+                "sinks": ["kafka_sink"],
+                "mapping_script": "missing",
+            }
+        },
+    }
+    with pytest.raises(TopologyError, match="not registered"):
+        build_topology(unknown_script, raw, reg)
+
+    with pytest.raises(TopologyError, match="no raw DataFrame"):
+        build_topology(_CONFIG, {"browser": _raw_browser(spark)}, reg)
+
+    orphan_sink = {
+        **_CONFIG,
+        "sinks": {**_CONFIG["sinks"], "lonely": {"type": "kafka", "avro_schema": _SCHEMA}},
+    }
+    with pytest.raises(TopologyError, match="not fed by any mapping"):
+        build_topology(orphan_sink, raw, reg)
+
+    confluent_no_id = {
+        **_CONFIG,
+        "sinks": {
+            "kafka_sink": {"type": "kafka", "avro_schema": _SCHEMA, "mode": "confluent"}
+        },
+    }
+    with pytest.raises(TopologyError, match="confluent_id"):
+        build_topology(confluent_no_id, raw, reg)

@@ -523,3 +523,62 @@ def test_event_param_runtime_mismatch_keeps_going(spark):
     row = m.apply(df).first()
     assert row.paramIntValue is None
     assert row.after == "done"
+
+
+def test_simple_value_accessors(spark):
+    """§2.4: every named accessor resolves over a decoded browser event
+    (browser-only values under the struct, transport values from the
+    kept raw columns, absent values null — never errors)."""
+    from divolte_collector_spark.mapping import values as v
+    from divolte_collector_spark.sources.browser import parse_browser_events
+
+    qs = (
+        "p=0%3Ai1t84hgy%3Aparty&s=0%3Ai1t84hgy%3Asession&v=pv0&e=ev0&"
+        "c=i0rjfnxd&n=t&f=t&l=http%3A%2F%2Fx%2Fhome&w=uq&t=pageView"
+    )
+    raw = spark.createDataFrame(
+        [
+            (
+                qs,
+                __import__("datetime").datetime(2024, 1, 2, 3, 4, 5),
+                "10.1.2.3",
+                "TestAgent/1.0",
+                {"_dvp": "0:aaa:p", "theme": "dark"},
+            )
+        ],
+        "query_string string, request_time timestamp, remote_host string,"
+        " user_agent string, cookies map<string,string>",
+    )
+    row = parse_browser_events(raw).select(
+        v.location().alias("loc"),
+        v.referer().alias("ref"),
+        v.event_type().alias("et"),
+        v.first_in_session().alias("fis"),
+        v.corrupt().alias("corrupt"),
+        v.timestamp().alias("server_ms"),
+        v.client_timestamp().alias("client_ms"),
+        v.remote_host().alias("host"),
+        v.viewport_pixel_width().alias("vw"),
+        v.party_id().alias("pid"),
+        v.session_id().alias("sid"),
+        v.page_view_id().alias("pv"),
+        v.event_id().alias("eid"),
+        v.user_agent_string().alias("ua"),
+        v.cookie("theme").alias("theme"),
+        v.cookie("absent").alias("no_cookie"),
+    ).first()
+    assert row.loc == "http://x/home"
+    assert row.ref is None  # absent on this request: null, not error
+    assert row.et == "pageView"
+    assert row.fis is True
+    assert row.corrupt is True  # no x param
+    assert row.client_ms == 1412220184033  # base36 i0rjfnxd
+    assert row.server_ms is not None
+    assert row.host == "10.1.2.3"
+    assert row.vw == int("uq", 36)
+    assert row.pid == "0:i1t84hgy:party"
+    assert row.sid == "0:i1t84hgy:session"
+    assert row.pv == "pv0" and row.eid == "ev0"
+    assert row.ua == "TestAgent/1.0"
+    assert row.theme == "dark"
+    assert row.no_cookie is None

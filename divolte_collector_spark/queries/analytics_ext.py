@@ -86,9 +86,12 @@ _APPROX_ORACLE = "SELECT CAST(1 AS BOOLEAN) AS within_tolerance"
 @query("approx_distinct_bounds", oracle=_APPROX_ORACLE)
 def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct sanity: the HLL estimate of distinct users
-    must land within 5% of the exact count (Spark's default rsd is
-    0.05). The HLL sketch itself isn't portable across engines, so the
-    oracle checks the *bound*, honestly labeled."""
+    must land within 3x Spark's default relative standard deviation
+    (rsd 0.05 -> 15%) of the exact count — the 3-sigma bound. A bare
+    1-sigma tolerance is NOT a correct assertion: at sf0.1 the
+    (deterministic) estimate runs 6.7% off, well inside HLL's design
+    accuracy. The sketch itself isn't portable across engines, so the
+    oracle checks the bound, honestly labeled."""
     ev = _events(spark, sf_dir)
     agg = ev.agg(
         F.approx_count_distinct("user_id").alias("approx"),
@@ -97,7 +100,7 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         (
             F.abs(F.col("approx") - F.col("exact"))
-            <= F.col("exact") * 0.05
+            <= F.col("exact") * (3 * 0.05)
         ).alias("within_tolerance")
     )
 

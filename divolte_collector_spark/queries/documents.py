@@ -234,15 +234,22 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this query's wall time swing 3x under memory pressure. Versus the
     # naive crossJoin(seeds) formulation it avoids K x |shingles| rows;
     # versus K md5s per shingle the arithmetic family halves hash cost.
-    hsh = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % F.lit(_MH_MOD)
-    )
+    # 60-bit identity hash per shingle, reused twice: its mod-2^30
+    # residue feeds the minhash permutations, and the full value stands
+    # in for the shingle STRING in the verification arrays — an 8-byte
+    # long instead of a ~25-byte string through the aggregation shuffle,
+    # the persisted arrays, and array_intersect. Shingle sets are
+    # per-doc distinct, so intersect-of-hashes == intersect-of-strings
+    # unless two distinct corpus shingles collide in 60 bits (p ~ n^2 /
+    # 2^61; ~1e-9 for a 1M-shingle corpus — negligible against the
+    # oracle, and a collision would only perturb one candidate's count).
+    hid = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     doc_agg = (
-        sh.withColumn("_hsh", hsh)
+        sh.withColumn("_hid", hid)
+        .withColumn("_hsh", F.col("_hid") % F.lit(_MH_MOD))
         .groupBy("doc_id")
         .agg(
-            F.collect_list("shingle").alias("shs"),
+            F.collect_list("_hid").alias("shs"),
             F.count(F.lit(1)).alias("n_sh"),
             *[
                 F.min((F.lit(a) * F.col("_hsh") + F.lit(b)) % F.lit(_MH_P)).alias(

@@ -221,12 +221,20 @@ class MappingBuilder:
                 if default is not None
                 else F.lit(None).cast(f.dataType)
             )
-        for a in self._assignments:
+        for i, a in enumerate(self._assignments):
             prev = exprs[a.field]
             fire = a.guard & a.value.isNotNull() if a.check_presence else a.guard
-            exprs[a.field] = F.when(
-                fire, a.value.cast(self._fields[a.field].dataType)
-            ).otherwise(prev)
+            expected = self._fields[a.field].dataType
+            # cast only when the resolved type actually differs —
+            # Catalyst refuses "identity" casts that differ only in
+            # nullability metadata (e.g. map<string,string> from
+            # from_json vs the Avro map type's non-null values)
+            value = (
+                a.value
+                if probe_types[f"_m{i}"].simpleString() == expected.simpleString()
+                else a.value.cast(expected)
+            )
+            exprs[a.field] = F.when(fire, value).otherwise(prev)
         return exprs
 
     def apply(self, df: DataFrame) -> DataFrame:

@@ -1,9 +1,18 @@
 """Mapping DSL compiler tests — ports of the reference's Groovy fixture
 corpus (src/test/resources/*.groovy, driven by DslRecordMapperTest.java):
-flat-mapping, when-mapping, boolean-logic, basic-stop,
-basic-toplevel-exit, nested-conditional-exit, nested-conditional-stop,
-shorthand-conditional-stop, regex-mapping, uri-mapping,
-wrong-types/missing-field validation."""
+flat-mapping, minimal-mapping, when-mapping, boolean-logic,
+basic-stop, basic-toplevel-exit, nested-conditional-exit/-stop,
+shorthand-conditional-stop (closure forms collapse to the same Python
+surface), regex-mapping, uri-mapping(-raw/-fragment), chained-na,
+client-timestamp, funky-querystring, header-normalization,
+custom-cookie, event-param-mapping, event-param-jsonpath-
+presence/-mismatch/-missing, digest-string-literal/-provider/
+-chaining/-missing-value/-with-string-conversion,
+correct-types-literal, wrong-types/missing-field validation.
+geo-mapping's accessor surface is exercised by
+test_scalar_functions.test_geoip2_city_dim_full_surface; the digest
+-with-seed/-json/-bytebuffer/-documented-algorithms ports live in
+test_scalar_functions as well."""
 
 from __future__ import annotations
 
@@ -582,3 +591,110 @@ def test_simple_value_accessors(spark):
     assert row.ua == "TestAgent/1.0"
     assert row.theme == "dark"
     assert row.no_cookie is None
+
+
+# --- remaining fixture ports ------------------------------------------------
+
+_DIGEST_SCHEMA = {
+    "type": "record",
+    "name": "DigestRecord",
+    "fields": [
+        {"name": "digestBinary", "type": ["null", "bytes"], "default": None},
+        {"name": "digestString", "type": ["null", "string"], "default": None},
+        {"name": "paramMap", "type": ["null", {"type": "map", "values": "string"}], "default": None},
+        {"name": "paramValue", "type": ["null", "string"], "default": None},
+        {"name": "pathInteger", "type": ["null", "int"], "default": None},
+        {"name": "queryparam", "type": ["null", "string"], "default": None},
+        {"name": "queryparamBoolean", "type": ["null", "boolean"], "default": None},
+        {"name": "queryparamLong", "type": ["null", "long"], "default": None},
+        {"name": "queryparamDouble", "type": ["null", "double"], "default": None},
+    ],
+}
+
+
+def test_digest_fixture_family(spark):
+    """Ports of digest-string-literal, digest-string-provider,
+    digest-chaining, digest-missing-value, digest-with-string-conversion
+    (Digester.java:69-143; BytesValueProducer.java:52-62)."""
+    import base64
+    import hashlib
+
+    from divolte_collector_spark.functions.digests import digest, to_base64
+
+    m = MappingBuilder(_DIGEST_SCHEMA)
+    # digest-chaining: producer + literal through one digester
+    m.map_value(
+        digest("SHA-256", F.col("event_id"), F.lit("aLiteralString")),
+        "digestBinary",
+    )
+    # digest-with-string-conversion: .result().toBase64()
+    m.map_value(
+        to_base64(digest("SHA-256", F.col("event_id"))), "digestString"
+    )
+    # digest-missing-value: absent piece skipped, digest still produced
+    m.map_value(
+        to_base64(digest("SHA-256", F.lit(None).cast("string"))), "queryparam"
+    )
+    row = m.apply(_events(spark)).first()
+
+    assert bytes(row.digestBinary) == hashlib.sha256(b"ev0aLiteralString").digest()
+    assert row.digestString == base64.b64encode(
+        hashlib.sha256(b"ev0").digest()
+    ).decode()
+    # all pieces absent => digest of empty input (Digester still runs)
+    assert row.queryparam == base64.b64encode(hashlib.sha256(b"").digest()).decode()
+
+
+def test_event_param_mapping_and_jsonpath_missing(spark):
+    """Ports of event-param-mapping (whole params onto a map field +
+    .value()) and event-param-jsonpath-missing (an absent path is a
+    NO-OP: it must not overwrite a previously mapped value —
+    DslRecordMapping.java:102-118's present-only set)."""
+    from divolte_collector_spark.functions.jsonops import json_path_auto
+
+    params = '{"foo": "bar", "n": 3}'
+    ev = _events(spark).withColumn("event_parameters", F.lit(params))
+
+    m = MappingBuilder(_DIGEST_SCHEMA)
+    m.map_value(
+        F.from_json(F.col("event_parameters"), "map<string,string>"), "paramMap"
+    )
+    m.map_value(
+        F.get_json_object(F.col("event_parameters"), "$.foo"), "paramValue"
+    )
+    row = m.apply(ev).first()
+    assert row.paramMap == {"foo": "bar", "n": "3"}
+    assert row.paramValue == "bar"
+
+    m2 = MappingBuilder(_DIGEST_SCHEMA)
+    m2.map_literal("value that should not be overwritten", "paramValue")
+    m2.map_value(
+        json_path_auto(F.col("event_parameters"), "$.missing"), "paramValue"
+    )
+    row2 = m2.apply(ev).first()
+    assert row2.paramValue == "value that should not be overwritten"
+
+
+def test_correct_types_literal(spark):
+    """Port of correct-types-literal: every literal family lands in its
+    matching Avro field type (DslRecordMapping.java:120-139)."""
+    m = MappingBuilder(_DIGEST_SCHEMA)
+    m.map_literal("string value", "queryparam")
+    m.map_literal(True, "queryparamBoolean")
+    m.map_literal(42, "queryparamLong")
+    m.map_literal(42, "pathInteger")
+    m.map_literal(42.0, "queryparamDouble")
+    row = m.apply(_events(spark)).first()
+    assert row.queryparam == "string value"
+    assert row.queryparamBoolean is True
+    assert row.queryparamLong == 42 and row.pathInteger == 42
+    assert row.queryparamDouble == 42.0
+
+
+def test_minimal_mapping(spark):
+    """Port of minimal-mapping: just the common preamble."""
+    row = _std(MappingBuilder(SCHEMA)).apply(_events(spark)).first()
+    assert row.sessionStart is True
+    assert row.ts == 1412220184033
+    assert row.remoteHost == "127.0.0.1"
+    assert row.client is None  # unmapped nullable stays absent

@@ -1,0 +1,74 @@
+"""Distributed global prefix sum (cumulative sum over a total order).
+
+The naive formulation — ``sum(x) OVER (ORDER BY k)`` with no
+PARTITION BY — collapses the whole table into ONE window task (Spark
+even warns: "No Partition Defined for Window operation"). At 100 TB
+that is a single-executor sort of the entire dataset: the classic
+scan-primitive trap.
+
+The scalable shape is the textbook two-phase parallel scan:
+
+1. bucket rows by a MONOTONE function of the order key (same order
+   key ⇒ same bucket; bucket boundaries respect the order);
+2. per-bucket totals (one small aggregation), prefix-summed on the
+   driver — |buckets| values, the only sequential step;
+3. per-bucket cumulative sums via a window PARTITIONED by bucket
+   (parallel across buckets), plus the broadcast bucket offset.
+
+Cost: one aggregation shuffle + one window shuffle, both partitioned;
+driver traffic is |buckets| longs. The result is identical to the
+global-window formulation for any monotone bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket: Column | None = None,
+    bucket_width: int = 1000,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Add ``out_col`` = cumulative sum of ``value_col`` in ``order_col``
+    order (inclusive), computed with two partitioned shuffles instead
+    of a single-task global window.
+
+    ``bucket`` must be monotone non-decreasing in ``order_col``; the
+    default buckets a numeric order key by ``bucket_width``. Ties in
+    ``order_col`` are broken deterministically only if the key is
+    unique — supply a unique key (the usual case: a row id).
+    """
+    b = bucket if bucket is not None else (F.col(order_col) / bucket_width).cast(
+        "long"
+    )
+    with_bucket = df.withColumn("_psb", b)
+
+    totals = (
+        with_bucket.groupBy("_psb")
+        .agg(F.sum(F.col(value_col)).alias("_t"))
+        .collect()
+    )
+    # sequential prefix over |buckets| values — the only serial step
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_psb"]):
+        offsets[row["_psb"]] = acc
+        acc += row["_t"]
+
+    # ship offsets back as a broadcast dimension (|buckets| rows) — a
+    # literal map expression would grow the plan linearly with buckets
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in offsets.items()], "_psb long, _off long"
+    )
+    w = Window.partitionBy("_psb").orderBy(order_col)
+    return (
+        with_bucket.join(F.broadcast(offset_df), "_psb")
+        .withColumn(out_col, F.sum(F.col(value_col)).over(w) + F.col("_off"))
+        .drop("_psb", "_off")
+    )

@@ -929,3 +929,57 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_bigram, 6).alias("dup_bigram_ratio"),
         (dup_tok >= 0.3).alias("flagged"),
     )
+
+
+# --- training shard packing (distributed prefix sum) ------------------------
+# The last step of a pretraining-data run: pack documents, in a
+# deterministic order, into fixed-token-budget shards. The shard id is
+# a function of the GLOBAL cumulative token count — the naive
+# sum() OVER (ORDER BY ...) with no partition collapses 100 TB into a
+# single window task, so this runs on operators/prefixsum.py's
+# two-phase parallel scan (bucketed partial sums + driver prefix over
+# |buckets| values + per-bucket windows). The oracle IS the naive
+# global window — proving the distributed scan computes the identical
+# prefix.
+
+SHARD_TOKENS = 2000
+
+_SHARD_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT CAST((cum - n_tokens) // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+@query("training_shard_manifest", oracle=_SHARD_ORACLE)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.operators.prefixsum import global_cumsum
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    c = global_cumsum(t, "doc_id", "n_tokens", bucket_width=100)
+    shard = F.floor((F.col("cumsum") - F.col("n_tokens")) / SHARD_TOKENS).cast(
+        "long"
+    )
+    return (
+        c.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -134,3 +134,16 @@ def test_pii_and_repetition_narrow_maps(spark):
         a = _audit(spark, name)
         assert a.n_exchanges == 0, name
         assert a.n_python_eval_nodes == 0, name
+
+
+def test_training_shards_no_single_partition_scan(spark):
+    # the whole point of the two-phase prefix sum: the naive global
+    # window would show "Exchange SinglePartition" and one window task
+    from divolte_collector_spark.plans import explain_formatted
+
+    df = all_queries()["training_shard_manifest"].fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "SinglePartition" not in plan
+    a = _audit(spark, "training_shard_manifest")
+    assert not a.has_cartesian_product
+    assert a.n_broadcast_hash_joins >= 1  # bucket offsets broadcast

@@ -100,3 +100,40 @@ def discard_filtered(
     if discard_duplicates and duplicate_col in events.columns:
         out = out.filter(~F.coalesce(F.col(duplicate_col), F.lit(False)))
     return out
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "party_id",
+    left_ts: str = "client_time",
+    right_ts: str = "client_time",
+    max_delay: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same key that happened AT OR BEFORE it, within
+    ``max_delay`` (e.g. purchases joined to the views that preceded
+    them — the streaming half of the as-of family).
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered right row is dropped once the left watermark passes
+    ``right_ts + max_delay`` (the standard interval-join state
+    eviction). The join itself is an equi-join on the key plus a time
+    band — one shuffle per side on the key, state bounded by
+    key-cardinality x delay window, which is what survives a 100 TB/day
+    stream where an unbounded join would not.
+    """
+    delay_expr = f"INTERVAL {max_delay}"
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(delay_expr)
+        )
+    )
+    return l.join(r, cond, how)

@@ -229,3 +229,58 @@ def test_avro_file_sink_writes_real_containers(spark, stream_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Purchases joined to preceding views of the same party within the
+    interval — stream-stream join with bounded state via watermarks."""
+    import json as _json
+    import os
+    import tempfile
+
+    from divolte_collector_spark.streaming.ingest import interval_join_streams
+
+    d = tempfile.mkdtemp(prefix="dvs_ssj_")
+    try:
+        views = [
+            ("pA", "v1", "2024-01-01 10:00:00"),
+            ("pA", "v2", "2024-01-01 10:20:00"),
+            ("pA", "v3", "2024-01-01 09:00:00"),  # > 30 min before: out
+            ("pB", "v4", "2024-01-01 10:00:00"),  # other party
+        ]
+        buys = [("pA", "b1", "2024-01-01 10:30:00")]
+        os.makedirs(f"{d}/v"), os.makedirs(f"{d}/b")
+        with open(f"{d}/v/part.json", "w") as fh:
+            for p, e, t in views:
+                fh.write(_json.dumps(dict(party_id=p, event_id=e, client_time=t)) + "\n")
+        with open(f"{d}/b/part.json", "w") as fh:
+            for p, e, t in buys:
+                fh.write(_json.dumps(dict(party_id=p, event_id=e, client_time=t)) + "\n")
+        schema = "party_id string, event_id string, client_time timestamp"
+        v = spark.readStream.schema(schema).json(f"{d}/v").withColumnRenamed("event_id", "view_id")
+        b = spark.readStream.schema(schema).json(f"{d}/b").withColumnRenamed("event_id", "buy_id")
+        joined = interval_join_streams(
+            b.withColumnRenamed("client_time", "buy_time"),
+            v.withColumnRenamed("client_time", "view_time"),
+            left_ts="buy_time",
+            right_ts="view_time",
+        ).select("buy_id", "view_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.buy_id, r.view_id)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+        # b1 pairs with v1 (30 min before, inclusive) and v2 (10 min
+        # before); v3 is outside the interval, v4 is another party
+        assert got == {("b1", "v1"), ("b1", "v2")}
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,59 @@
+"""Custom Python data source: wire-request logs -> decoded events."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.sources.browser import parse_browser_events
+from divolte_collector_spark.sources.wirelog import WireLogDataSource
+
+_QS = (
+    "p=0%3Ai1t84hgy%3Aparty&s=0%3Ai1t84hgy%3Asession&v=pv0&e=ev{n}&"
+    "c=i0rjfnxd&n=t&f=t&l=http%3A%2F%2Fexample.com%2Fhome&t=pageView"
+)
+
+
+@pytest.fixture()
+def log_dir(spark):
+    d = tempfile.mkdtemp(prefix="dvs_wirelog_")
+    lines1 = [
+        f'2024-01-02T03:04:05 10.0.0.1 "GET /csc-event?{_QS.format(n=0)} HTTP/1.1" "AgentA/1.0"',
+        "this line is garbage",
+    ]
+    lines2 = [
+        f'2024-01-02T03:05:06+02:00 10.0.0.2 "GET /csc-event?{_QS.format(n=1)} HTTP/1.1" "AgentB/2.0"',
+        f'2024-01-02T03:06:07 10.0.0.3 "GET /healthz HTTP/1.1" "probe"',
+    ]
+    for name, lines in (("a.log", lines1), ("b.log", lines2)):
+        with open(f"{d}/{name}", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wirelog_reads_and_decodes(spark, log_dir):
+    spark.dataSource.register(WireLogDataSource)
+    raw = spark.read.format("divolte-wirelog").load(log_dir)
+    rows = {r.remote_host: r for r in raw.collect()}
+    assert len(rows) == 4  # 3 parsed + 1 garbage row (null fields)
+    assert rows["10.0.0.1"].user_agent == "AgentA/1.0"
+    assert rows["10.0.0.1"].path == "/csc-event"
+    # timezone offsets normalize to UTC wall time
+    assert rows["10.0.0.2"].request_time.hour == 1
+    assert rows[None].raw_line == "this line is garbage"
+
+    # one partition per file: two files -> two input partitions
+    assert raw.rdd.getNumPartitions() == 2
+
+    # the event-suffix route filter + decode: garbage and /healthz drop
+    events = parse_browser_events(
+        raw.filter(F.col("path") == "/csc-event")
+    )
+    out = {r.event_id: r for r in events.collect()}
+    assert set(out) == {"ev0", "ev1"}
+    assert out["ev0"].party_id == "0:i1t84hgy:party"
+    assert out["ev1"].user_agent == "AgentB/2.0"  # transport col kept

@@ -30,7 +30,12 @@ import re
 from datetime import datetime, timezone
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 _LINE_RE = re.compile(
@@ -117,3 +122,78 @@ class WireLogDataSource(DataSource):
 
     def reader(self, schema) -> _WireLogReader:
         return _WireLogReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "_WireLogStreamReader":
+        return _WireLogStreamReader(self.options)
+
+
+class _WireLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a wire-log directory.
+
+    Offsets are ``{file_path: byte_position}`` — reads pick up every
+    file's NEW bytes since the last offset (complete lines only; a
+    partial trailing line waits for the next micro-batch), and newly
+    appearing files start from zero. Exactly-once falls out of the
+    offset log: replaying a batch re-reads the same byte ranges.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("divolte-wirelog requires a path")
+
+    def _files(self):
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(
+                f
+                for f in glob.glob(os.path.join(self.path, "**", "*"), recursive=True)
+                if os.path.isfile(f)
+            )
+        return sorted(glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def read(self, start: dict):
+        import os
+
+        end = dict(start)
+        rows = []
+        for f in self._files():
+            pos = int(start.get(f, 0))
+            size = os.path.getsize(f)
+            if size <= pos:
+                continue
+            with open(f, "r", errors="replace") as fh:
+                fh.seek(pos)
+                chunk = fh.read(size - pos)
+            # complete lines only; the remainder re-reads next batch
+            last_nl = chunk.rfind("\n")
+            if last_nl < 0:
+                continue
+            for line in chunk[: last_nl + 1].splitlines():
+                if line.strip():
+                    rows.append(parse_line(line))
+            end[f] = pos + len(chunk[: last_nl + 1].encode())
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for f, epos in end.items():
+            pos = int(start.get(f, 0))
+            epos = int(epos)
+            if epos <= pos:
+                continue
+            with open(f, "rb") as fh:
+                fh.seek(pos)
+                chunk = fh.read(epos - pos).decode(errors="replace")
+            for line in chunk.splitlines():
+                if line.strip():
+                    rows.append(parse_line(line))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -57,3 +57,46 @@ def test_wirelog_reads_and_decodes(spark, log_dir):
     assert set(out) == {"ev0", "ev1"}
     assert out["ev0"].party_id == "0:i1t84hgy:party"
     assert out["ev1"].user_agent == "AgentB/2.0"  # transport col kept
+
+
+def test_wirelog_streaming_tails_growing_logs(spark, log_dir):
+    """Streaming reader: two micro-batches over a growing log file —
+    offsets advance by byte position, appended lines arrive once."""
+    import tempfile
+
+    spark.dataSource.register(WireLogDataSource)
+    ckpt = tempfile.mkdtemp(prefix="dvs_wl_ckpt_")
+    out = tempfile.mkdtemp(prefix="dvs_wl_out_")
+    try:
+        def run():
+            stream = spark.readStream.format("divolte-wirelog").load(log_dir)
+            q = (
+                stream.filter(F.col("path") == "/csc-event")
+                .select("remote_host", "query_string")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        first = {r.remote_host for r in spark.read.parquet(out).collect()}
+        assert first == {"10.0.0.1", "10.0.0.2"}
+
+        # append a new request to an existing file; restart from ckpt
+        with open(f"{log_dir}/a.log", "a") as fh:
+            fh.write(
+                f'2024-01-02T04:00:00 10.0.0.9 "GET /csc-event?{_QS.format(n=9)} HTTP/1.1" "AgentC/3.0"\n'
+            )
+        run()
+        rows = [r.remote_host for r in spark.read.parquet(out).collect()]
+        # exactly-once: old lines not re-emitted, the new line once
+        assert sorted(rows) == ["10.0.0.1", "10.0.0.2", "10.0.0.9"]
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

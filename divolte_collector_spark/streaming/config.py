@@ -143,15 +143,25 @@ def _sink_writer(name: str, cfg: Mapping[str, Any]):
             raise TopologyError(f"sink {name!r}: file sinks require 'path'")
         schema = cfg.get("avro_schema")
 
+        roll = cfg.get("roll_column", "client_time")
+
         def write(df: DataFrame, sink_name: str):
             if df.isStreaming:
                 if schema is not None:
                     return avro_file_sink(
-                        df, path, cfg.get("checkpoint", path + "/_ckpt"), schema
+                        df,
+                        path,
+                        cfg.get("checkpoint", path + "/_ckpt"),
+                        schema,
+                        roll_column=roll,
                     )
-                return file_sink(df, path, cfg.get("checkpoint", path + "/_ckpt"))
+                return file_sink(
+                    df, path, cfg.get("checkpoint", path + "/_ckpt"), roll_column=roll
+                )
             if schema is not None:
-                return write_avro_files(df, schema, path, batch_tag=sink_name)
+                return write_avro_files(
+                    df, schema, path, batch_tag=sink_name, roll_column=roll
+                )
             df.write.mode("append").parquet(path)
             return path
 

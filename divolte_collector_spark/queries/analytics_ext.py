@@ -213,3 +213,30 @@ def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, _EVENT_TYPES)
     )
+
+
+# --- the spark.sql() surface ------------------------------------------------
+# §2.15 declares the SQL API alongside the DataFrame API — this query
+# runs PURE SQL over a registered view (window function + aggregate in
+# one statement) so the engine's SQL front door is exercised by the
+# gate, not just the DataFrame builder. The statement is portable:
+# DuckDB runs the identical text as the oracle.
+
+_SQL_SURFACE = """
+SELECT day, event_type, n, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           rank() OVER (PARTITION BY CAST(ts AS DATE)
+                        ORDER BY count(*) DESC, event_type) AS rnk
+    FROM {table}
+    GROUP BY CAST(ts AS DATE), event_type
+) ranked
+WHERE rnk <= 2
+"""
+
+
+@query("sql_top_event_types_daily", oracle=_SQL_SURFACE.format(table="events"))
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir).createOrReplaceTempView("_sql_events")
+    return spark.sql(_SQL_SURFACE.format(table="_sql_events"))

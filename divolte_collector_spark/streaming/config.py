@@ -20,10 +20,12 @@ Differences, Spark-first by design:
   here the decode is a pure transform over any transport.
 - a mapping's Groovy ``mapping_script_file`` becomes a registered
   mapping callable (``DataFrame -> DataFrame``, e.g.
-  ``MappingBuilder.apply``); ``schema_file`` loads through
-  ``mapping.avro_schema.load_avsc`` when given. The default mapping
-  (no script) passes decoded events through unchanged, like the
-  reference's built-in default schema mapping (Mapping.java:70-100).
+  ``MappingBuilder.apply``). With no script but a ``schema`` (an avsc
+  dict or a ``schema_file`` path), the DEFAULT mapping applies: every
+  schema field whose name matches a decoded-event column is mapped
+  onto it through the DSL compiler — the reference's built-in
+  default-schema mapping (Mapping.java:70-100). With neither, decoded
+  events pass through unchanged.
 - ``discard_corrupted`` / ``discard_duplicates`` apply the C7 filters
   with the same defaults (false — keep and flag,
   MappingConfiguration.java).
@@ -105,7 +107,18 @@ def _mapping_transform(
         raise TopologyError(
             f"mapping {name!r}: mapping_script {script!r} is not registered"
         )
-    transform = mapping_registry[script] if script is not None else (lambda df: df)
+    schema = cfg.get("schema")
+    if schema is None and cfg.get("schema_file"):
+        import json
+
+        with open(cfg["schema_file"]) as fh:
+            schema = json.load(fh)
+    if script is not None:
+        transform = mapping_registry[script]
+    elif schema is not None:
+        transform = _default_mapping(name, schema)
+    else:
+        transform = lambda df: df  # noqa: E731
     discard_corrupted = bool(cfg.get("discard_corrupted", False))
     discard_duplicates = bool(cfg.get("discard_duplicates", False))
 
@@ -116,6 +129,32 @@ def _mapping_transform(
             discard_duplicates=discard_duplicates,
         )
         return transform(df)
+
+    return apply
+
+
+def _default_mapping(name: str, schema: dict) -> Callable[[DataFrame], DataFrame]:
+    """The built-in default mapping (Mapping.java:70-100): each schema
+    field whose name matches a decoded-event column maps onto it;
+    unmatched schema fields keep their defaults, with at least one
+    match required (an all-miss schema is a config error)."""
+    from divolte_collector_spark.mapping import MappingBuilder
+
+    field_names = [f["name"] for f in schema.get("fields", [])]
+    matched = [f for f in field_names if f in EVENT_CORE]
+    if not matched:
+        raise TopologyError(
+            f"mapping {name!r}: default mapping matched no schema fields "
+            f"against the event columns {sorted(EVENT_CORE)}"
+        )
+
+    def apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        m = MappingBuilder(schema)
+        for f in matched:
+            m.map_value(F.col(f), f)
+        return m.apply(df)
 
     return apply
 

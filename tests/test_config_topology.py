@@ -151,3 +151,51 @@ def test_config_validation_failures(spark):
     }
     with pytest.raises(TopologyError, match="confluent_id"):
         build_topology(confluent_no_id, raw, reg)
+
+
+def test_default_schema_mapping(spark):
+    """No mapping_script + a schema => the built-in default mapping:
+    matching fields map, unmatched keep their avsc defaults, an
+    all-miss schema refuses to build (Mapping.java:70-100)."""
+    schema = {
+        "type": "record",
+        "name": "DefaultMapped",
+        "fields": [
+            {"name": "party_id", "type": ["null", "string"], "default": None},
+            {"name": "event_type", "type": ["null", "string"], "default": None},
+            {"name": "corrupt_event", "type": "boolean", "default": False},
+            {"name": "unmatched_extra", "type": ["null", "string"], "default": None},
+        ],
+    }
+    cfg = {
+        "sources": {"json_api": {"type": "json"}},
+        "mappings": {
+            "default": {"sources": ["json_api"], "sinks": ["k"], "schema": schema}
+        },
+        "sinks": {"k": {"type": "kafka", "avro_schema": schema}},
+    }
+    topo = build_topology(cfg, {"json_api": _raw_json(spark)})
+    out = topo.sink_inputs()["k"]
+    assert [f.name for f in out.schema.fields] == [
+        "party_id", "event_type", "corrupt_event", "unmatched_extra",
+    ]
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.party_id == "0:i1t84hgy:party" for r in rows)
+    assert all(r.event_type == "signup" for r in rows)
+    assert all(r.corrupt_event is False for r in rows)
+    assert all(r.unmatched_extra is None for r in rows)
+
+    all_miss = {
+        "type": "record",
+        "name": "NoMatch",
+        "fields": [{"name": "nothing_matches", "type": ["null", "string"], "default": None}],
+    }
+    bad = {
+        **cfg,
+        "mappings": {
+            "default": {"sources": ["json_api"], "sinks": ["k"], "schema": all_miss}
+        },
+    }
+    with pytest.raises(TopologyError, match="matched no schema fields"):
+        build_topology(bad, {"json_api": _raw_json(spark)})

@@ -124,7 +124,9 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
 
 @query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planted = with_planted_dups(_docs(spark, sf_dir))
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )  # single-file scan: parallelize shingle generation (see minhash)
     sh = planted.select(
         "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
     ).persist()  # three consumers (counts + both self-join sides);
@@ -219,6 +221,12 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the band key and is O(sum of bucket^2) with tiny buckets.
     """
     planted = with_planted_dups(_docs(spark, sf_dir))
+    # The test parquet is one file => a 2-partition scan; shingle
+    # generation (concat_ws + array_distinct per doc) is the per-row-
+    # heavy step and would serialize on 2 cores (measured 3.6 s -> 1.2 s
+    # at sf0.1). Spread docs across the cluster FIRST — on a real
+    # many-file table this is a no-op-priced round robin of doc texts.
+    planted = planted.repartition(spark.sparkContext.defaultParallelism)
     sh = planted.select(
         "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
     )

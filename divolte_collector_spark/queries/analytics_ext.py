@@ -240,3 +240,41 @@ WHERE rnk <= 2
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     _events(spark, sf_dir).createOrReplaceTempView("_sql_events")
     return spark.sql(_SQL_SURFACE.format(table="_sql_events"))
+
+
+# --- data profiling ---------------------------------------------------------
+# The pre-flight a pipeline runs before touching 100 TB: per-column
+# null counts, distincts, and ranges in ONE pass (a single partial-agg
+# shuffle producing one row — never one job per column).
+
+_PROFILE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_event_types,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+"""
+
+
+@query("profile_events", oracle=_PROFILE_ORACLE)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias(
+            "null_event_types"
+        ),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

@@ -227,14 +227,19 @@ def kafka_frame(
     )
 
 
-def pubsub_messages(df: DataFrame, schema: dict) -> DataFrame:
+def pubsub_messages(
+    df: DataFrame, schema: dict, confluent_id: int | None = None
+) -> DataFrame:
     """K4: message data + attribute columns
-    (GoogleCloudPubSubFlusher.java:56-79): partyIdentifier,
+    (GoogleCloudPubSubFlusher.java:48-91): partyIdentifier,
     eventIdentifier, ISO-instant timestamp, base64url schema
-    fingerprint."""
+    fingerprint, and — when the schema is registry-backed — the
+    optional ``schemaConfluentId`` attribute as ``0x`` + lowercase hex
+    (:62: ``"0x" + Integer.toHexString(i)``)."""
     fingerprint = base64.urlsafe_b64encode(
         schema_fingerprint_sha256(schema)
     ).decode("ascii")
+    confluent_hex = None if confluent_id is None else f"0x{confluent_id:x}"
     framed = kafka_frame(df.select("*"), schema, mode="naked")
     # rejoin attributes by recomputing from the source columns
     columns = [f["name"] for f in schema["fields"]]
@@ -245,6 +250,7 @@ def pubsub_messages(df: DataFrame, schema: dict) -> DataFrame:
             T.StructField("eventIdentifier", T.StringType()),
             T.StructField("timestamp", T.StringType()),
             T.StructField("schemaFingerprint", T.StringType()),
+            T.StructField("schemaConfluentId", T.StringType()),
         ]
     )
 
@@ -263,6 +269,7 @@ def pubsub_messages(df: DataFrame, schema: dict) -> DataFrame:
                         "%Y-%m-%dT%H:%M:%S.%fZ"
                     ),
                     "schemaFingerprint": fingerprint,
+                    "schemaConfluentId": confluent_hex,
                 }
             )
 

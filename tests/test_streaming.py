@@ -284,3 +284,45 @@ def test_stream_stream_interval_join(spark, stream_dir):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pubsub_messages_attributes(spark):
+    """K4 (GoogleCloudPubSubFlusher.java:48-91): data = naked binary
+    Avro; attributes carry party/event ids, ISO-instant timestamp,
+    base64url schema fingerprint, and the optional schemaConfluentId
+    as 0x-prefixed lowercase hex."""
+    import base64
+
+    from divolte_collector_spark.functions.avro_codec import (
+        schema_fingerprint_sha256,
+    )
+    from divolte_collector_spark.streaming.sinks import pubsub_messages
+
+    batch = _batch(spark).select(
+        "party_id", "event_id", "event_type", "client_time"
+    )
+    schema = {
+        "type": "record",
+        "name": "MappedEvent",
+        "fields": [
+            {"name": "party_id", "type": "string"},
+            {"name": "event_id", "type": "string"},
+            {"name": "event_type", "type": ["null", "string"], "default": None},
+        ],
+    }
+    rows = pubsub_messages(batch, schema, confluent_id=0x2A).collect()
+    assert len(rows) == 5
+    expected_fp = base64.urlsafe_b64encode(
+        schema_fingerprint_sha256(schema)
+    ).decode()
+    for r in rows:
+        rec = decode_record(schema, bytes(r.data))
+        assert rec["party_id"] == r.partyIdentifier
+        assert rec["event_id"] == r.eventIdentifier
+        assert r.schemaFingerprint == expected_fp
+        assert r.schemaConfluentId == "0x2a"  # Integer.toHexString
+        assert r.timestamp.endswith("Z") and "T" in r.timestamp
+
+    # without a registry id the attribute is absent (None)
+    bare = pubsub_messages(batch, schema).first()
+    assert bare.schemaConfluentId is None

@@ -147,3 +147,14 @@ def test_training_shards_no_single_partition_scan(spark):
     a = _audit(spark, "training_shard_manifest")
     assert not a.has_cartesian_product
     assert a.n_broadcast_hash_joins >= 1  # bucket offsets broadcast
+
+
+def test_new_round2_aggregates_bounded_shuffles(spark):
+    # pivot = two-level aggregate ((day, type) partial then per-day
+    # pivot); profiling = count-distinct expand + merge. Both bounded
+    # at 2 exchanges with no joins — pinned so a regression to a
+    # distinct-job-per-column or implicit-pivot shape surfaces here
+    for name in ("pivot_event_type_daily", "profile_events"):
+        a = _audit(spark, name)
+        assert a.n_exchanges <= 2, name
+        assert not a.has_cartesian_product, name

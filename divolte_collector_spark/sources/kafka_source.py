@@ -123,6 +123,7 @@ def decode_kafka_events(
     kafka_df: DataFrame,
     schema: dict,
     mode: str = "naked",
+    verify_key: bool = False,
 ) -> DataFrame:
     """Decode kafka (key, value) rows into typed event columns.
 
@@ -136,17 +137,29 @@ def decode_kafka_events(
     One Arrow crossing for the whole decode; columns come back typed
     per the Avro schema so downstream mapping/aggregation stays
     JVM-side.
+
+    ``verify_key=True`` adds a ``_key_matches`` column checking the
+    producer contract (message key == UTF-8 party id,
+    DivolteIdentifierSerializer.java) — a consumer-side audit that a
+    repartitioned/republished topic hasn't broken per-party ordering
+    guarantees.
     """
     if mode not in ("naked", "confluent"):
         raise ValueError(f"unknown kafka source mode: {mode}")
     out_schema = event_spark_schema(schema)
+    if verify_key:
+        out_schema = T.StructType(
+            list(out_schema.fields)
+            + [T.StructField("_key_matches", T.BooleanType(), True)]
+        )
     names = [f["name"] for f in schema["fields"]]
 
     def decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows: list[dict] = []
-            for value, topic, part, off in zip(
-                pdf["value"], pdf["topic"], pdf["partition"], pdf["offset"]
+            for key, value, topic, part, off in zip(
+                pdf["key"], pdf["value"], pdf["topic"], pdf["partition"],
+                pdf["offset"],
             ):
                 buf = bytes(value) if value is not None else b""
                 if mode == "confluent":
@@ -158,10 +171,17 @@ def decode_kafka_events(
                 rec["_topic"] = topic
                 rec["_partition"] = part
                 rec["_offset"] = off
+                if verify_key:
+                    party = rec.get("party_id")
+                    rec["_key_matches"] = (
+                        None
+                        if party is None
+                        else key is not None and bytes(key).decode("utf-8", "replace") == party
+                    )
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return kafka_df.select("value", "topic", "partition", "offset").mapInPandas(
+    return kafka_df.select("key", "value", "topic", "partition", "offset").mapInPandas(
         decode, out_schema
     )
 

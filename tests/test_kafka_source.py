@@ -121,3 +121,20 @@ def test_kafka_end_to_end_requires_connector(spark):
         mapped, "localhost:9092", "divolte", "/tmp/ckpt", _SCHEMA
     )
     assert writer is not None
+
+
+def test_decode_verify_key_contract(spark):
+    """verify_key audits the producer contract: message key must be the
+    UTF-8 party id (DivolteIdentifierSerializer.java)."""
+    values = [encode_record(_SCHEMA, r) for r in _RECORDS]
+    df = _kafka_shaped(spark, values)
+    # break one key
+    df = df.withColumn(
+        "key",
+        F.when(F.col("offset") == 1, F.lit(b"wrong-key")).otherwise(F.col("key")),
+    )
+    out = {r._offset: r for r in
+           decode_kafka_events(df, _SCHEMA, verify_key=True).collect()}
+    assert out[0]._key_matches is True
+    assert out[1]._key_matches is False
+    assert out[2]._key_matches is True

@@ -991,3 +991,43 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- incremental dedup (new batch vs historical corpus) ---------------------
+# The daily-ingest shape: yesterday's corpus is immutable history; the
+# incoming batch must drop exact duplicates of anything already kept
+# AND its own internal duplicates (keeping each batch's lowest doc_id).
+# One shuffle on the content hash for the anti-join against history +
+# one for the intra-batch groupBy — at 100 TB the history side is a
+# bucketed-by-hash table so the anti-join co-locates without reshuffle.
+
+_INCR_SPLIT = 400  # doc_id < 400 -> history, rest -> incoming batch
+
+_INCR_DEDUP_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+history AS (SELECT md5(text) AS h FROM planted WHERE doc_id < {_INCR_SPLIT}),
+batch AS (SELECT doc_id, text, md5(text) AS h FROM planted
+          WHERE doc_id >= {_INCR_SPLIT}),
+fresh AS (
+    SELECT b.doc_id, b.h FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM history x WHERE x.h = b.h)
+)
+SELECT h AS content_hash, CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS n_batch_copies
+FROM fresh GROUP BY h
+"""
+
+
+@query("dedup_incremental", oracle=_INCR_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = with_planted_dups(_docs(spark, sf_dir))
+    hashed = planted.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    history = hashed.filter(F.col("doc_id") < _INCR_SPLIT).select("content_hash")
+    batch = hashed.filter(F.col("doc_id") >= _INCR_SPLIT)
+    fresh = batch.join(history, "content_hash", "left_anti")
+    return fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    )

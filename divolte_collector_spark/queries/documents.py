@@ -549,7 +549,9 @@ HAVING count(*) > 1
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planted = with_planted_dups(_docs(spark, sf_dir))
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )  # single-file scan: parallelize the per-token hashing (see minhash)
     tok = planted.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),

@@ -14,6 +14,8 @@ fixtures exercise. The reference's value semantics on top of it:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -62,9 +64,7 @@ def json_path_exists(col: Column, path: str) -> Column:
 #: definite-path operators get_json_object can express; anything else
 #: (wildcards, recursive descent, [?(...)] filters, slices, unions)
 #: needs the jayway-equivalent evaluator below
-_GJO_SUBSET = __import__("re").compile(
-    r"^\$(\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*$"
-)
+_GJO_SUBSET = _re.compile(r"^\$(\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*$")
 
 
 def is_gjo_expressible(path: str) -> bool:

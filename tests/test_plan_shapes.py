@@ -158,3 +158,21 @@ def test_new_round2_aggregates_bounded_shuffles(spark):
         a = _audit(spark, name)
         assert a.n_exchanges <= 2, name
         assert not a.has_cartesian_product, name
+
+
+def test_scalar_subquery_nlj_is_one_row_broadcast(spark):
+    # q11/q22 compare against a SCALAR aggregate (total value / avg
+    # balance): Catalyst plans that as BroadcastNestedLoopJoin with the
+    # ONE-ROW aggregate broadcast — constant-size state at any scale,
+    # not an O(n^2) join. Pinned here so an audit red-flag on NLJ is
+    # recognized as the scalar-subquery shape, and so a regression that
+    # turns it into a real NLJ over a multi-row side would change the
+    # aggregate structure asserted below.
+    from divolte_collector_spark.plans import explain_formatted
+
+    for name in ("q11_important_parts", "q22_idle_customers"):
+        a = _audit(spark, name)
+        assert a.has_nested_loop_join, name  # the scalar-subquery join
+        plan = explain_formatted(all_queries()[name].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert not a.has_cartesian_product, name

@@ -133,7 +133,15 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two stages then run sequentially and REUSE one 32-worker
     # fleet). A real ingest has this boundary anyway: the decoder
     # consumes a Kafka/file source, not an in-task synthesis stage.
-    requests = requests.repartition(32, "src_event_id")
+    # Width: a quarter of the cores (floor 8). Each ArrowEvalPython
+    # task pays a fixed worker-attach + Arrow stream setup cost; at
+    # ~100k rows, 12k-row tasks amortize it where 3k-row tasks are
+    # overhead-bound (measured 3.2 s -> 2.3 s warm at sf0.1). At real
+    # scale the decode input arrives already partitioned from
+    # Kafka/files and this explicit exchange exists only to break the
+    # synthetic encode->decode pipeline into two python stages.
+    width = max(8, spark.sparkContext.defaultParallelism // 4)
+    requests = requests.repartition(width, "src_event_id")
     decoded = parse_browser_events(requests)
     return decoded.select(
         "src_event_id",

@@ -367,11 +367,11 @@ def q_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARAMS_RECORD_ORACLE = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-       CASE WHEN event_id % 3 = 0
+       to_json(CASE WHEN event_id % 3 = 0
                 THEN ['tag' || CAST(user_id % 5 AS VARCHAR)]
             WHEN event_id % 3 = 1
                 THEN ['a' || json_extract_string(props, '$.k'), 'b']
-            ELSE NULL END AS tags,
+            ELSE NULL END) AS tags,
        CAST(user_id % 10 AS BIGINT) AS nested_a
 FROM events
 """
@@ -425,9 +425,11 @@ def q_event_params_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("_tags_raw")),
         ),
     )
+    # tags goes out as compact JSON text so the result is hashable by
+    # value-comparison harnesses (both engines' to_json agree byte-wise)
     return parsed.select(
         "event_id",
         F.col("r.k").alias("k"),
-        tags_lenient.alias("tags"),
+        F.to_json(tags_lenient).alias("tags"),
         F.col("r.nested.a").alias("nested_a"),
     )

@@ -569,10 +569,10 @@ s AS (
     FROM e
 )
 SELECT vec_id, round(scale, 9) AS scale,
-       CASE WHEN scale = 0
+       to_json(CASE WHEN scale = 0
             THEN list_transform(emb, x -> CAST(0 AS BIGINT))
             ELSE list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
-       END AS q
+       END) AS q
 FROM s
 """
 
@@ -590,4 +590,11 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.transform(F.col("emb"), lambda x: F.floor(x / F.col("scale") + 0.5))
     )
-    return s.select("vec_id", F.round("scale", 9).alias("scale"), q.alias("q"))
+    # driver-comparable projection: the int8 vector goes out as its
+    # compact JSON text ("[1,-3,...]") — both engines' to_json emit the
+    # identical byte string, and the canonicalizer can hash it
+    return s.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.to_json(q.cast("array<long>")).alias("q"),
+    )

@@ -295,11 +295,11 @@ SELECT e.event_id AS event_id,
        'Q' || CAST(n.n_nationkey AS VARCHAR) AS represented_country_code,
        CAST(n.n_nationkey + 9000000 AS INT) AS represented_country_id,
        'Rep_' || n.n_name AS represented_country_name,
-       ['S1-' || CAST(n.n_nationkey AS VARCHAR),
-        'S2-' || CAST(n.n_nationkey AS VARCHAR)] AS subdivision_codes,
-       [CAST(n.n_nationkey * 10 + 1 AS INT),
-        CAST(n.n_nationkey * 10 + 2 AS INT)] AS subdivision_ids,
-       ['Sub1 ' || n.n_name, 'Sub2 ' || n.n_name] AS subdivision_names,
+       to_json(['S1-' || CAST(n.n_nationkey AS VARCHAR),
+        'S2-' || CAST(n.n_nationkey AS VARCHAR)]) AS subdivision_codes,
+       to_json([CAST(n.n_nationkey * 10 + 1 AS BIGINT),
+        CAST(n.n_nationkey * 10 + 2 AS BIGINT)]) AS subdivision_ids,
+       to_json(['Sub1 ' || n.n_name, 'Sub2 ' || n.n_name]) AS subdivision_names,
        CAST(64512 + n.n_nationkey AS INT) AS autonomous_system_number,
        'AS Org ' || n.n_name AS autonomous_system_organization,
        lower(n.n_name) || '.example' AS domain,
@@ -396,8 +396,20 @@ def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ip = ev.select("event_id", ip.alias("remote_host"))
     from divolte_collector_spark.operators.geoip import GEO_FIELDS
 
+    # the subdivision hierarchy arrays go out as compact JSON text so
+    # the whole row is flat-hashable; both engines' to_json emit the
+    # identical byte string for the same list (ids as long on both
+    # sides to keep the JSON literal identical)
+    out_cols = [
+        F.to_json(F.col(f).cast("array<long>")).alias(f)
+        if f == "subdivision_ids"
+        else F.to_json(F.col(f)).alias(f)
+        if f in ("subdivision_codes", "subdivision_names")
+        else F.col(f)
+        for f in GEO_FIELDS
+    ]
     return geoip_enrich(with_ip, geo, ip_col="remote_host").select(
-        "event_id", *GEO_FIELDS
+        "event_id", *out_cols
     )
 
 

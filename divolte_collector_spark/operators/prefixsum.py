@@ -42,11 +42,20 @@ def global_cumsum(
     default buckets a numeric order key by ``bucket_width``. Ties in
     ``order_col`` are broken deterministically only if the key is
     unique — supply a unique key (the usual case: a row id).
+
+    Null order keys land in a dedicated FIRST bucket, matching the
+    global-window formulation (Spark's ascending ORDER BY sorts nulls
+    first); within it all rows tie, so they share one cumulative value
+    — exactly the RANGE-frame peer behavior of the naive window.
     """
     b = bucket if bucket is not None else (F.col(order_col) / bucket_width).cast(
         "long"
     )
-    with_bucket = df.withColumn("_psb", b)
+    # nulls-first sentinel: a null order key (or a bucket fn yielding
+    # null) gets a bucket strictly below any real one, so the driver
+    # prefix loop never sees None and the rows keep a defined position
+    _NULL_BUCKET = -(1 << 62)
+    with_bucket = df.withColumn("_psb", F.coalesce(b, F.lit(_NULL_BUCKET)))
 
     totals = (
         with_bucket.groupBy("_psb")
@@ -58,7 +67,7 @@ def global_cumsum(
     acc = 0
     for row in sorted(totals, key=lambda r: r["_psb"]):
         offsets[row["_psb"]] = acc
-        acc += row["_t"]
+        acc += row["_t"] or 0
 
     # ship offsets back as a broadcast dimension (|buckets| rows) — a
     # literal map expression would grow the plan linearly with buckets

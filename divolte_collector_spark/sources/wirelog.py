@@ -76,6 +76,19 @@ def parse_line(line: str):
     )
 
 
+def _parse_raw_lines(chunk: bytes):
+    """Split a raw byte chunk on b'\\n' and decode each line on its own
+    (errors='replace'), so a bad byte corrupts only its line and the
+    byte-offset arithmetic stays exact. Strips a trailing '\\r' so CRLF
+    logs parse identically to LF logs."""
+    rows = []
+    for raw in chunk.split(b"\n"):
+        line = raw.decode(errors="replace").rstrip("\r")
+        if line.strip():
+            rows.append(parse_line(line))
+    return rows
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -104,10 +117,10 @@ class _WireLogReader(DataSourceReader):
         return [_FilePartition(f) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        with open(partition.path, "r", errors="replace") as fh:
-            for line in fh:
-                if line.strip():
-                    yield parse_line(line)
+        # binary + per-line decode: identical parse to the streaming
+        # tail, so batch backfill and live tail agree byte-for-byte
+        with open(partition.path, "rb") as fh:
+            yield from _parse_raw_lines(fh.read())
 
 
 class WireLogDataSource(DataSource):
@@ -167,17 +180,20 @@ class _WireLogStreamReader(SimpleDataSourceStreamReader):
             size = os.path.getsize(f)
             if size <= pos:
                 continue
-            with open(f, "r", errors="replace") as fh:
+            # binary read: offsets are RAW byte positions. A text-mode
+            # read would mis-count CRLF (translated to 1 char) and
+            # non-UTF-8 bytes (replaced by 3-byte U+FFFD), drifting the
+            # stored offset off the true file position.
+            with open(f, "rb") as fh:
                 fh.seek(pos)
                 chunk = fh.read(size - pos)
             # complete lines only; the remainder re-reads next batch
-            last_nl = chunk.rfind("\n")
+            last_nl = chunk.rfind(b"\n")
             if last_nl < 0:
                 continue
-            for line in chunk[: last_nl + 1].splitlines():
-                if line.strip():
-                    rows.append(parse_line(line))
-            end[f] = pos + len(chunk[: last_nl + 1].encode())
+            complete = chunk[: last_nl + 1]
+            rows.extend(_parse_raw_lines(complete))
+            end[f] = pos + len(complete)
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -189,10 +205,8 @@ class _WireLogStreamReader(SimpleDataSourceStreamReader):
                 continue
             with open(f, "rb") as fh:
                 fh.seek(pos)
-                chunk = fh.read(epos - pos).decode(errors="replace")
-            for line in chunk.splitlines():
-                if line.strip():
-                    rows.append(parse_line(line))
+                chunk = fh.read(epos - pos)
+            rows.extend(_parse_raw_lines(chunk))
         return iter(rows)
 
     def commit(self, end: dict) -> None:

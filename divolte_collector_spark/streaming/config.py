@@ -56,11 +56,14 @@ from divolte_collector_spark.streaming.topology import Topology, TopologyError
 SOURCE_TYPES = ("browser", "json")
 SINK_TYPES = ("hdfs", "gcs", "kafka", "gcps")
 
-#: the DivolteEvent core every source type produces (§1.1) — the
-#: mapping layer unions events across source types, so decoded output
-#: is normalized to these columns (transport columns and the
-#: browser-only struct stay source-specific, like the reference's
-#: browserEventData being absent for JSON events)
+#: the DivolteEvent core every source type produces (§1.1). Decoders
+#: keep the FULL decoded frame (browser/transport columns included) so
+#: mapping scripts retain the reference's §2.4 value surface —
+#: location(), referer(), cookie(), remote_host(), timestamp() all
+#: read decoded columns beyond this core. When one mapping unions
+#: several source types, the union is by-name with missing columns
+#: null — the reference's browserEventData simply being absent on
+#: JSON events (DivolteEvent.java: optional browser data).
 EVENT_CORE = (
     "party_id",
     "session_id",
@@ -84,17 +87,26 @@ def _decoder(name: str, cfg: Mapping[str, Any]) -> Callable[[DataFrame], DataFra
     if stype == "browser":
 
         def decode(raw: DataFrame) -> DataFrame:
-            return parse_browser_events(drop_etag_replays(raw)).select(*EVENT_CORE)
+            return _core_first(parse_browser_events(drop_etag_replays(raw)))
 
     else:
 
         def decode(raw: DataFrame) -> DataFrame:
-            return parse_json_events(
-                raw,
-                max_body_bytes=int(cfg.get("maximum_body_size", 4096)),
-            ).select(*EVENT_CORE)
+            return _core_first(
+                parse_json_events(
+                    raw,
+                    max_body_bytes=int(cfg.get("maximum_body_size", 4096)),
+                )
+            )
 
     return decode
+
+
+def _core_first(df: DataFrame) -> DataFrame:
+    """EVENT_CORE columns first, source-specific columns after — the
+    full decoded frame stays available to mapping scripts."""
+    extras = [c for c in df.columns if c not in EVENT_CORE]
+    return df.select(*EVENT_CORE, *extras)
 
 
 def _mapping_transform(

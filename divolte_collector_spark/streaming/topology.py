@@ -122,7 +122,16 @@ class Topology:
             union: DataFrame | None = None
             for s in m.sources:
                 df = self._sources[s]
-                union = df if union is None else union.unionByName(df)
+                # by-name with missing-as-null: source types carry
+                # different transport/browser columns (the reference's
+                # browserEventData is absent on JSON events) — a
+                # multi-source mapping sees the superset, nulls where a
+                # source lacks the column
+                union = (
+                    df
+                    if union is None
+                    else union.unionByName(df, allowMissingColumns=True)
+                )
             mapped = m.transform(union)
             if fanout.get(m.name, 0) > 1 and not mapped.isStreaming:
                 # serialize-once fan-out (AvroRecordBuffer semantics)

@@ -199,3 +199,51 @@ def test_default_schema_mapping(spark):
     }
     with pytest.raises(TopologyError, match="matched no schema fields"):
         build_topology(bad, {"json_api": _raw_json(spark)})
+
+
+def test_decoded_frame_keeps_source_columns(spark):
+    """Mapping scripts retain the full §2.4 value surface: browser
+    transport columns survive decode, and a multi-source mapping sees
+    the superset with nulls where a source lacks a column (the
+    reference's browserEventData absent on JSON events)."""
+    cfg = {
+        "sources": {
+            "browser": {"type": "browser"},
+            "json_api": {"type": "json"},
+        },
+        "mappings": {
+            "m": {
+                "sources": ["browser", "json_api"],
+                "sinks": ["out"],
+                "mapping_script": "loc",
+            }
+        },
+        "sinks": {
+            "out": {"type": "kafka", "avro_schema": _SCHEMA, "mode": "naked"}
+        },
+    }
+
+    def loc(df):
+        # reads a browser-only struct AND a transport column — both
+        # must exist post-decode for the mapping to compile
+        return df.select(
+            "event_id",
+            "event_source",
+            F.col("browser.location").alias("location"),
+            F.col("query_string").alias("qs"),
+        )
+
+    topo = build_topology(
+        cfg,
+        {"browser": _raw_browser(spark), "json_api": _raw_json(spark)},
+        {"loc": loc},
+    )
+    rows = topo.sink_inputs()["out"].collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.event_source, []).append(r)
+    assert len(by_src["browser"]) == 3
+    assert all(r.location == "http://example.com/home" for r in by_src["browser"])
+    # JSON events: browser struct + query_string absent -> null
+    assert len(by_src["json"]) == 2
+    assert all(r.location is None and r.qs is None for r in by_src["json"])

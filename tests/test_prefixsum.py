@@ -1,0 +1,46 @@
+"""Distributed global prefix sum: parity with the single-task global
+window it replaces, including null order keys (nulls-first peers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.operators.prefixsum import global_cumsum
+
+
+def _naive(df, order_col, value_col):
+    w = Window.orderBy(order_col).rangeBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("cumsum", F.sum(value_col).over(w))
+
+
+def test_matches_global_window(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = {
+        r.k: r.cumsum
+        for r in global_cumsum(df, "k", "v", bucket_width=50).collect()
+    }
+    want = {r.k: r.cumsum for r in _naive(df, "k", "v").collect()}
+    assert got == want
+
+
+def test_null_order_keys_form_first_peer_group(spark):
+    df = spark.createDataFrame(
+        [(None, 10), (None, 5), (1, 1), (2, 2), (3, 3)],
+        "k int, v int",
+    )
+    rows = global_cumsum(df, "k", "v", bucket_width=2).collect()
+    got = sorted(
+        [(r.k, r.cumsum) for r in rows],
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    # nulls sort first and are frame peers: both carry the null-group
+    # total (15); non-null rows accumulate on top of it
+    want = sorted(
+        [(r.k, r.cumsum) for r in _naive(df, "k", "v").collect()],
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert got == want
+    assert dict(want)[1] == 16  # sanity: 15 (nulls) + 1

@@ -100,3 +100,39 @@ def test_wirelog_streaming_tails_growing_logs(spark, log_dir):
 
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_offsets_are_exact_bytes_for_crlf_and_bad_utf8(log_dir):
+    """Raw-byte offset contract (no Spark needed — unit-level reader):
+    CRLF newlines and non-UTF-8 bytes must not drift the stored offset
+    off the true file position, or the next batch seeks mid-line."""
+    import os
+
+    from divolte_collector_spark.sources.wirelog import _WireLogStreamReader
+
+    path = f"{log_dir}/crlf.log"
+    line1 = f'2024-01-02T05:00:00 10.1.0.1 "GET /csc-event?{_QS.format(n=7)} HTTP/1.1" "AgentD/1.0"'
+    with open(path, "wb") as fh:
+        fh.write(line1.encode() + b"\r\n")
+        fh.write(b"garbage \xff\xfe bytes\r\n")  # not valid UTF-8
+
+    reader = _WireLogStreamReader({"path": path})
+    rows, end = reader.read(reader.initialOffset())
+    rows = list(rows)
+    assert end[path] == os.path.getsize(path)  # exact raw byte offset
+    assert [r[1] for r in rows] == ["10.1.0.1", None]
+    assert "garbage" in rows[1][5] and "�" in rows[1][5]
+
+    # append after the bad bytes; the next batch must pick up ONLY the
+    # new line (a drifted offset would re-read or split a line)
+    line3 = f'2024-01-02T05:01:00 10.1.0.2 "GET /csc-event?{_QS.format(n=8)} HTTP/1.1" "AgentE/1.0"'
+    with open(path, "ab") as fh:
+        fh.write(line3.encode() + b"\r\n")
+    rows2, end2 = reader.read(end)
+    rows2 = list(rows2)
+    assert [r[1] for r in rows2] == ["10.1.0.2"]
+    assert end2[path] == os.path.getsize(path)
+
+    # replay between offsets (binary) must agree with the live read
+    replay = list(reader.readBetweenOffsets(end, end2))
+    assert replay == rows2

@@ -17,8 +17,31 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    argv = sys.argv[1:]
+    args: list[str] = []
+    flags: set[str] = set()
+    limit = 20
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--limit":  # space-separated form: --limit N
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+                print("--limit requires a numeric argument")
+                return 2
+            limit = int(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--limit="):
+            try:
+                limit = int(a.split("=", 1)[1])
+            except ValueError:
+                print("--limit requires a numeric argument")
+                return 2
+        elif a.startswith("--"):
+            flags.add(a)
+        else:
+            args.append(a)
+        i += 1
     if not args:
         from divolte_collector_spark.queries import all_queries
 
@@ -27,10 +50,6 @@ def main() -> int:
         return 2
     name = args[0]
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
-    limit = 20
-    for a in flags:
-        if a.startswith("--limit"):
-            limit = int(a.split("=", 1)[1])
 
     from divolte_collector_spark.queries import all_queries
     from divolte_collector_spark.session import get_spark

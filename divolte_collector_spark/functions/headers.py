@@ -131,3 +131,53 @@ def header_get(values: Column, i: int) -> Column:
 def header_comma_separated(values: Column) -> Column:
     """``.commaSeparated()`` (DslRecordMapping.java:722-726)."""
     return F.array_join(values, ",")
+
+
+# --- X-Forwarded-For peer replacement ---------------------------------------
+
+#: dotted-quad IPv4, octets 0-255
+_IPV4_RE = (
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}"
+)
+#: RFC-4291 textual IPv6 (full, '::'-compressed, and IPv4-mapped tails)
+_IPV6_RE = (
+    r"("
+    r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}:" + _IPV4_RE +
+    r"|::([Ff]{4}:)?" + _IPV4_RE +
+    r")"
+)
+_IP_LITERAL_RE = f"^({_IPV4_RE}|{_IPV6_RE})$"
+
+
+def is_ip_literal(col: Column) -> Column:
+    """True when ``col`` is a textual IPv4 or IPv6 address literal."""
+    return col.rlike(_IP_LITERAL_RE)
+
+
+def xff_remote_host(xff_line: Column, peer: Column) -> Column:
+    """Peer address under ``use_x_forwarded_for`` — the reference's
+    ProxyAdjacentPeerAddressHandler.java:40-58: from the LAST
+    ``X-Forwarded-For`` header line (``getLast``; with an
+    ``array<string>`` of repeated headers pass
+    ``F.element_at(col, -1)``), take the substring after its last
+    comma, trimmed; if that parses as an address the peer is replaced,
+    otherwise (or with no XFF at all) the original peer stands.
+
+    One deliberate divergence: the reference's
+    ``InetAddress.getByName`` would also DNS-resolve a hostname entry;
+    a distributed engine must not do per-row DNS, so only address
+    LITERALS are accepted — a hostname falls back to the peer like any
+    unparseable entry.
+    """
+    candidate = F.trim(F.element_at(F.split(xff_line, ","), -1))
+    return F.when(is_ip_literal(candidate), candidate).otherwise(peer)

@@ -27,6 +27,7 @@ from divolte_collector_spark.functions.headers import (
     header_first,
     header_last,
     split_header_value_udf,
+    xff_remote_host,
 )
 from divolte_collector_spark.operators.geoip import geoip_enrich
 from divolte_collector_spark.queries import query
@@ -244,27 +245,60 @@ SELECT event_id,
        'u' || CAST(user_id AS VARCHAR) AS h_first,
        'last' AS h_last,
        'u' || CAST(user_id AS VARCHAR) || ',' || event_type || ',has,comma,last'
-           AS h_joined
+           AS h_joined,
+       CASE user_id % 4
+            WHEN 0 THEN '198.51.100.' || CAST(event_id % 256 AS VARCHAR)
+            WHEN 1 THEN '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.9'
+            WHEN 2 THEN '198.51.100.' || CAST(event_id % 256 AS VARCHAR)
+            ELSE '2001:db8::' || CAST(user_id % 97 AS VARCHAR)
+       END AS xff_host
 FROM events
 """
 
 
 @query("header_parse", oracle=_HEADER_ORACLE)
 def q_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFC comma-splitting with a quoted segment, driven per event; the
-    oracle predicts first/last/commaSeparated directly."""
+    """RFC comma-splitting with a quoted segment, driven per event —
+    plus the use_x_forwarded_for peer replacement
+    (ProxyAdjacentPeerAddressHandler.java:40-58) over a synthesized
+    XFF matrix: absent header (keep peer), multi-hop chain (last entry
+    wins), garbage hostname last entry (keep peer), IPv6 literal. The
+    oracle predicts every branch directly."""
     ev = load_table(spark, sf_dir, "events")
     line = F.concat(
         F.lit("u"), F.col("user_id"), F.lit(" , "), F.col("event_type"),
         F.lit(', "has,comma" , last'),
     )
-    with_line = ev.select("event_id", line.alias("_line"))
+    uid = F.col("user_id")
+    # the peer address the proxy handed us (what XFF may replace)
+    peer = F.concat(F.lit("198.51.100."), (F.col("event_id") % 256).cast("string"))
+    xff = (
+        F.when(uid % 4 == 0, F.lit(None).cast("string"))  # no header
+        .when(  # multi-hop: client, intermediate proxy, adjacent hop
+            uid % 4 == 1,
+            F.concat(
+                F.lit("203.0.113.7, garbage.example , 10."),
+                (uid % 256).cast("string"),
+                F.lit(".0.9"),
+            ),
+        )
+        .when(  # unparseable last entry: peer stands
+            uid % 4 == 2, F.lit("203.0.113.7, not-an-ip.example")
+        )
+        .otherwise(  # IPv6 literal
+            F.concat(F.lit("2001:db8::"), (uid % 97).cast("string"))
+        )
+    )
+    with_line = ev.select(
+        "event_id", line.alias("_line"), xff.alias("_xff"), peer.alias("_peer")
+    )
     vals = split_header_value_udf(F.col("_line"))
     return with_line.select(
         "event_id",
         header_first(vals).alias("h_first"),
         header_last(vals).alias("h_last"),
         header_comma_separated(vals).alias("h_joined"),
+        xff_remote_host(F.col("_xff"), F.col("_peer")).alias("xff_host"),
     )
 
 

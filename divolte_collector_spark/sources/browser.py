@@ -81,12 +81,32 @@ def parse_browser_events(
     qs_col: str = "query_string",
     request_time_col: str | None = "request_time",
     keep_incomplete: bool = False,
+    use_x_forwarded_for: bool = False,
+    xff_col: str = "x_forwarded_for",
 ) -> DataFrame:
     """Decode the browser wire protocol into DivolteEvent columns.
 
     Incomplete requests (missing required params) are dropped unless
     ``keep_incomplete`` (then flagged ``incomplete_request``).
+
+    With ``use_x_forwarded_for`` (ServerConfiguration.java
+    ``use_x_forwarded_for``, default false like the reference) and an
+    ``xff_col`` present on the raw frame, ``remote_host`` is replaced
+    by the last entry of the last X-Forwarded-For line before decode
+    (ProxyAdjacentPeerAddressHandler.java:40-58) — so geo-IP and every
+    downstream consumer see the client address, not the proxy's.
     """
+    if (
+        use_x_forwarded_for
+        and xff_col in requests.columns
+        and "remote_host" in requests.columns
+    ):
+        from divolte_collector_spark.functions.headers import xff_remote_host
+
+        requests = requests.withColumn(
+            "remote_host",
+            xff_remote_host(F.col(xff_col), F.col("remote_host")),
+        )
     # shuffle() of a 1-element array is the identity, but shuffle is
     # non-deterministic, which makes the whole guarded expression
     # non-deterministic. That (a) stops CollapseProject from inlining

@@ -60,3 +60,64 @@ def test_qs_multimap_multivalue_and_decode(spark):
     assert out.b_first == "x y"
     assert out.c_list == [""]
     assert out.missing is None
+
+
+class TestXffRemoteHost:
+    """ProxyAdjacentPeerAddressHandler semantics (reference :40-58)."""
+
+    def _run(self, spark, cases):
+        from divolte_collector_spark.functions.headers import xff_remote_host
+
+        df = spark.createDataFrame(
+            [(x, p) for x, p, _ in cases], "xff string, peer string"
+        )
+        got = [
+            r.out
+            for r in df.select(
+                xff_remote_host(F.col("xff"), F.col("peer")).alias("out")
+            ).collect()
+        ]
+        assert got == [want for _, _, want in cases]
+
+    def test_branches(self, spark):
+        self._run(
+            spark,
+            [
+                (None, "9.9.9.9", "9.9.9.9"),  # no header -> peer
+                ("1.2.3.4", "9.9.9.9", "1.2.3.4"),  # single entry
+                # multi-hop: LAST entry wins, trimmed
+                ("1.2.3.4, 5.6.7.8 ,  10.0.0.1  ", "9.9.9.9", "10.0.0.1"),
+                # unparseable last entry -> peer stands
+                ("1.2.3.4, evil.example.com", "9.9.9.9", "9.9.9.9"),
+                ("1.2.3.4, 10.0.0.1:8080", "9.9.9.9", "9.9.9.9"),  # port
+                ("300.1.2.3", "9.9.9.9", "9.9.9.9"),  # octet > 255
+                ("", "9.9.9.9", "9.9.9.9"),  # empty header
+                # IPv6 literals
+                ("2001:db8::1", "9.9.9.9", "2001:db8::1"),
+                ("1.2.3.4, ::ffff:10.1.2.3", "9.9.9.9", "::ffff:10.1.2.3"),
+                ("::1", "9.9.9.9", "::1"),
+                ("fe80:", "9.9.9.9", "9.9.9.9"),  # malformed v6
+            ],
+        )
+
+    def test_browser_decode_rewrites_remote_host(self, spark):
+        from divolte_collector_spark.sources.browser import parse_browser_events
+
+        qs = (
+            "p=0%3Ai1t84hgy%3Aparty&s=0%3Ai1t84hgy%3Asession&v=pv0&e=ev0&"
+            "c=i0rjfnxd&n=t&f=t&l=http%3A%2F%2Fx.com&t=pageView"
+        )
+        raw = spark.createDataFrame(
+            [(qs, "10.9.9.9", "1.2.3.4, 8.8.4.4"), (qs, "10.9.9.8", None)],
+            "query_string string, remote_host string, x_forwarded_for string",
+        )
+        on = parse_browser_events(raw, use_x_forwarded_for=True)
+        assert sorted(r.remote_host for r in on.collect()) == [
+            "10.9.9.8",
+            "8.8.4.4",
+        ]
+        off = parse_browser_events(raw)  # reference default: disabled
+        assert sorted(r.remote_host for r in off.collect()) == [
+            "10.9.9.8",
+            "10.9.9.9",
+        ]

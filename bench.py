@@ -125,6 +125,49 @@ def main() -> None:
         )
     )
 
+    if "--assert-budget" in sys.argv:
+        sys.exit(_assert_budget(timings, sf))
+
+
+def _assert_budget(timings: dict[str, float], sf: str) -> int:
+    """CI-style guard: fail when any headline query exceeds its
+    committed budget (BENCH_BUDGET.json, steady-state min-of-2) by
+    more than the budget's tolerance factor. Keeps later rounds from
+    silently regressing the established totals."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BUDGET.json")
+    with open(path) as fh:
+        budget = json.load(fh)
+    if str(budget.get("sf")) != sf:
+        print(
+            f"budget-check skipped: budget sf={budget.get('sf')} != run sf={sf}",
+            file=sys.stderr,
+        )
+        return 0
+    tol = float(budget.get("tolerance", 2.5))
+    failures = [
+        f"{name}: {timings[name]:.3f}s > {ref:.3f}s * {tol}"
+        for name, ref in budget["queries"].items()
+        if name in timings and timings[name] > ref * tol
+    ]
+    # the total smooths single-query jitter (this box shows 2-3x
+    # single-shot spread), so it carries the tighter gate
+    total_ref = budget.get("total")
+    total_tol = float(budget.get("total_tolerance", 2.0))
+    total_now = sum(t for n, t in timings.items() if n in budget["queries"])
+    if total_ref and total_now > total_ref * total_tol:
+        failures.append(
+            f"TOTAL: {total_now:.3f}s > {total_ref:.3f}s * {total_tol}"
+        )
+    if failures:
+        print("BUDGET EXCEEDED:\n  " + "\n  ".join(failures), file=sys.stderr)
+        return 1
+    print(
+        f"budget ok: {len(budget['queries'])} queries within {tol}x, "
+        f"total {total_now:.1f}s within {total_tol}x of {total_ref}s",
+        file=sys.stderr,
+    )
+    return 0
+
 
 if __name__ == "__main__":
     main()

@@ -113,19 +113,21 @@ def header_values(headers_map: Column, name: str) -> Column:
 
 
 def header_first(values: Column) -> Column:
-    """``.first()`` (DslRecordMapping.java:670)."""
-    return F.element_at(values, 1)
+    """``.first()`` (DslRecordMapping.java:670). ``try_element_at``:
+    out-of-range is ABSENT (null), not an error — ANSI element_at
+    would throw on an empty value list."""
+    return F.try_element_at(values, F.lit(1))
 
 
 def header_last(values: Column) -> Column:
     """``.last()`` (DslRecordMapping.java:680)."""
-    return F.element_at(values, -1)
+    return F.try_element_at(values, F.lit(-1))
 
 
 def header_get(values: Column, i: int) -> Column:
-    """``.get(i)``: 0-based; negative counts from the end
-    (DslRecordMapping.java:701-720)."""
-    return F.element_at(values, i + 1 if i >= 0 else i)
+    """``.get(i)``: 0-based; negative counts from the end; any
+    out-of-range index is absent (DslRecordMapping.java:701-720)."""
+    return F.try_element_at(values, F.lit(i + 1 if i >= 0 else i))
 
 
 def header_comma_separated(values: Column) -> Column:

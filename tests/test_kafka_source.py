@@ -138,3 +138,42 @@ def test_decode_verify_key_contract(spark):
     assert out[0]._key_matches is True
     assert out[1]._key_matches is False
     assert out[2]._key_matches is True
+
+
+def test_confluent_golden_bytes_roundtrip(spark):
+    """Exact Confluent wire layout with the reference's nonzero schema
+    id (ConfluentAvroRecordBufferSerializerTest.java: id 0x1DEFACED ->
+    header bytes 00 1d ef ac ed), end-to-end BOTH directions: sink
+    framing -> byte-pinned header -> source decode; plus corrupt-frame
+    tolerance at the same id."""
+    schema_id = 0x1DEFACED
+    avro = encode_record(_SCHEMA, _RECORDS[0])
+
+    framed = confluent_frame(schema_id, avro)
+    # golden header: magic 0x00 + int32-BE schema id, then the payload
+    assert framed[:5] == b"\x00\x1d\xef\xac\xed"
+    assert framed[5:] == avro and len(framed) > 5
+
+    # the streaming sink produces byte-identical framing
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    df = spark.createDataFrame(
+        [tuple(_RECORDS[0].values())],
+        "party_id string, event_id string, event_type string, client_ms long",
+    )
+    sink_rows = kafka_frame(
+        df, _SCHEMA, mode="confluent", confluent_id=schema_id
+    ).collect()
+    assert bytes(sink_rows[0].value) == framed
+    assert bytes(sink_rows[0].key) == b"0:a:1"  # key == UTF-8 party id
+
+    # source side strips the frame and recovers the record; a frame
+    # with the right id but truncated payload and a wrong-magic frame
+    # decode as all-null events, never a batch failure
+    values = [framed, framed[:5], b"\x01" + framed[1:]]
+    out = decode_kafka_events(
+        _kafka_shaped(spark, values), _SCHEMA, mode="confluent"
+    ).collect()
+    by_off = {r._offset: r for r in out}
+    assert by_off[0].party_id == "0:a:1" and by_off[0].client_ms == 1000
+    assert by_off[1].party_id is None and by_off[2].party_id is None

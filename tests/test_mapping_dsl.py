@@ -698,3 +698,189 @@ def test_minimal_mapping(spark):
     assert row.ts == 1412220184033
     assert row.remoteHost == "127.0.0.1"
     assert row.client is None  # unmapped nullable stays absent
+
+
+# --- final fixture ports: the corpus is now 41/41 ---------------------------
+
+
+def test_shorthand_conditional_stop_closure(spark):
+    """shorthand-conditional-stop-closure.groovy: `when { cond } stop()`
+    — the closure syntax compiles to the SAME semantics as the
+    shorthand form (DslRecordMapperTest.java:469-474); our DSL has one
+    spelling, so the port asserts the shared outcome."""
+    m = _std(MappingBuilder(SCHEMA))
+    m.map_literal("happened", "client")
+    with m.when(is_present(F.col("location"))):
+        m.stop_()
+    m.map_literal("should not happen", "session")
+    row = m.apply(_events(spark)).first()
+    assert row.client == "happened" and row.session is None
+
+
+def test_nested_conditional_exit_closure(spark):
+    """nested-conditional-exit-closure.groovy: `when { cond } apply {}`
+    / `when { cond } exit()` — closure spellings of
+    nested-conditional-exit (DslRecordMapperTest.java:496-505); same
+    golden outcome: client/pageview/event/customCookie set, session
+    absent."""
+    m = _std(MappingBuilder(SCHEMA))
+    loc_p = is_present(F.col("location"))
+    with m.section():
+        with m.when(loc_p):
+            m.map_literal("happened", "client")
+            m.exit_()
+            m.map_literal("should not happen", "session")
+    with m.section():
+        with m.when(loc_p):
+            m.map_literal("happened", "pageview")
+            with m.when(is_absent(F.col("location"))):
+                m.exit_()
+            m.map_literal("happened", "event")
+            with m.when(loc_p):
+                m.exit_()
+            m.map_literal("should not happen", "session")
+    m.map_literal("happened", "customCookie")
+    row = m.apply(_events(spark)).first()
+    assert (row.client, row.pageview, row.event, row.customCookie) == (
+        "happened", "happened", "happened", "happened"
+    )
+    assert row.session is None
+
+
+_HEADER_FIXTURE_SCHEMA = {
+    "type": "record",
+    "name": "HeaderRecord",
+    "fields": [
+        {"name": "headerList", "type": ["null", {"type": "array", "items": "string"}], "default": None},
+        {"name": "headerFirst", "type": ["null", "string"], "default": None},
+        {"name": "headerGet0", "type": ["null", "string"], "default": None},
+        {"name": "headerGet1", "type": ["null", "string"], "default": None},
+        {"name": "headerGet2", "type": ["null", "string"], "default": None},
+        {"name": "headerGet3", "type": ["null", "string"], "default": None},
+        {"name": "headerGet_4", "type": ["null", "string"], "default": None},
+        {"name": "headerGet_3", "type": ["null", "string"], "default": None},
+        {"name": "headerGet_2", "type": ["null", "string"], "default": None},
+        {"name": "headerGet_1", "type": ["null", "string"], "default": None},
+        {"name": "headerLast", "type": ["null", "string"], "default": None},
+        {"name": "headers", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def test_header_mapping_fixture(spark):
+    """header-mapping.groovy over three X-Divolte-Test occurrences
+    (DslRecordMapperTest.java:279-296, request at :651-653): list,
+    first/last, every documented get() index incl. out-of-range nulls,
+    commaSeparated."""
+    from divolte_collector_spark.functions.headers import (
+        header_comma_separated,
+        header_first,
+        header_get,
+        header_last,
+        header_values,
+    )
+
+    ev = _events(spark).withColumn(
+        "headers",
+        F.create_map(
+            F.lit("x-divolte-test"),
+            F.array(F.lit("first"), F.lit("second"), F.lit("last")),
+        ),
+    )
+    hdr = header_values(F.col("headers"), "X-Divolte-Test")
+    m = MappingBuilder(_HEADER_FIXTURE_SCHEMA)
+    m.map_value(hdr, "headerList")
+    m.map_value(header_first(hdr), "headerFirst")
+    for i in (0, 1, 2, 3, -4, -3, -2, -1):
+        m.map_value(header_get(hdr, i), f"headerGet{i}".replace("-", "_"))
+    m.map_value(header_last(hdr), "headerLast")
+    m.map_value(header_comma_separated(hdr), "headers")
+    row = m.apply(ev).first()
+    assert list(row.headerList) == ["first", "second", "last"]
+    assert row.headerFirst == "first" and row.headerLast == "last"
+    assert (row.headerGet0, row.headerGet1, row.headerGet2) == (
+        "first", "second", "last"
+    )
+    assert row.headerGet3 is None and row.headerGet_4 is None
+    assert (row.headerGet_3, row.headerGet_2, row.headerGet_1) == (
+        "first", "second", "last"
+    )
+    assert row.headers == "first,second,last"
+
+
+def test_event_param_all_fixture(spark):
+    """event-param-all.groovy with HETEROGENOUS_EVENT_PARAMS
+    (DslRecordMapperTest.java:80-84,346-352): the whole mincode 'u='
+    document onto a typed record — unknown leaves (name, extra*)
+    ignored, d-tokens as longs, j-tokens as doubles; golden record
+    {"foo": "string", "bar": "42"(long 42), items: [{3, 1.23}, {1, 0.89}]}."""
+    import json
+
+    from divolte_collector_spark.functions.mincode import mincode_to_json
+
+    mincode = (
+        "(sfoo!string!dbar!16!aitems!"
+        "(sname!apple!dcount!3!jprice!1.23!sextra1!ignored!)"
+        "(sname!pear!dcount!1!jprice!0.89!sextra2!ignored!)"
+        ".)"
+    )
+    doc = mincode_to_json(mincode)
+    parsed = json.loads(doc)
+    assert parsed["foo"] == "string" and parsed["bar"] == 42  # base36 '16'
+    ev = _events(spark).withColumn("event_parameters", F.lit(doc))
+    rec = F.from_json(
+        F.col("event_parameters"),
+        "foo string, bar long, items array<struct<count: long, price: double>>",
+    )
+    row = ev.select(rec.alias("r")).first().r
+    assert row.foo == "string" and row.bar == 42
+    assert [(i["count"], i["price"]) for i in row["items"]] == [
+        (3, 1.23), (1, 0.89)
+    ]
+
+
+def test_wrong_types_producer(spark):
+    """wrong-types-producer.groovy: a boolean value producer onto an
+    int field fails at STARTUP (SchemaMappingException,
+    DslRecordMapperTest.java:427-431). Our startup moment is compile/
+    apply, where the input schema is first known."""
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "pathInteger", "type": ["null", "int"], "default": None}],
+    }
+    m = MappingBuilder(schema)
+    m.map_value(
+        equal_to_literal(F.col("location"), "not the location"), "pathInteger"
+    )
+    with pytest.raises(Exception, match="(?i)type|compatib"):
+        m.apply(_events(spark))
+
+
+def test_digest_with_seed_fixture(spark):
+    """digest-with-seed.groovy: the same value through unseeded and two
+    differently-seeded sha-256 digesters yields three DISTINCT base64
+    strings (DslRecordMapperTest.java:600-614)."""
+    from divolte_collector_spark.functions.digests import (
+        digest,
+        seeded_digest,
+        to_base64,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "D",
+        "fields": [
+            {"name": "digestString", "type": ["null", "string"], "default": None},
+            {"name": "digestString2", "type": ["null", "string"], "default": None},
+            {"name": "digestString3", "type": ["null", "string"], "default": None},
+        ],
+    }
+    m = MappingBuilder(schema)
+    common = F.col("event_id")
+    m.map_value(to_base64(digest("SHA-256", common)), "digestString")
+    m.map_value(to_base64(seeded_digest("SHA-256", "foo", common)), "digestString2")
+    m.map_value(to_base64(seeded_digest("SHA-256", "bar", common)), "digestString3")
+    row = m.apply(_events(spark)).first()
+    vals = [row.digestString, row.digestString2, row.digestString3]
+    assert all(vals) and len(set(vals)) == 3

@@ -78,7 +78,11 @@ EVENT_CORE = (
 )
 
 
-def _decoder(name: str, cfg: Mapping[str, Any]) -> Callable[[DataFrame], DataFrame]:
+def _decoder(
+    name: str,
+    cfg: Mapping[str, Any],
+    use_x_forwarded_for: bool = False,
+) -> Callable[[DataFrame], DataFrame]:
     stype = cfg.get("type")
     if stype not in SOURCE_TYPES:
         raise TopologyError(
@@ -87,7 +91,12 @@ def _decoder(name: str, cfg: Mapping[str, Any]) -> Callable[[DataFrame], DataFra
     if stype == "browser":
 
         def decode(raw: DataFrame) -> DataFrame:
-            return _core_first(parse_browser_events(drop_etag_replays(raw)))
+            return _core_first(
+                parse_browser_events(
+                    drop_etag_replays(raw),
+                    use_x_forwarded_for=use_x_forwarded_for,
+                )
+            )
 
     else:
 
@@ -282,9 +291,18 @@ def build_topology(
     if missing_raw:
         raise TopologyError(f"no raw DataFrame supplied for sources: {missing_raw}")
 
+    # global.server.use_x_forwarded_for (ServerConfiguration.java:33,
+    # default false): when set, browser sources replace remote_host
+    # from the XFF chain before decode
+    use_xff = bool(
+        (config.get("global") or {}).get("server", {}).get(
+            "use_x_forwarded_for", False
+        )
+    )
+
     topo = Topology()
     for sname, scfg in sources_cfg.items():
-        decode = _decoder(sname, scfg)
+        decode = _decoder(sname, scfg, use_x_forwarded_for=use_xff)
         topo.add_source(sname, decode(raw_sources[sname]))
 
     # mapping-centric wiring: mappings declare sources AND sinks

@@ -247,3 +247,31 @@ def test_decoded_frame_keeps_source_columns(spark):
     # JSON events: browser struct + query_string absent -> null
     assert len(by_src["json"]) == 2
     assert all(r.location is None and r.qs is None for r in by_src["json"])
+
+
+def test_global_use_x_forwarded_for(spark):
+    """global.server.use_x_forwarded_for (ServerConfiguration.java:33)
+    drives the browser decoder's peer replacement; default stays off."""
+    raw = spark.createDataFrame(
+        [(_QS.format(n=0), "10.0.0.1", "1.2.3.4, 8.8.4.4")],
+        "query_string string, remote_host string, x_forwarded_for string",
+    )
+    cfg = {
+        "global": {"server": {"use_x_forwarded_for": True}},
+        "sources": {"browser": {"type": "browser"}},
+        "mappings": {
+            "m": {"sources": ["browser"], "sinks": ["out"], }
+        },
+        "sinks": {
+            "out": {"type": "kafka", "avro_schema": _SCHEMA, "mode": "naked"}
+        },
+    }
+    topo = build_topology(cfg, {"browser": raw})
+    assert [r.remote_host for r in topo.sink_inputs()["out"].collect()] == [
+        "8.8.4.4"
+    ]
+    cfg_off = {k: v for k, v in cfg.items() if k != "global"}
+    topo_off = build_topology(cfg_off, {"browser": raw})
+    assert [r.remote_host for r in topo_off.sink_inputs()["out"].collect()] == [
+        "10.0.0.1"
+    ]

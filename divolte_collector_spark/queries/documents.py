@@ -1033,3 +1033,62 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("kept_doc_id"),
         F.count(F.lit(1)).alias("n_batch_copies"),
     )
+
+
+# --- duplicated-span fraction (C4/RefinedWeb-style corpus signal) -----------
+
+_DUP_FRACTION_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+sh AS ({_SHINGLE_SQL}),
+owners AS (
+    SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(CAST(sum(CASE WHEN o.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_fraction,
+       (CAST(sum(CASE WHEN o.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*)) >= 0.5 AS flagged
+FROM sh s JOIN owners o ON o.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
+
+@query("text_duplicate_fraction", oracle=_DUP_FRACTION_ORACLE)
+def q_duplicate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a document's
+    distinct 3-word shingles that also occur in at least one OTHER
+    document — the corpus-level repetition signal C4-style pipelines
+    threshold on before training (complement to ``repetition_filter``,
+    which is intra-document). Docs at >= 0.5 are flagged.
+
+    Scale shape: the exploded (doc, shingle) relation is shuffled
+    twice — once aggregating shingle -> doc count, once aggregating
+    back to docs — and the shingle-count join re-uses the first
+    shuffle's partitioning (equi-key). No pairwise join of documents
+    anywhere: cost is linear in total shingles, which is what lets the
+    same plan run at 100 TB where any doc x doc formulation cannot. At
+    that scale the shingle strings would ride as xxhash64 ids through
+    the shuffles (as dedup_minhash_lsh does); kept as strings here for
+    engine-exact oracle comparison.
+    """
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = planted.select(
+        "doc_id",
+        F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle"),
+    ).persist()  # both sides of the count-join read it
+    owners = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum((F.col("n_docs") > 1).cast("long"))
+    n = F.count(F.lit(1))
+    frac = dup.cast("double") / n
+    return (
+        sh.join(owners, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_shingles"),
+            F.round(frac, 6).alias("dup_fraction"),
+            (frac >= 0.5).alias("flagged"),
+        )
+    )

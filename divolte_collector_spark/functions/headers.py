@@ -183,3 +183,16 @@ def xff_remote_host(xff_line: Column, peer: Column) -> Column:
     """
     candidate = F.trim(F.element_at(F.split(xff_line, ","), -1))
     return F.when(is_ip_literal(candidate), candidate).otherwise(peer)
+
+
+def xff_scheme(proto_line: Column, scheme: Column) -> Column:
+    """Request scheme under a proxy — the second half of
+    ProxyAdjacentPeerAddressHandler.java (:60): the FIRST
+    ``X-Forwarded-Proto`` value replaces the scheme verbatim when
+    present (the reference applies it with no validation; with an
+    ``array<string>`` of repeated headers pass
+    ``F.element_at(col, 1)``)."""
+    first = F.trim(F.element_at(F.split(proto_line, ","), 1))
+    return F.when(
+        proto_line.isNotNull() & (first != ""), first
+    ).otherwise(scheme)

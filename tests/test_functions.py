@@ -121,3 +121,21 @@ class TestXffRemoteHost:
             "10.9.9.8",
             "10.9.9.9",
         ]
+
+
+def test_xff_scheme(spark):
+    from divolte_collector_spark.functions.headers import xff_scheme
+
+    df = spark.createDataFrame(
+        [
+            ("https", "http", "https"),  # replaced
+            ("https, http", "http", "https"),  # first value wins
+            (None, "http", "http"),  # absent -> keep
+            ("", "http", "http"),  # empty -> keep
+        ],
+        "proto string, scheme string, want string",
+    )
+    rows = df.select(
+        xff_scheme(F.col("proto"), F.col("scheme")).alias("got"), "want"
+    ).collect()
+    assert all(r.got == r.want for r in rows)

@@ -32,7 +32,7 @@ HEADLINE = [
     "ann_ivf_bucketed",
     "text_quality_scores",
     "token_counts",
-    "wire_browser_roundtrip",
+    "browser_wire_roundtrip",
     "mapping_dsl_segments",
     "geoip_enrich_events",
     "multimodal_features",

@@ -154,7 +154,7 @@ GROUP BY user_id
 """
 
 
-@query("bounce_sessions", oracle=_BOUNCE_ORACLE)
+@query("session_bounce_rate", oracle=_BOUNCE_ORACLE)
 def q_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = session_stats(_events(spark, sf_dir))
     return s.groupBy("user_id").agg(
@@ -359,7 +359,7 @@ GROUP BY e.event_id, e.user_id
 """
 
 
-@query("asof_operator_last_view", oracle=_ASOF_OP_ORACLE)
+@query("reusable_asof_operator_last_view", oracle=_ASOF_OP_ORACLE)
 def q_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reusable operators/asof.py join (union + single window, no
     pairwise explosion) applied to purchases<-views; the oracle is the

@@ -66,7 +66,7 @@ FROM events
 """
 
 
-@query("querystring_multimap", oracle=_QS_ORACLE)
+@query("event_querystring_multimap", oracle=_QS_ORACLE)
 def q_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construct a synthetic URL per event, then recover every field
     exclusively by *parsing* it with the engine's URI + multimap

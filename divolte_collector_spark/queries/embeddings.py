@@ -401,7 +401,7 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@query("ann_ivf_kmeans2", oracle=_KMEANS2_ORACLE)
+@query("refined_ivf_kmeans", oracle=_KMEANS2_ORACLE)
 def q_ivf_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations through the SAME lloyd_iterate loop the
     one-iteration query uses — proving the iteration knob against a

@@ -33,7 +33,7 @@ FROM (
 """
 
 
-@query("stateful_session_labels", oracle=_ORACLE)
+@query("c3s_stateful_session_labels", oracle=_ORACLE)
 def stateful_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the applyInPandasWithState labeler over the events table as
     a stream (availableNow) and emit (event_id, first_in_session).

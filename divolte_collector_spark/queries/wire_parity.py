@@ -53,7 +53,7 @@ FROM events
 """
 
 
-@query("wire_browser_roundtrip", oracle=_WIRE_ORACLE)
+@query("browser_wire_roundtrip", oracle=_WIRE_ORACLE)
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each event as a /csc-event query string (base36 client
     time and viewport, mincode ``u=``, murmur3_32 ``x=`` checksum),
@@ -560,7 +560,7 @@ _UA_BY_TYPE = {
 }
 
 
-@query("ua_classify", oracle=_UA_ORACLE)
+@query("browser_ua_classify", oracle=_UA_ORACLE)
 def q_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic UA classification: a fixed UA string per event
     type, classified by the pandas-UDF parser; the oracle pins the
@@ -604,7 +604,7 @@ FROM events
 """
 
 
-@query("uri_decompose", oracle=_URI_ORACLE)
+@query("event_uri_decompose", oracle=_URI_ORACLE)
 def q_uri_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference §2.6 (UriValueProducer): build a messy URL per event —
     encoded path segment, multi-valued query param, conditional port

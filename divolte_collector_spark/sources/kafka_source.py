@@ -124,6 +124,7 @@ def decode_kafka_events(
     schema: dict,
     mode: str = "naked",
     verify_key: bool = False,
+    expected_confluent_id: int | None = None,
 ) -> DataFrame:
     """Decode kafka (key, value) rows into typed event columns.
 
@@ -132,7 +133,14 @@ def decode_kafka_events(
     (0x00 magic + int32-BE schema id) which is stripped — bad magic
     rows decode as all-null events rather than failing the batch (the
     reference's consumer-side tolerance: corrupt records are flagged,
-    never fatal).
+    never fatal). Confluent mode also surfaces the parsed registry id
+    as a ``_schema_id`` column (null on bad magic / short frames):
+    binary Avro is not self-describing, so a topic carrying mixed
+    registry schemas would otherwise decode "successfully" into wrong
+    field values. Pass ``expected_confluent_id`` to null-out records
+    framed under any other id — they land like corrupt rows (all-null
+    event fields) but keep their ``_schema_id``, making the mismatch
+    detectable instead of silent.
 
     One Arrow crossing for the whole decode; columns come back typed
     per the Avro schema so downstream mapping/aggregation stays
@@ -147,6 +155,11 @@ def decode_kafka_events(
     if mode not in ("naked", "confluent"):
         raise ValueError(f"unknown kafka source mode: {mode}")
     out_schema = event_spark_schema(schema)
+    if mode == "confluent":
+        out_schema = T.StructType(
+            list(out_schema.fields)
+            + [T.StructField("_schema_id", T.LongType(), True)]
+        )
     if verify_key:
         out_schema = T.StructType(
             list(out_schema.fields)
@@ -162,12 +175,27 @@ def decode_kafka_events(
                 pdf["offset"],
             ):
                 buf = bytes(value) if value is not None else b""
+                sid = None
+                wrong_id = False
                 if mode == "confluent":
-                    buf = buf[5:] if len(buf) >= 5 and buf[0] == 0 else b""
+                    if len(buf) >= 5 and buf[0] == 0:
+                        sid = int.from_bytes(buf[1:5], "big")
+                        buf = buf[5:]
+                    else:
+                        buf = b""
+                    wrong_id = (
+                        expected_confluent_id is not None
+                        and sid != expected_confluent_id
+                    )
                 try:
-                    rec = decode_record(schema, buf)
+                    if wrong_id:
+                        rec = {n: None for n in names}
+                    else:
+                        rec = decode_record(schema, buf)
                 except Exception:
                     rec = {n: None for n in names}
+                if mode == "confluent":
+                    rec["_schema_id"] = sid
                 rec["_topic"] = topic
                 rec["_partition"] = part
                 rec["_offset"] = off

@@ -77,9 +77,40 @@ def test_decode_confluent_and_corrupt_tolerance(spark):
     assert by_off[1].party_id is None and by_off[1].event_id is None
     assert by_off[1]._topic == "events"  # provenance survives corruption
     assert by_off[2].event_type == "click"
+    # confluent mode surfaces the parsed registry id; bad magic -> null
+    assert by_off[0]._schema_id == 7 and by_off[2]._schema_id == 7
+    assert by_off[1]._schema_id is None
 
     with pytest.raises(ValueError):
         decode_kafka_events(_kafka_shaped(spark, values), _SCHEMA, mode="zstd")
+
+
+def test_decode_confluent_mixed_schema_ids_detectable(spark):
+    """Binary Avro is not self-describing: a topic mixing registry
+    schemas would decode into wrong field values without a trace. With
+    ``expected_confluent_id`` the mismatching frame lands all-null but
+    keeps its ``_schema_id``, so mixed-schema topics are auditable
+    (mirrors the verify_key producer-contract audit)."""
+    values = [
+        confluent_frame(7, encode_record(_SCHEMA, _RECORDS[0])),
+        confluent_frame(9, encode_record(_SCHEMA, _RECORDS[1])),
+        confluent_frame(7, encode_record(_SCHEMA, _RECORDS[2])),
+    ]
+    out = decode_kafka_events(
+        _kafka_shaped(spark, values), _SCHEMA, mode="confluent",
+        expected_confluent_id=7,
+    ).collect()
+    by_off = {r._offset: r for r in out}
+    assert by_off[0].party_id == "0:a:1" and by_off[0]._schema_id == 7
+    # the foreign-schema frame: flagged, not silently mis-decoded
+    assert by_off[1].party_id is None and by_off[1]._schema_id == 9
+    assert by_off[2].event_type == "click"
+    # without the expectation the id is still visible for offline audit
+    audit = decode_kafka_events(
+        _kafka_shaped(spark, values), _SCHEMA, mode="confluent"
+    )
+    ids = sorted(r._schema_id for r in audit.select("_schema_id").collect())
+    assert ids == [7, 7, 9]
 
 
 def test_event_spark_schema_unions_and_arrays():

@@ -69,7 +69,7 @@ def test_sessionize_single_shuffle_on_user(spark):
 def test_wire_decode_parses_once(spark):
     # the guarded parse keeps python UDF evaluation to the two decode
     # UDFs (checksum murmur + mincode); no duplicated eval nodes
-    a = _audit(spark, "wire_browser_roundtrip")
+    a = _audit(spark, "browser_wire_roundtrip")
     assert a.n_python_eval_nodes <= 3  # encode murmur + decode pair
     assert not a.has_cartesian_product
 
@@ -86,7 +86,7 @@ def test_kmeans2_no_fact_shuffle_for_assignment(spark):
     # assignment is map-side against driver-held centroids; the only
     # shuffles are the pair-dedup/recompute aggregations and the final
     # top-k window — never a fact-vs-centroid join
-    a = _audit(spark, "ann_ivf_kmeans2")
+    a = _audit(spark, "refined_ivf_kmeans")
     assert not a.has_cartesian_product
     assert not a.has_nested_loop_join
 
@@ -116,7 +116,7 @@ def test_quantize_narrow_map_no_shuffle(spark):
 def test_salted_agg_two_exchanges(spark):
     # phase 1 shuffles on (key, salt) — the whole point: a hot key
     # spreads over N_SALT reducers; phase 2 is the tiny merge
-    a = _audit(spark, "salted_hot_key_agg")
+    a = _audit(spark, "hot_key_salted_agg")
     assert a.n_exchanges == 2
     assert not a.has_cartesian_product
 

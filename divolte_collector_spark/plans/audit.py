@@ -25,6 +25,7 @@ class PlanAudit:
     has_nested_loop_join: bool
     has_cartesian_product: bool
     n_python_eval_nodes: int
+    n_rowwise_python_nodes: int
     n_wholestage_codegen: int
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
@@ -52,6 +53,7 @@ def audit(df: DataFrame) -> PlanAudit:
         has_nested_loop_join=nodes("BroadcastNestedLoopJoin") > 0,
         has_cartesian_product=nodes("CartesianProduct") > 0,
         n_python_eval_nodes=nodes("ArrowEvalPython") + nodes("BatchEvalPython"),
+        n_rowwise_python_nodes=nodes("BatchEvalPython"),
         n_wholestage_codegen=len(
             set(re.findall(r"codegen id : (\d+)", plan))
         ),

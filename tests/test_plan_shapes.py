@@ -176,3 +176,35 @@ def test_scalar_subquery_nlj_is_one_row_broadcast(spark):
         plan = explain_formatted(all_queries()[name].fn(spark, SF))
         assert "BroadcastNestedLoopJoin" in plan
         assert not a.has_cartesian_product, name
+
+
+def test_every_gated_query_scale_discipline(spark):
+    """Global safety net over the ENTIRE gated surface: no gated query
+    may plan a CartesianProduct, a row-at-a-time Python UDF
+    (BatchEvalPython — every Python crossing must be Arrow-batched), or
+    an unexpected nested-loop join. The NLJ allowlist is the four
+    documented shapes: the two scalar-subquery one-row broadcasts
+    (q11/q22, pinned above), the broadcast-20-query-vectors kNN scan,
+    and the all-pairs embedding near-dup that is explicitly gated as
+    the exact-recall baseline beside its LSH sibling. A new query that
+    trips this must either fix its plan or earn a documented entry."""
+    NLJ_ALLOWED = {
+        "q11_important_parts",
+        "q22_idle_customers",
+        "knn_bruteforce_cosine",
+        "embedding_near_dup",
+    }
+    failures = []
+    for name, rq in sorted(all_queries().items()):
+        try:
+            a = audit(rq.fn(spark, SF))
+        except Exception as exc:  # noqa: BLE001 — collect, report all
+            failures.append(f"{name}: build error {exc!r:.120}")
+            continue
+        if a.has_cartesian_product:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if a.n_rowwise_python_nodes:
+            failures.append(f"{name}: row-wise BatchEvalPython node")
+        if a.has_nested_loop_join and name not in NLJ_ALLOWED:
+            failures.append(f"{name}: undocumented nested-loop join")
+    assert not failures, "\n".join(failures)

@@ -1092,3 +1092,106 @@ def q_duplicate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= 0.5).alias("flagged"),
         )
     )
+
+
+# --- per-source quota (skew-safe two-phase top-K) ---------------------------
+# Web-corpus pipelines cap how many documents any one domain may
+# contribute (C4 / RefinedWeb per-domain quotas). The direct
+# formulation — row_number() PARTITION BY source — sends EVERY row of a
+# hot domain to one reducer; a crawl where one domain is 10% of 100 TB
+# puts 10 TB in a single window task. The skew-safe shape prunes
+# first: phase 1 ranks within (source, salt) so a hot source spreads
+# over N_SALT reducers and survivors are capped at N_SALT * QUOTA per
+# source; phase 2 ranks the tiny survivor set within source. Any
+# global top-QUOTA doc has < QUOTA docs ahead of it overall, hence
+# < QUOTA ahead within its own salt bucket — so phase 1 never drops a
+# final keeper and the result equals the one-window oracle exactly.
+
+SOURCE_QUOTA = 10
+_QUOTA_SALTS = 8
+
+_SOURCE_QUOTA_ORACLE = f"""
+SELECT doc_id, source, quota_rank
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS quota_rank
+    FROM documents
+)
+WHERE quota_rank <= {SOURCE_QUOTA}
+"""
+
+
+@query("source_quota_sample", oracle=_SOURCE_QUOTA_ORACLE)
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("_rk"),
+        (F.col("doc_id") % _QUOTA_SALTS).alias("_salt"),
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy("_rk", "doc_id")
+    survivors = (
+        docs.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= SOURCE_QUOTA)  # <= SALTS*QUOTA rows/source
+    )
+    w2 = Window.partitionBy("source").orderBy("_rk", "doc_id")
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w2))
+        .filter(F.col("quota_rank") <= SOURCE_QUOTA)
+        .select("doc_id", "source", "quota_rank")
+    )
+
+
+# --- epoch-seeded global permutation ----------------------------------------
+# Training loaders need each epoch's corpus order to be (a) a
+# different pseudo-random permutation per seed, (b) deterministic and
+# resumable, (c) computed WITHOUT a global single-task sort. Hashing
+# (seed, doc_id) gives the order; the global position comes from the
+# two-phase prefix sum (operators/prefixsum.py) over count-1 rows,
+# bucketed by the hash's leading byte — monotone in the hash, so the
+# distributed scan reproduces the naive ROW_NUMBER() OVER (ORDER BY
+# hash) exactly. Emitting position % n_readers also pins the
+# per-reader interleave a multi-worker loader would consume.
+
+PERM_SEED = 7
+_PERM_READERS = 4
+
+_PERM_ORACLE = f"""
+SELECT doc_id, position, CAST(position % {_PERM_READERS} AS BIGINT) AS reader
+FROM (
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY md5({PERM_SEED} || ':' || CAST(doc_id AS VARCHAR))
+           ) - 1 AS position
+    FROM documents
+)
+"""
+
+
+@query("seeded_corpus_permutation", oracle=_PERM_ORACLE)
+def q_seeded_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.operators.prefixsum import global_cumsum
+
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(str(PERM_SEED)), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ).alias("_pk"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    # md5 hex is fixed-width lowercase, so lexicographic order == value
+    # order and the leading byte is a monotone bucket for the scan
+    bucket = F.conv(F.substring("_pk", 1, 2), 16, 10).cast("long")
+    pos = global_cumsum(keyed, "_pk", "_one", bucket=bucket)
+    return pos.select(
+        "doc_id",
+        (F.col("cumsum") - 1).alias("position"),
+        ((F.col("cumsum") - 1) % _PERM_READERS).alias("reader"),
+    )

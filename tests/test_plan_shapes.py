@@ -208,3 +208,22 @@ def test_every_gated_query_scale_discipline(spark):
         if a.has_nested_loop_join and name not in NLJ_ALLOWED:
             failures.append(f"{name}: undocumented nested-loop join")
     assert not failures, "\n".join(failures)
+
+
+def test_source_quota_two_phase_skew_safe(spark):
+    # phase 1 shuffles on (source, salt) — a hot domain spreads over
+    # N_SALT reducers; phase 2 ranks only the pruned survivors
+    a = _audit(spark, "source_quota_sample")
+    assert a.n_exchanges == 2
+    assert not a.has_cartesian_product
+    assert a.read_schemas == ["struct<doc_id:bigint,source:string>"]
+
+
+def test_seeded_permutation_no_global_window(spark):
+    # global positions via the two-phase prefix scan: ONE partitioned
+    # window exchange + the broadcast bucket-offset join — never a
+    # single-task ORDER BY over the whole corpus
+    a = _audit(spark, "seeded_corpus_permutation")
+    assert a.n_exchanges == 1
+    assert a.n_broadcast_hash_joins == 1
+    assert not a.has_cartesian_product

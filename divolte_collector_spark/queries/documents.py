@@ -1195,3 +1195,92 @@ def q_seeded_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cumsum") - 1).alias("position"),
         ((F.col("cumsum") - 1) % _PERM_READERS).alias("reader"),
     )
+
+
+# --- heavy hitters (count-min sketch candidates, exact verify) --------------
+# "Which tokens dominate the corpus" (stopword discovery, boilerplate
+# detection) at 100 TB cannot start with groupBy(token): that shuffles
+# the full token multiset. The mergeable count-min sketch is the scale
+# primitive: ONE partial-agg shuffle of d x w counters (d*w = 192
+# values regardless of input size), candidates read the driver-held
+# sketch map-side, and only candidate occurrences reach the exact
+# verification aggregation. CMS only over-counts (min over d rows >=
+# true count), so candidate generation has no false negatives and the
+# verified output equals the exact-SQL oracle.
+
+_CMS_SEEDS = (101, 211, 307)
+_CMS_W = 64
+_HH_SHARE = 0.02  # heavy hitter = >= 2% of all corpus tokens
+
+
+_HEAVY_HITTER_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(count(*) / (SELECT n FROM tot), 6) AS share
+FROM toks GROUP BY tok
+HAVING count(*) >= {_HH_SHARE} * (SELECT n FROM tot)
+"""
+
+
+@query("token_heavy_hitters", oracle=_HEAVY_HITTER_ORACLE)
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens_col()).alias("tok")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col("tok"), F.lit(s)), F.lit(_CMS_W)).alias(
+                    "slot"
+                ),
+            )
+            for i, s in enumerate(_CMS_SEEDS)
+        ]
+    )
+    sketch_rows = (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # <= d*w = 192 rows: bounded driver state, like centroids
+    )
+    # every row of the sketch sums to the total token count
+    total = sum(int(r["cnt"]) for r in sketch_rows if r["i"] == 0)
+    threshold = _HH_SHARE * total
+    sketch_df = spark.createDataFrame(
+        [(int(r["i"]), int(r["slot"]), int(r["cnt"])) for r in sketch_rows],
+        "i int, slot long, cnt long",
+    )
+    # candidates: distinct tokens (map-side partial distinct keeps this
+    # vocab-sized) probed against the broadcast sketch; min over the d
+    # rows upper-bounds the true count -> no false negatives
+    cand = (
+        toks.distinct()
+        .select(
+            "tok",
+            F.explode(cells).alias("c"),
+        )
+        .select("tok", F.col("c.i").alias("i"), F.col("c.slot").alias("slot"))
+        .join(F.broadcast(sketch_df), ["i", "slot"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("ub"))
+        .filter(F.col("ub") >= threshold)
+        .select("tok")
+    )
+    # exact verify: only candidate occurrences reach the aggregation
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+        .select(
+            "tok",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.lit(float(total)), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -227,3 +227,13 @@ def test_seeded_permutation_no_global_window(spark):
     assert a.n_exchanges == 1
     assert a.n_broadcast_hash_joins == 1
     assert not a.has_cartesian_product
+
+
+def test_heavy_hitters_sketch_broadcast(spark):
+    # candidate generation and exact verification both read broadcast
+    # sides (the 192-cell sketch, then the candidate list) — the full
+    # token multiset is never shuffled by token
+    a = _audit(spark, "token_heavy_hitters")
+    assert a.n_broadcast_hash_joins >= 2
+    assert not a.has_cartesian_product
+    assert not a.has_nested_loop_join

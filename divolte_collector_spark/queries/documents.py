@@ -1284,3 +1284,75 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Bloom-prefiltered incremental dedup ------------------------------------
+# Same contract as dedup_incremental (drop batch rows whose content
+# hash exists in the immutable history, then intra-batch dedup) with
+# the membership test restructured for a history far larger than the
+# batch: instead of anti-joining EVERY batch row against history, the
+# history is folded once into per-bucket Bloom bitmaps (a bounded
+# groupBy of bucket x word -> bit_or, buckets*m/64 longs total) that
+# broadcast to the batch scan. Bloom has no false negatives, so rows
+# with any unset bit are PROVABLY new and skip the join entirely; only
+# the Bloom-positive sliver (true dups + the ~(1-e^-kn/m)^k false
+# positive rate) pays the exact anti-join. At 100 TB-history scale the
+# bitmaps are the only state that moves, and they are data-size
+# independent. The oracle is the plain anti-join SQL — the Bloom layer
+# must be output-invisible.
+
+_BLOOM_M = 8192  # bits per bucket
+_BLOOM_SEEDS = (1001, 2003, 3011)
+_BLOOM_BUCKETS = 4
+
+
+@query("prefilter_bloom_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = with_planted_dups(_docs(spark, sf_dir))
+    hashed = planted.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    history = hashed.filter(F.col("doc_id") < _INCR_SPLIT).select("content_hash")
+    batch = hashed.filter(F.col("doc_id") >= _INCR_SPLIT)
+
+    bucket = F.pmod(F.xxhash64("content_hash"), F.lit(_BLOOM_BUCKETS))
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64("content_hash", F.lit(s)), F.lit(_BLOOM_M))
+            for s in _BLOOM_SEEDS
+        ]
+    )
+    word = F.expr("pos DIV 64")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+
+    blooms = (
+        history.select(bucket.alias("bkt"), F.explode(positions).alias("pos"))
+        .select("bkt", word.alias("word"), mask.alias("mask"))
+        .groupBy("bkt", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    probed = (
+        batch.select(
+            "doc_id", "content_hash", bucket.alias("bkt"),
+            F.explode(positions).alias("pos"),
+        )
+        .select("doc_id", "content_hash", "bkt", word.alias("word"),
+                mask.alias("mask"))
+        .join(F.broadcast(blooms), ["bkt", "word"], "left")
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+    )
+    flags = probed.groupBy("doc_id", "content_hash").agg(
+        F.min(hit.cast("int")).alias("_all_hit")
+    )
+    surely_new = flags.filter(F.col("_all_hit") == 0)
+    maybe_dup = flags.filter(F.col("_all_hit") == 1)
+    verified_new = maybe_dup.join(history, "content_hash", "left_anti")
+    fresh = surely_new.unionByName(verified_new).select("doc_id", "content_hash")
+    return fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    )

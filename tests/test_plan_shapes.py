@@ -237,3 +237,13 @@ def test_heavy_hitters_sketch_broadcast(spark):
     assert a.n_broadcast_hash_joins >= 2
     assert not a.has_cartesian_product
     assert not a.has_nested_loop_join
+
+
+def test_bloom_incremental_broadcast_bitmaps(spark):
+    # the bloom bitmaps ride a broadcast join to the batch scan; the
+    # probe-and-flag path never shuffles history rows to batch rows
+    a = _audit(spark, "prefilter_bloom_incremental_dedup")
+    assert a.n_broadcast_hash_joins >= 2
+    assert not a.has_cartesian_product
+    assert not a.has_nested_loop_join
+    assert a.n_rowwise_python_nodes == 0

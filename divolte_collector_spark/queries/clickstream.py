@@ -447,3 +447,73 @@ def q_event_params_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(tags_lenient).alias("tags"),
         F.col("r.nested.a").alias("nested_a"),
     )
+
+
+# --- sequence-pattern funnel (MATCH_RECOGNIZE-style) ------------------------
+# Funnels defined as a REGEX over each user's ordered event-type
+# sequence — the ANSI MATCH_RECOGNIZE capability Spark lacks natively.
+# Each event type maps to one character; the per-user journey string
+# is built in a single aggregation (array_sort of (ts, event_id, ch)
+# structs — no window function, one shuffle on user_id), and the
+# pattern runs as an ordinary JVM regex on the result. Lazy
+# quantifiers give the leftmost-shortest completed path, so "view,
+# then a click, then a purchase, skipping noise" is one expression
+# instead of a self-join per funnel step. Scale shape: one partial-agg
+# shuffle keyed by user; the journey string is bounded by per-user
+# event count (at 100 TB you'd bound it with a slice/limit per user,
+# same plan). Deterministic: ties broken by event_id on both engines.
+
+_SEQ_PATTERN = "v.*?c.*?p"  # view ... click ... purchase (lazy = shortest)
+
+_SEQ_FUNNEL_ORACLE = f"""
+WITH j AS (
+    SELECT user_id,
+           string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, ''
+                      ORDER BY ts, event_id) AS journey
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(journey) AS BIGINT) AS n_events,
+       regexp_matches(journey, '{_SEQ_PATTERN}') AS matched,
+       CASE WHEN regexp_matches(journey, '{_SEQ_PATTERN}')
+            THEN CAST(len(regexp_extract(journey, '{_SEQ_PATTERN}', 0)) AS BIGINT)
+       END AS path_len
+FROM j
+"""
+
+
+@query("sequence_funnel_pattern", oracle=_SEQ_FUNNEL_ORACLE)
+def q_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    j = (
+        _events(spark, sf_dir)
+        .select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    matched = F.col("journey").rlike(_SEQ_PATTERN)
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("n_events"),
+        matched.alias("matched"),
+        F.when(
+            matched,
+            F.length(F.regexp_extract("journey", _SEQ_PATTERN, 0)).cast("long"),
+        ).alias("path_len"),
+    )

@@ -247,3 +247,11 @@ def test_bloom_incremental_broadcast_bitmaps(spark):
     assert not a.has_cartesian_product
     assert not a.has_nested_loop_join
     assert a.n_rowwise_python_nodes == 0
+
+
+def test_sequence_funnel_single_shuffle(spark):
+    # journey strings come from ONE aggregation keyed by user (no
+    # window, no per-step self-joins); the scan is pruned to 4 columns
+    a = _audit(spark, "sequence_funnel_pattern")
+    assert a.n_exchanges == 1
+    assert not a.has_cartesian_product

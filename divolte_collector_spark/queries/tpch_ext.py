@@ -575,3 +575,61 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
         F.round(F.max("o_totalprice"), 2).alias("mx"),
     )
+
+
+# --- skew-salted replicate join ---------------------------------------------
+# The fact-to-dimension join answer when the dimension is too big to
+# broadcast AND the fact side is skewed: a hot part key sends its
+# entire fact slice to one reducer in a plain shuffle join. Salting
+# splits each fact row into one of N_JOIN_SALTS sub-keys (derived from
+# the row's own unique id — uniform by construction) and replicates
+# each dimension row across ALL salts, so a hot key's rows spread over
+# N_JOIN_SALTS reducers at the price of an N_SALTS-times-larger (still
+# dimension-sized) build side. The SHUFFLE_HASH hint pins the
+# shuffled-hash strategy the pattern exists for — at this SF Catalyst
+# would otherwise broadcast the dim and hide the shape. AQE's
+# skewedJoin does this adaptively for sort-merge; the explicit salt is
+# the deterministic-plan formulation. Result is join-identical to the
+# unsalted query (the oracle).
+
+N_JOIN_SALTS = 8
+
+_SALTED_JOIN_ORACLE = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
+@query("skew_salted_replicate_join", oracle=_SALTED_JOIN_ORACLE)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount",
+    )
+    fact = li.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_JOIN_SALTS)
+        ).cast("int"),
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(N_JOIN_SALTS)])),
+        )
+    )
+    joined = fact.join(
+        dim.hint("SHUFFLE_HASH"),
+        (fact.l_partkey == dim.p_partkey) & (fact._salt == dim._salt),
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

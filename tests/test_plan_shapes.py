@@ -255,3 +255,17 @@ def test_sequence_funnel_single_shuffle(spark):
     a = _audit(spark, "sequence_funnel_pattern")
     assert a.n_exchanges == 1
     assert not a.has_cartesian_product
+
+
+def test_skew_salted_join_shuffled_hash(spark):
+    # the salted join must actually shuffle on (key, salt) — a
+    # broadcast would hide the skew-spreading shape the query pins
+    from divolte_collector_spark.plans import explain_formatted
+
+    a = _audit(spark, "skew_salted_replicate_join")
+    assert a.n_broadcast_hash_joins == 0
+    assert a.n_exchanges == 3  # fact, replicated dim, final agg
+    plan = explain_formatted(
+        all_queries()["skew_salted_replicate_join"].fn(spark, SF)
+    )
+    assert "ShuffledHashJoin" in plan

@@ -1356,3 +1356,70 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("kept_doc_id"),
         F.count(F.lit(1)).alias("n_batch_copies"),
     )
+
+
+# --- TF-IDF top terms -------------------------------------------------------
+# Classic sparse lexical weighting (the retrieval-side complement to
+# the dense-embedding family): tf(doc, term) from one exploded
+# aggregation, document frequency from the tf relation itself (one
+# term-keyed aggregation over |vocab|-bounded partials), smoothed
+# idf = ln((N+1)/(df+1)) + 1 joined back by broadcast (vocab-sized),
+# and a per-doc top-k window for the final ranking. Three partitioned
+# shuffles, all partial-aggregated; nothing is quadratic and no state
+# exceeds vocab size except the (doc, term) relation, which is the
+# output's own cardinality.
+
+_TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term,
+           round(t.tf * (ln(((SELECT n FROM n) + 1.0) / (d.df + 1.0)) + 1.0),
+                 6) AS score
+    FROM tf t JOIN df d USING (term)
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+           ) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_TFIDF_TOP_K}
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # one scalar action, the corpus row count
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TFIDF_TOP_K)
+        .select("doc_id", "term", "score", "rnk")
+    )

@@ -1299,15 +1299,14 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # positive rate) pays the exact anti-join. At 100 TB-history scale the
 # bitmaps are the only state that moves, and they are data-size
 # independent. The oracle is the plain anti-join SQL — the Bloom layer
-# must be output-invisible.
-
-_BLOOM_M = 8192  # bits per bucket
-_BLOOM_SEEDS = (1001, 2003, 3011)
-_BLOOM_BUCKETS = 4
+# must be output-invisible. Build/probe live in operators/bloom.py
+# (property-tested for the no-false-negative guarantee).
 
 
 @query("prefilter_bloom_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
 def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.operators.bloom import build_bloom, probe_bloom
+
     planted = with_planted_dups(_docs(spark, sf_dir))
     hashed = planted.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
@@ -1315,41 +1314,10 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = hashed.filter(F.col("doc_id") < _INCR_SPLIT).select("content_hash")
     batch = hashed.filter(F.col("doc_id") >= _INCR_SPLIT)
 
-    bucket = F.pmod(F.xxhash64("content_hash"), F.lit(_BLOOM_BUCKETS))
-    positions = F.array(
-        *[
-            F.pmod(F.xxhash64("content_hash", F.lit(s)), F.lit(_BLOOM_M))
-            for s in _BLOOM_SEEDS
-        ]
-    )
-    word = F.expr("pos DIV 64")
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-
-    blooms = (
-        history.select(bucket.alias("bkt"), F.explode(positions).alias("pos"))
-        .select("bkt", word.alias("word"), mask.alias("mask"))
-        .groupBy("bkt", "word")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
-
-    probed = (
-        batch.select(
-            "doc_id", "content_hash", bucket.alias("bkt"),
-            F.explode(positions).alias("pos"),
-        )
-        .select("doc_id", "content_hash", "bkt", word.alias("word"),
-                mask.alias("mask"))
-        .join(F.broadcast(blooms), ["bkt", "word"], "left")
-    )
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
-    )
-    flags = probed.groupBy("doc_id", "content_hash").agg(
-        F.min(hit.cast("int")).alias("_all_hit")
-    )
-    surely_new = flags.filter(F.col("_all_hit") == 0)
-    maybe_dup = flags.filter(F.col("_all_hit") == 1)
+    blooms = build_bloom(history, "content_hash")
+    flags = probe_bloom(batch, "content_hash", blooms)
+    surely_new = flags.filter(~F.col("maybe_member"))
+    maybe_dup = flags.filter(F.col("maybe_member"))
     verified_new = maybe_dup.join(history, "content_hash", "left_anti")
     fresh = surely_new.unionByName(verified_new).select("doc_id", "content_hash")
     return fresh.groupBy("content_hash").agg(

@@ -1391,3 +1391,48 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_TOP_K)
         .select("doc_id", "term", "score", "rnk")
     )
+
+
+# --- group-aware train/validation/test split --------------------------------
+# Deterministic corpus splitting with the leakage rule evaluation
+# pipelines need: the split is a hash of the GROUP (source domain),
+# not the document, so near-duplicates within one domain can never
+# straddle train and test. Pure map-side expression over the scan —
+# no shuffle at all for assignment; the tiny per-split summary is one
+# partial-agg. The hash is md5-derived so both engines compute the
+# identical assignment (seeded: bump the seed to re-deal the split).
+
+_SPLIT_SEED = 13
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90  # train <80, val 80-89, test 90-99
+
+_SPLIT_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5({_SPLIT_SEED} || '|' || source), 1, 8))"
+    " AS BIGINT) % 100"
+)
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_TRAIN} THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query("train_test_split_groups", oracle=_SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{_SPLIT_SEED}|"), F.col("source"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return _docs(spark, sf_dir).select("doc_id", "source", split.alias("split"))

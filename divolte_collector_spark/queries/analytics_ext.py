@@ -278,3 +278,72 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+# --- Z-order clustering stats ----------------------------------------------
+# Storage-layout primitive for two-dimensional data skipping: linear
+# clustering (partition by day, sort by user) gives tight min/max file
+# ranges on ONE dimension only; interleaving the bits of (user, day)
+# into a Z-value and packing files by Z ranges keeps BOTH dimensions'
+# per-file ranges narrow, so predicates on either column prune files.
+# The Z-value is a pure map-side expression (16 shift-and-mask terms
+# per dimension, no shuffle to compute); the per-file min/max stats
+# emitted here are exactly the footer statistics a writer would store
+# for skipping. One partial-agg shuffle on the file id. Both engines
+# evaluate the same generated bit arithmetic, so the oracle is exact.
+
+_Z_BITS = 5  # per dimension -> 10-bit z-values (32x32 grid)
+_Z_FILES = 64
+
+_Z_EPOCH = "DATE '2024-01-01'"
+
+
+def _z_sql(x: str, y: str) -> str:
+    """DuckDB bit-interleave: sum of disjoint shifted bits (== OR)."""
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(_Z_BITS)]
+    return " + ".join(terms)
+
+
+_Z_WIDTH = (1 << (2 * _Z_BITS)) // _Z_FILES
+
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+    SELECT user_id % {1 << _Z_BITS} AS x,
+           datediff('day', {_Z_EPOCH}, CAST(ts AS DATE)) % {1 << _Z_BITS} AS y
+    FROM events
+),
+z AS (SELECT x, y, ({_z_sql('x', 'y')}) // {_Z_WIDTH} AS file_id FROM pts)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(x) AS BIGINT) AS min_user, CAST(max(x) AS BIGINT) AS max_user,
+       CAST(min(y) AS BIGINT) AS min_day, CAST(max(y) AS BIGINT) AS max_day
+FROM z GROUP BY file_id
+"""
+
+
+@query("zorder_file_stats", oracle=_ZORDER_ORACLE)
+def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    x = F.pmod(F.col("user_id"), F.lit(1 << _Z_BITS)).cast("long")
+    y = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+        F.lit(1 << _Z_BITS),
+    ).cast("long")
+    pts = ev.select(x.alias("x"), y.alias("y"))
+    bit = lambda c, i, j: F.shiftleft(  # noqa: E731
+        F.shiftright(F.col(c), i).bitwiseAND(F.lit(1)), j
+    )
+    zval = None
+    for i in range(_Z_BITS):
+        for term in (bit("x", i, 2 * i), bit("y", i, 2 * i + 1)):
+            zval = term if zval is None else (zval + term)
+    return (
+        pts.withColumn("file_id", F.floor(zval / _Z_WIDTH).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("min_user"), F.max("x").alias("max_user"),
+            F.min("y").alias("min_day"), F.max("y").alias("max_day"),
+        )
+    )

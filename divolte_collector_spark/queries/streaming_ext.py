@@ -147,3 +147,59 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_UPSERT_ORACLE = """
+SELECT user_id, CAST(event_id AS BIGINT) AS event_id, event_type
+FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("streaming_upsert_latest", oracle=_UPSERT_ORACLE)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a latest-event-per-user TABLE with the foreachBatch
+    upsert sink (streaming/upsert.py): the events table replays as a
+    multi-batch stream (maxFilesPerTrigger=1 over several json parts
+    forces real incremental merges), each micro-batch merges into the
+    keyed parquet table with an atomic version-pointer flip, and the
+    published table is returned. The oracle is the batch argmax — the
+    streamed merge sequence must converge to exactly it."""
+    from divolte_collector_spark.streaming.upsert import (
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="dvs_upsertq_")
+    src, table, ckpt = (f"{base}/{d}" for d in ("src", "table", "ckpt"))
+    try:
+        # several source files -> several micro-batches -> several merges
+        ev.repartition(2).write.mode("overwrite").json(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, event_type string, ts timestamp"
+        ).option("maxFilesPerTrigger", "1").json(src)
+        q = (
+            upsert_sink(
+                stream, table, ckpt,
+                key_cols=["user_id"], order_col="ts", tiebreak="event_id",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = read_upsert_table(spark, table).select(
+            "user_id", "event_id", "event_type"
+        )
+        # materialize before the tempdir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

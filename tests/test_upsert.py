@@ -1,0 +1,100 @@
+"""streaming/upsert.py: keyed merge semantics, replay idempotency,
+atomic version publishing, partition-touch rewrites."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.streaming.upsert import (
+    current_version,
+    merge_batch,
+    read_upsert_table,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts long, v string, day string"
+    )
+
+
+def test_merge_keeps_latest_per_key(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark, _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d1")]), 0,
+        path, ["k"], "ts", "k",
+    )
+    merge_batch(
+        spark,
+        _df(spark, [(1, 20, "a2", "d1"), (3, 5, "c", "d2")]), 1,
+        path, ["k"], "ts", "k",
+    )
+    out = {r.k: r for r in read_upsert_table(spark, path).collect()}
+    assert out[1].v == "a2" and out[1].ts == 20  # newer wins
+    assert out[2].v == "b" and out[3].v == "c"  # carried / inserted
+
+
+def test_stale_update_does_not_regress(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_batch(spark, _df(spark, [(1, 100, "new", "d1")]), 0,
+                path, ["k"], "ts", "k")
+    merge_batch(spark, _df(spark, [(1, 50, "old", "d1")]), 1,
+                path, ["k"], "ts", "k")
+    assert read_upsert_table(spark, path).collect()[0].v == "new"
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b0 = _df(spark, [(1, 10, "a", "d1")])
+    b1 = _df(spark, [(1, 20, "a2", "d1")])
+    merge_batch(spark, b0, 0, path, ["k"], "ts", "k")
+    merge_batch(spark, b1, 1, path, ["k"], "ts", "k")
+    before = sorted(map(tuple, read_upsert_table(spark, path).collect()))
+    # foreachBatch redelivers batch 1 after a failure: published version
+    # already covers it, so the merge must be a no-op
+    merge_batch(spark, b1, 1, path, ["k"], "ts", "k")
+    merge_batch(spark, b0, 0, path, ["k"], "ts", "k")  # even older replay
+    after = sorted(map(tuple, read_upsert_table(spark, path).collect()))
+    assert before == after and current_version(path) == 1
+
+
+def test_version_pointer_flips_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_batch(spark, _df(spark, [(1, 1, "x", "d1")]), 3,
+                path, ["k"], "ts", "k")
+    assert current_version(path) == 3
+    merge_batch(spark, _df(spark, [(1, 2, "y", "d1")]), 7,
+                path, ["k"], "ts", "k")
+    assert current_version(path) == 7
+    versions = [e for e in os.listdir(path) if e.startswith("_v")]
+    assert versions == ["_v7"]  # superseded _v3 pruned after the flip
+
+
+def test_partition_touch_carries_untouched_by_hardlink(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d2")]), 0,
+        path, ["k"], "ts", "k", partition_col="day",
+    )
+    v0 = os.path.join(path, "_v0", "day=d2")
+    d2_inodes = {
+        f: os.stat(os.path.join(v0, f)).st_ino
+        for f in os.listdir(v0) if f.endswith(".parquet")
+    }
+    # batch touches ONLY d1; d2 must carry by hardlink, not rewrite
+    merge_batch(
+        spark, _df(spark, [(1, 20, "a2", "d1")]), 1,
+        path, ["k"], "ts", "k", partition_col="day",
+    )
+    v1 = os.path.join(path, "_v1", "day=d2")
+    for f, ino in d2_inodes.items():
+        assert os.stat(os.path.join(v1, f)).st_ino == ino
+    out = {r.k: r for r in read_upsert_table(spark, path).collect()}
+    assert out[1].v == "a2" and out[2].v == "b"
+    # partition column survives the round-trip as table data
+    assert set(
+        r.day for r in read_upsert_table(spark, path).select("day").collect()
+    ) == {"d1", "d2"}

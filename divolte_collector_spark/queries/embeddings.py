@@ -598,3 +598,80 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 9).alias("scale"),
         F.to_json(q.cast("array<long>")).alias("q"),
     )
+
+
+# --- persisted IVF index: build once, partition-pruned probe ----------------
+# The deployment split the in-memory ANN queries above don't show: the
+# index is BUILT once (centroids + per-list assignments written to
+# parquet, partitioned by centroid id) and PROBED later by a process
+# that never sees the build. The probe resolves its candidate lists
+# driver-side against the tiny centroid table and reads the
+# assignments relation with a partition filter — at 100 TB the scan
+# touches only the probed lists' files (planning-time partition
+# pruning, pinned in test_plan_shapes), which is the entire point of
+# an IVF layout on disk. Same semantics as ann_ivf_kmeans (one Lloyd
+# step from the same seeds), so it shares that query's oracle.
+
+
+@query("vector_index_persist_probe", oracle=_KMEANS_IVF_ORACLE)
+def q_vector_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    c0 = [
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
+    ]
+    base = tempfile.mkdtemp(prefix="dvs_ivfindex_")
+    try:
+        # ---- build: learn centroids, persist the index layout ----
+        _, c1 = lloyd_iterate(e, c0, iterations=1)
+        assigned = _assign(e, c1)
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(
+            f"{base}/lists"
+        )
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in c1], "cid int, cemb array<double>"
+        ).write.mode("overwrite").parquet(f"{base}/centroids")
+
+        # ---- probe: a reader that only sees the on-disk index ----
+        index = spark.read.parquet(f"{base}/lists")
+        probes = index.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("cid").alias("q_cid"),
+        )
+        probe_cids = sorted(
+            {int(r.q_cid) for r in probes.select("q_cid").distinct().collect()}
+        )
+        # partition filter -> only the probed lists' files are scanned
+        lists = index.filter(F.col("cid").isin(probe_cids))
+        scored = lists.join(
+            F.broadcast(probes),
+            (F.col("cid") == F.col("q_cid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        out = (
+            scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(F.col("cos"), 4).alias("cosine_sim"),
+                "rnk",
+            )
+        )
+        # materialize before the index tempdir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

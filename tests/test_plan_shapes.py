@@ -269,3 +269,24 @@ def test_skew_salted_join_shuffled_hash(spark):
         all_queries()["skew_salted_replicate_join"].fn(spark, SF)
     )
     assert "ShuffledHashJoin" in plan
+
+
+def test_vector_index_probe_partition_pruning(spark, tmp_path):
+    # the on-disk IVF layout's reason to exist: probing must prune to
+    # the candidate lists' partitions at planning time
+    from pyspark.sql import functions as F
+
+    from divolte_collector_spark.plans import explain_formatted
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 8).alias("cid")
+    )
+    df.write.partitionBy("cid").parquet(str(tmp_path / "lists"))
+    probe = spark.read.parquet(str(tmp_path / "lists")).filter(
+        F.col("cid").isin([1, 3])
+    )
+    plan = explain_formatted(probe)
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1
+    )[1][:120]
+    assert probe.count() == 26  # 13 rows in each of lists 1 and 3

@@ -517,3 +517,126 @@ def q_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.regexp_extract("journey", _SEQ_PATTERN, 0)).cast("long"),
         ).alias("path_len"),
     )
+
+
+# --- per-user rate throttling (load shedding) -------------------------------
+# Server-side event throttling: keep at most N events per user per
+# minute bucket, flag the overflow (the ingest-side load-shedding /
+# bot-mitigation gate in front of expensive mapping). One shuffle on
+# (user, minute); at 100 TB the minute bucket bounds every window
+# partition to one user-minute of traffic, so a runaway client cannot
+# concentrate a reducer the way an unbucketed per-user window would.
+
+_THROTTLE_N = 3
+
+_THROTTLE_ORACLE = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       (rn > {_THROTTLE_N}) AS dropped
+FROM (
+    SELECT event_id,
+           row_number() OVER (
+               PARTITION BY user_id, date_trunc('minute', ts)
+               ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+)
+"""
+
+
+@query("throttle_per_user_minute", oracle=_THROTTLE_ORACLE)
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("minute", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        (F.row_number().over(w) > _THROTTLE_N).alias("dropped"),
+    )
+
+
+# --- bot scoring ------------------------------------------------------------
+# Clickstream-quality heuristics over per-user cadence: sustained
+# event rate, burstiness (max events in any one minute), and
+# metronomic regularity (population-stddev of inter-event gaps — a
+# scripted client fires on a timer, a human does not). Two shuffles
+# (lag window on user, then the per-user aggregate); every input is a
+# plain column expression, so the same thresholds run on the oracle.
+
+_BOT_RATE_PER_MIN = 3.0  # sustained events/minute
+_BOT_BURST = 5  # events in a single minute
+
+_BOT_ORACLE = f"""
+WITH gaps AS (
+    SELECT user_id, ts,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+    FROM events
+),
+per_min AS (
+    SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS n
+    FROM events GROUP BY user_id, m
+),
+burst AS (SELECT user_id, max(n) AS max_per_min FROM per_min GROUP BY user_id),
+agg AS (
+    -- population stddev from EXACT integer sums: both engines then
+    -- evaluate the identical IEEE expression (native stddev_pop
+    -- differs in summation order across engines at the last ulp)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(count(*) / greatest(
+               (max(epoch_ms(ts)) - min(epoch_ms(ts))) / 60000.0, 1.0), 6)
+               AS events_per_min,
+           round(CASE WHEN count(gap_ms) = 0 THEN 0.0 ELSE sqrt(greatest(
+               (CAST(sum(gap_ms * gap_ms) AS DOUBLE)
+                - CAST(sum(gap_ms) AS DOUBLE) * sum(gap_ms) / count(gap_ms))
+               / count(gap_ms), 0.0)) END, 3) AS gap_stddev_ms
+    FROM gaps GROUP BY user_id
+)
+SELECT a.user_id, CAST(a.n_events AS BIGINT) AS n_events,
+       a.events_per_min, CAST(b.max_per_min AS BIGINT) AS max_per_min,
+       a.gap_stddev_ms,
+       (a.events_per_min >= {_BOT_RATE_PER_MIN}
+        OR b.max_per_min >= {_BOT_BURST}) AS bot_suspect
+FROM agg a JOIN burst b USING (user_id)
+"""
+
+
+@query("user_bot_score", oracle=_BOT_ORACLE)
+def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gaps = ev.withColumn("gap_ms", ms - F.lag(ms).over(wu))
+    n_g = F.count("gap_ms")
+    s1 = F.sum("gap_ms").cast("double")
+    s2 = F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("double")
+    # population stddev from exact integer sums (see oracle comment)
+    std = F.when(n_g == 0, F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest((s2 - s1 * F.sum("gap_ms") / n_g) / n_g, F.lit(0.0)))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.count(F.lit(1))
+            / F.greatest(
+                (F.max(ms) - F.min(ms)) / F.lit(60000.0), F.lit(1.0)
+            ),
+            6,
+        ).alias("events_per_min"),
+        F.round(std, 3).alias("gap_stddev_ms"),
+    )
+    burst = (
+        ev.groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.max("n").alias("max_per_min"))
+    )
+    return agg.join(burst, "user_id").select(
+        "user_id", "n_events", "events_per_min", "max_per_min",
+        "gap_stddev_ms",
+        (
+            (F.col("events_per_min") >= _BOT_RATE_PER_MIN)
+            | (F.col("max_per_min") >= _BOT_BURST)
+        ).alias("bot_suspect"),
+    )

@@ -640,3 +640,46 @@ def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("max_per_min") >= _BOT_BURST)
         ).alias("bot_suspect"),
     )
+
+
+# --- event-type transition matrix (first-order Markov) ----------------------
+# The navigation-flow summary downstream of sessionization: P(next
+# event type | current event type), estimated from every adjacent pair
+# in each user's ordered stream. One lag window keyed by user (the
+# same shuffle sessionization already pays), then a transition-pair
+# aggregation whose output is |types|^2 — constant-size regardless of
+# corpus, so the per-row probability join is a broadcast of the
+# row-marginal totals.
+
+_TRANSITION_ORACLE = """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS src, event_type AS dst
+    FROM events
+),
+counts AS (
+    SELECT src, dst, count(*) AS n FROM pairs
+    WHERE src IS NOT NULL GROUP BY src, dst
+),
+totals AS (SELECT src, sum(n) AS tot FROM counts GROUP BY src)
+SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+FROM counts c JOIN totals t USING (src)
+"""
+
+
+@query("transition_matrix_events", oracle=_TRANSITION_ORACLE)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(wu).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(totals), "src").select(
+        "src", "dst", "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )

@@ -1,0 +1,116 @@
+"""Randomized equivalence proofs for the scale formulations.
+
+The oracle gate checks each scale-shaped query against fixed corpora;
+these tests check the underlying CLAIMS on seeded random data, where
+the pruning arguments actually have to hold:
+
+- salted two-phase per-group top-K == one-window top-K
+- salted replicate join == plain join
+- count-min-sketch min-over-rows upper-bounds every true count
+  (the no-false-negative candidate argument)
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_salted_topk_equals_global_topk(spark):
+    rng = random.Random(7)
+    # skewed groups: group 0 holds half the rows
+    rows = [
+        (i, rng.choice([0, 0, 0, 0, 1, 2, 3]), rng.random())
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp int, noise double")
+    K, SALTS = 7, 5
+    rk = F.md5(F.col("id").cast("string"))
+
+    w_direct = Window.partitionBy("grp").orderBy(rk, "id")
+    direct = (
+        df.withColumn("r", F.row_number().over(w_direct))
+        .filter(F.col("r") <= K).select("grp", "id")
+    )
+    w1 = Window.partitionBy("grp", F.col("id") % SALTS).orderBy(rk, "id")
+    w2 = Window.partitionBy("grp").orderBy(rk, "id")
+    two_phase = (
+        df.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= K)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= K).select("grp", "id")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, two_phase.collect())
+    )
+
+
+def test_salted_replicate_join_equals_plain_join(spark):
+    rng = random.Random(11)
+    fact = spark.createDataFrame(
+        [(i, rng.randrange(20)) for i in range(3000)], "row_id long, key int"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(20)], "key int, payload string"
+    )
+    S = 6
+    plain = fact.join(dim, "key").select("row_id", "payload")
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64("row_id"), F.lit(S)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    salted = salted_fact.join(
+        salted_dim.hint("SHUFFLE_HASH"), ["key", "_salt"]
+    ).select("row_id", "payload")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_cms_min_upper_bounds_every_true_count(spark):
+    rng = random.Random(3)
+    toks = [f"t{rng.randrange(40)}" for _ in range(5000)]
+    true_counts = Counter(toks)
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    SEEDS, W = (101, 211, 307), 32  # small W forces real collisions
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col("tok"), F.lit(s)), F.lit(W)).alias(
+                    "slot"
+                ),
+            )
+            for i, s in enumerate(SEEDS)
+        ]
+    )
+    sketch = {
+        (r.i, r.slot): r.c
+        for r in df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    probe = (
+        df.distinct()
+        .select("tok", F.explode(cells).alias("c"))
+        .select("tok", F.col("c.i").alias("i"), F.col("c.slot").alias("slot"))
+        .collect()
+    )
+    upper: dict[str, int] = {}
+    per_tok: dict[str, list[int]] = {}
+    for r in probe:
+        per_tok.setdefault(r.tok, []).append(sketch[(r.i, r.slot)])
+    for tok, cs in per_tok.items():
+        upper[tok] = min(cs)
+    # every true count is bounded above by the sketch minimum, so a
+    # threshold filter on the sketch can never drop a real heavy hitter
+    for tok, n in true_counts.items():
+        assert upper[tok] >= n, (tok, upper[tok], n)
+    # and with W=32 there ARE collisions, so the bound is doing work
+    assert any(upper[t] > true_counts[t] for t in true_counts)

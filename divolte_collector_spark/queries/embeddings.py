@@ -675,3 +675,94 @@ def q_vector_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- product quantization encode --------------------------------------------
+# The memory-side compression IVF deployments pair with (IVF-PQ): the
+# 64-dim vector splits into M=8 subspaces of 8 dims, each subspace
+# quantizes independently against a K=16-codeword codebook, and the
+# vector is stored as 8 one-byte codes (64x smaller than float32).
+# Codebooks here are seeded from the first K vectors' subvectors (the
+# learned-codebook variant would run lloyd_iterate per subspace — the
+# loop is already proven by ann_ivf_kmeans). Shape: the K*M codebook
+# broadcasts; encoding is a map-side argmin per (vector, subspace) —
+# the fact table never shuffles for encoding, only the (vec, M)-row
+# explode feeds the per-pair window. The squared-distance fold is
+# written as an explicit left fold on BOTH engines so the argmin
+# compares bit-identical doubles.
+
+PQ_M = 8  # subspaces
+PQ_D = 8  # dims per subspace
+PQ_K = 16  # codewords per subspace
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+js AS (SELECT unnest(range({PQ_M})) AS j),
+cb AS (
+    SELECT j, vec_id AS code_id, emb[j*{PQ_D}+1 : j*{PQ_D}+{PQ_D}] AS cw
+    FROM e CROSS JOIN js WHERE vec_id < {PQ_K}
+),
+sub AS (
+    SELECT vec_id, j, emb[j*{PQ_D}+1 : j*{PQ_D}+{PQ_D}] AS sv
+    FROM e CROSS JOIN js
+),
+dists AS (
+    SELECT s.vec_id, s.j, c.code_id,
+           list_reduce(
+               list_transform(range({PQ_D}),
+                              i -> (s.sv[i+1] - c.cw[i+1]) ** 2),
+               (a, b) -> a + b) AS d2
+    FROM sub s JOIN cb c ON c.j = s.j
+),
+best AS (
+    SELECT vec_id, j, code_id, d2,
+           row_number() OVER (
+               PARTITION BY vec_id, j ORDER BY d2, code_id) AS rn
+    FROM dists
+)
+SELECT vec_id,
+       '[' || string_agg(code_id::VARCHAR, ',' ORDER BY j) || ']' AS codes,
+       round(sum(d2), 6) AS total_sq_err
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+@query("vector_pq_encode", oracle=_PQ_ORACLE)
+def q_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
+    subvec = F.slice("emb", F.col("j") * PQ_D + 1, PQ_D)
+    sub = e.select("vec_id", "emb", js).select(
+        "vec_id", "j", subvec.alias("sv")
+    )
+    cb = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code_id"), "emb", js)
+        .select("code_id", "j", subvec.alias("cw"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dists = sub.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "code_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy("d2", "code_id")
+    best = dists.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.to_json(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "code_id"))),
+                    lambda s: s["code_id"],
+                )
+            ).alias("codes"),
+            F.round(F.sum("d2"), 6).alias("total_sq_err"),
+        )
+    )

@@ -683,3 +683,63 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
     )
+
+
+# --- incremental sessionization with carry-over -----------------------------
+# The incremental-view-maintenance version of C3: yesterday's corpus
+# is already sessionized; today's batch must get labels CONSISTENT
+# with a full recomputation — the hard part is sessions spanning the
+# batch boundary (an event 10 minutes after the last pre-boundary
+# event continues that session and must NOT be first_in_session).
+# The only state carried from history is one (user, last_activity)
+# row per user — the open-session cursor a daily pipeline would keep
+# as a keyed state table — so the incremental job scans today's
+# events plus a user-sized relation instead of the full history.
+# The oracle recomputes over ALL events and filters to the batch:
+# the incremental labels must match the full recomputation exactly.
+
+_STITCH_BOUNDARY = "2024-01-20"
+_STITCH_GAP_US = 30 * 60 * 1_000_000
+
+_STITCH_ORACLE = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       (prev_us IS NULL OR epoch_us(ts) - prev_us > {_STITCH_GAP_US})
+           AS first_in_session
+FROM (
+    SELECT event_id, ts,
+           lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+)
+WHERE ts >= TIMESTAMP '{_STITCH_BOUNDARY} 00:00:00'
+"""
+
+
+@query("stitch_sessions_incremental", oracle=_STITCH_ORACLE)
+def q_stitch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    boundary = F.lit(f"{_STITCH_BOUNDARY} 00:00:00").cast("timestamp")
+    history = ev.filter(F.col("ts") < boundary)
+    batch = ev.filter(F.col("ts") >= boundary)
+
+    # the maintained state: one open-session cursor per user
+    carry = history.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("carry_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_in_batch = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    labeled = (
+        batch.join(carry, "user_id", "left")
+        .withColumn(
+            "_prev_us", F.coalesce(prev_in_batch, F.col("carry_us"))
+        )
+        .withColumn(
+            "first_in_session",
+            F.col("_prev_us").isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.col("_prev_us"))
+                > _STITCH_GAP_US
+            ),
+        )
+    )
+    return labeled.select("event_id", "first_in_session")

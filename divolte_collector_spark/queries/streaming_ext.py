@@ -203,3 +203,52 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_ERASURE_ORACLE = """
+SELECT user_id, CAST(event_id AS BIGINT) AS event_id
+FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+WHERE rn = 1 AND user_id % 5 <> 0
+"""
+
+
+@query("user_erasure_rewrite", oracle=_ERASURE_ORACLE)
+def user_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten end to end: materialize the latest-per-user
+    versioned table (streaming/upsert.py), erase every user whose id is
+    divisible by 5 with the atomic rewrite-and-retire primitive, and
+    return the published table — which must equal the oracle's
+    filtered argmax exactly."""
+    from divolte_collector_spark.streaming.upsert import (
+        erase_keys,
+        merge_batch,
+        read_upsert_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    subjects = [
+        int(r.user_id)
+        for r in ev.select("user_id").distinct().collect()
+        if r.user_id % 5 == 0
+    ]
+    base = tempfile.mkdtemp(prefix="dvs_eraseq_")
+    try:
+        merge_batch(
+            spark, ev, 0, f"{base}/table",
+            key_cols=["user_id"], order_col="ts", tiebreak="event_id",
+        )
+        erase_keys(spark, f"{base}/table", "user_id", subjects)
+        out = read_upsert_table(spark, f"{base}/table").select(
+            "user_id", "event_id"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

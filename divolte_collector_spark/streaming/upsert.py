@@ -167,3 +167,74 @@ def upsert_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def erase_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    values: list,
+    partition_col: str | None = None,
+) -> None:
+    """Right-to-be-forgotten over the versioned keyed table: delete
+    every row whose ``key_col`` is in ``values`` and publish the new
+    version atomically (same pointer flip as the upsert merge, so
+    readers see either the pre- or post-erasure table, never a mix).
+
+    With a ``partition_col`` only partitions that actually contain the
+    targeted keys are rewritten; untouched partitions carry into the
+    new version by hardlink — at 100 TB an erasure request touches the
+    handful of partitions holding that party's rows (the
+    party-clustered layout keeps them few), so deletion cost tracks
+    the subject's data, not the table. The erased version is a fresh
+    directory: once the old version is pruned, no file containing the
+    subject's rows remains (parquet has no in-place delete —
+    rewrite-and-retire IS the compliant primitive).
+    """
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no published version under {path}")
+    prev_dir = _version_dir(path, prev)
+    new_version = prev + 1
+    new_dir = _version_dir(path, new_version)
+    shutil.rmtree(new_dir, ignore_errors=True)
+
+    existing = spark.read.parquet(prev_dir)
+    # NOT IN is null-hostile: a null key must survive the erasure, not
+    # vanish with the targets
+    keep = ~F.col(key_col).isin(values) | F.col(key_col).isNull()
+    if partition_col is None:
+        existing.filter(keep).write.mode("overwrite").parquet(new_dir)
+    else:
+        touched = [
+            r[0]
+            for r in existing.filter(F.col(key_col).isin(values))
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        (
+            existing.filter(F.col(partition_col).isin(touched) & keep)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(new_dir)
+        )
+        touched_dirs = {f"{partition_col}={t}" for t in touched}
+        for entry in os.listdir(prev_dir):
+            if (
+                entry.startswith(f"{partition_col}=")
+                and entry not in touched_dirs
+            ):
+                shutil.copytree(
+                    os.path.join(prev_dir, entry),
+                    os.path.join(new_dir, entry),
+                    copy_function=os.link,
+                )
+
+    tmp = os.path.join(path, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(new_version))
+    os.replace(tmp, os.path.join(path, _CURRENT))
+    for entry in os.listdir(path):
+        if entry.startswith("_v") and entry != f"_v{new_version}":
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)

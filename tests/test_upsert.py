@@ -98,3 +98,43 @@ def test_partition_touch_carries_untouched_by_hardlink(spark, tmp_path):
     assert set(
         r.day for r in read_upsert_table(spark, path).select("day").collect()
     ) == {"d1", "d2"}
+
+
+def test_erase_keys_removes_subject_and_bumps_version(spark, tmp_path):
+    from divolte_collector_spark.streaming.upsert import erase_keys
+
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d1"), (3, 10, "c", "d2")]),
+        0, path, ["k"], "ts", "k",
+    )
+    erase_keys(spark, path, "k", [2])
+    out = sorted(r.k for r in read_upsert_table(spark, path).collect())
+    assert out == [1, 3]
+    assert current_version(path) == 1
+    # the pre-erasure version (containing subject rows) is retired
+    assert [e for e in os.listdir(path) if e.startswith("_v")] == ["_v1"]
+
+
+def test_erase_keys_partition_touch(spark, tmp_path):
+    from divolte_collector_spark.streaming.upsert import erase_keys
+
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d2"), (3, 10, "c", "d2")]),
+        0, path, ["k"], "ts", "k", partition_col="day",
+    )
+    v0d1 = os.path.join(path, "_v0", "day=d1")
+    d1_inodes = {
+        f: os.stat(os.path.join(v0d1, f)).st_ino
+        for f in os.listdir(v0d1) if f.endswith(".parquet")
+    }
+    # subject lives only in d2: d1 must carry by hardlink
+    erase_keys(spark, path, "k", [2], partition_col="day")
+    v1d1 = os.path.join(path, "_v1", "day=d1")
+    for f, ino in d1_inodes.items():
+        assert os.stat(os.path.join(v1d1, f)).st_ino == ino
+    out = {r.k: r.day for r in read_upsert_table(spark, path).collect()}
+    assert out == {1: "d1", 3: "d2"}

@@ -61,6 +61,21 @@ def build(k: int, out_dir: str) -> None:
                     "text",
                     F.concat_ws(" ", F.col("text"), F.concat(F.lit("r"), F.col("_r"))),
                 ).withColumn("n_chars", F.length("text"))
+            if table == "embeddings":
+                # perturb per replica: exact-duplicate vectors would give
+                # every original 100 identical LSH siblings -> K^2 pair
+                # blowup no real corpus has; a small deterministic nudge
+                # keeps neighborhoods while breaking exact ties
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(
+                            (F.element_at("embedding", 1)
+                             + F.col("_r") * F.lit(0.003)).cast("float")
+                        ),
+                        F.slice("embedding", 2, 10_000),
+                    ),
+                )
             out = rep.drop("_r")
         out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
         print(f"{table}: x{k} -> {out_dir}/{table}.parquet", file=sys.stderr)

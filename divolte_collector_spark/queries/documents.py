@@ -1436,3 +1436,65 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return _docs(spark, sf_dir).select("doc_id", "source", split.alias("split"))
+
+
+# --- snapshot drift (population stability index) ----------------------------
+# Corpus monitoring between two snapshots (yesterday's crawl vs
+# today's): bin a feature, compare the two distributions with PSI =
+# sum((p - q) * ln(p / q)). Here the snapshots are the even/odd halves
+# of the corpus and the feature is document length. Two partial-agg
+# shuffles over bin ids (output is |bins| rows); the PSI sum itself is
+# a scalar fold over the bin relation. Laplace-smoothed so empty bins
+# don't produce infinities; all arithmetic is the same explicit
+# expression on both engines.
+
+_PSI_BIN_W = 40  # chars per bin
+_PSI_EPS = 0.5  # Laplace smoothing count
+
+
+_DRIFT_ORACLE = f"""
+WITH snap AS (
+    SELECT doc_id % 2 AS snap_id, n_chars // {_PSI_BIN_W} AS bin
+    FROM documents
+),
+counts AS (
+    SELECT bin,
+           sum(CASE WHEN snap_id = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN snap_id = 1 THEN 1 ELSE 0 END) AS n1
+    FROM snap GROUP BY bin
+),
+tot AS (SELECT sum(n0) AS t0, sum(n1) AS t1, count(*) AS nb FROM counts),
+probs AS (
+    SELECT bin,
+           (n0 + {_PSI_EPS}) / (t0 + {_PSI_EPS} * nb) AS p,
+           (n1 + {_PSI_EPS}) / (t1 + {_PSI_EPS} * nb) AS q
+    FROM counts, tot
+)
+SELECT CAST(bin AS BIGINT) AS bin, round(p, 9) AS p, round(q, 9) AS q,
+       round((p - q) * ln(p / q), 9) AS psi_term
+FROM probs
+"""
+
+
+@query("snapshot_drift_psi", oracle=_DRIFT_ORACLE)
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 2).alias("snap_id"),
+        F.floor(F.col("n_chars") / _PSI_BIN_W).alias("bin"),
+    )
+    counts = docs.groupBy("bin").agg(
+        F.sum(F.when(F.col("snap_id") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("snap_id") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    tot = counts.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("n0") + _PSI_EPS) / (F.col("t0") + _PSI_EPS * F.col("nb"))
+    q = (F.col("n1") + _PSI_EPS) / (F.col("t1") + _PSI_EPS * F.col("nb"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round(p, 9).alias("p"),
+        F.round(q, 9).alias("q"),
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+    )

@@ -193,6 +193,8 @@ def test_every_gated_query_scale_discipline(spark):
         "q22_idle_customers",
         "knn_bruteforce_cosine",
         "embedding_near_dup",
+        # one-row broadcast of the bin totals (scalar-subquery shape)
+        "snapshot_drift_psi",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):

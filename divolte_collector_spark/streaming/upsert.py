@@ -45,12 +45,60 @@ def _version_dir(path: str, version: int) -> str:
     return os.path.join(path, f"_v{version}")
 
 
-def current_version(path: str) -> int | None:
+def _read_pointer(path: str) -> tuple[int, int] | None:
+    """(version, applied_batch_watermark) from the pointer file.
+
+    The two counters are distinct on purpose: the VERSION increments on
+    every publish (merges AND erasures), while the WATERMARK tracks the
+    highest merged batch id for replay idempotency. Conflating them
+    (version = batch_id) silently drops the first merge after an
+    erasure, because the erasure's version bump looks like a
+    further-ahead batch."""
     try:
         with open(os.path.join(path, _CURRENT)) as fh:
-            return int(fh.read().strip())
+            parts = fh.read().split()
+            if len(parts) == 1:  # legacy single-number pointer
+                return int(parts[0]), int(parts[0])
+            return int(parts[0]), int(parts[1])
     except (FileNotFoundError, ValueError):
         return None
+
+
+def _publish(path: str, version: int, watermark: int) -> None:
+    tmp = os.path.join(path, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{version} {watermark}")
+    os.replace(tmp, os.path.join(path, _CURRENT))
+    for entry in os.listdir(path):
+        if entry.startswith("_v") and entry != f"_v{version}":
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+
+def current_version(path: str) -> int | None:
+    ptr = _read_pointer(path)
+    return None if ptr is None else ptr[0]
+
+
+def _carry_partitions(
+    prev_dir: str, new_dir: str, partition_col: str, touched: list
+) -> None:
+    """Hardlink untouched partition directories into the new version
+    (falls back to copying when the filesystem refuses cross-links)."""
+    touched_dirs = {f"{partition_col}={t}" for t in touched}
+    for entry in os.listdir(prev_dir):
+        if entry.startswith(f"{partition_col}=") and entry not in touched_dirs:
+            try:
+                shutil.copytree(
+                    os.path.join(prev_dir, entry),
+                    os.path.join(new_dir, entry),
+                    copy_function=os.link,
+                )
+            except OSError:
+                shutil.copytree(
+                    os.path.join(prev_dir, entry),
+                    os.path.join(new_dir, entry),
+                    dirs_exist_ok=True,
+                )
 
 
 def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
@@ -86,10 +134,12 @@ def merge_batch(
 ) -> None:
     """Merge one micro-batch into the keyed table at ``path``."""
     os.makedirs(path, exist_ok=True)
-    prev = current_version(path)
-    if prev is not None and prev >= batch_id:
-        return  # replayed batch already published: idempotent skip
-    new_dir = _version_dir(path, batch_id)
+    ptr = _read_pointer(path)
+    if ptr is not None and ptr[1] >= batch_id:
+        return  # replayed batch already merged: idempotent skip
+    prev = None if ptr is None else ptr[0]
+    new_version = 0 if ptr is None else ptr[0] + 1
+    new_dir = _version_dir(path, new_version)
     shutil.rmtree(new_dir, ignore_errors=True)  # crashed earlier attempt
 
     if prev is None:
@@ -121,26 +171,10 @@ def merge_batch(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(
             new_dir
         )
-        touched_dirs = {f"{partition_col}={t}" for t in touched}
-        for entry in os.listdir(prev_dir):
-            if (
-                entry.startswith(f"{partition_col}=")
-                and entry not in touched_dirs
-            ):
-                shutil.copytree(
-                    os.path.join(prev_dir, entry),
-                    os.path.join(new_dir, entry),
-                    copy_function=os.link,  # carry files by reference
-                )
+        _carry_partitions(prev_dir, new_dir, partition_col, touched)
 
     # atomic pointer flip, then prune superseded versions
-    tmp = os.path.join(path, _CURRENT + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
-    os.replace(tmp, os.path.join(path, _CURRENT))
-    for entry in os.listdir(path):
-        if entry.startswith("_v") and entry != f"_v{batch_id}":
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    _publish(path, new_version, batch_id)
 
 
 def upsert_sink(
@@ -191,9 +225,10 @@ def erase_keys(
     subject's rows remains (parquet has no in-place delete —
     rewrite-and-retire IS the compliant primitive).
     """
-    prev = current_version(path)
-    if prev is None:
+    ptr = _read_pointer(path)
+    if ptr is None:
         raise FileNotFoundError(f"no published version under {path}")
+    prev, watermark = ptr
     prev_dir = _version_dir(path, prev)
     new_version = prev + 1
     new_dir = _version_dir(path, new_version)
@@ -219,22 +254,8 @@ def erase_keys(
             .partitionBy(partition_col)
             .parquet(new_dir)
         )
-        touched_dirs = {f"{partition_col}={t}" for t in touched}
-        for entry in os.listdir(prev_dir):
-            if (
-                entry.startswith(f"{partition_col}=")
-                and entry not in touched_dirs
-            ):
-                shutil.copytree(
-                    os.path.join(prev_dir, entry),
-                    os.path.join(new_dir, entry),
-                    copy_function=os.link,
-                )
+        _carry_partitions(prev_dir, new_dir, partition_col, touched)
 
-    tmp = os.path.join(path, _CURRENT + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(new_version))
-    os.replace(tmp, os.path.join(path, _CURRENT))
-    for entry in os.listdir(path):
-        if entry.startswith("_v") and entry != f"_v{new_version}":
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    # erasure bumps the version but not the batch watermark: the next
+    # micro-batch must still merge, not be mistaken for a replay
+    _publish(path, new_version, watermark)

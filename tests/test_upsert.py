@@ -61,15 +61,38 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 
 
 def test_version_pointer_flips_and_prunes(spark, tmp_path):
+    # versions are sequential publishes, independent of batch ids
     path = str(tmp_path / "t")
     merge_batch(spark, _df(spark, [(1, 1, "x", "d1")]), 3,
                 path, ["k"], "ts", "k")
-    assert current_version(path) == 3
+    assert current_version(path) == 0
     merge_batch(spark, _df(spark, [(1, 2, "y", "d1")]), 7,
                 path, ["k"], "ts", "k")
-    assert current_version(path) == 7
+    assert current_version(path) == 1
     versions = [e for e in os.listdir(path) if e.startswith("_v")]
-    assert versions == ["_v7"]  # superseded _v3 pruned after the flip
+    assert versions == ["_v1"]  # superseded _v0 pruned after the flip
+    # batch ids 3 and 7 were applied; 7 replayed is a no-op
+    merge_batch(spark, _df(spark, [(1, 0, "stale", "d1")]), 7,
+                path, ["k"], "ts", "k")
+    assert read_upsert_table(spark, path).collect()[0].v == "y"
+
+
+def test_merge_after_erasure_is_not_mistaken_for_replay(spark, tmp_path):
+    # REGRESSION: with version==batch_id semantics, an erasure's version
+    # bump made the next batch look already-applied and silently dropped
+    # it. The batch watermark is tracked separately from the version.
+    from divolte_collector_spark.streaming.upsert import erase_keys
+
+    path = str(tmp_path / "t")
+    merge_batch(spark, _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d1")]),
+                0, path, ["k"], "ts", "k")
+    merge_batch(spark, _df(spark, [(3, 10, "c", "d1")]),
+                1, path, ["k"], "ts", "k")
+    erase_keys(spark, path, "k", [2])  # bumps version past batch ids
+    merge_batch(spark, _df(spark, [(4, 10, "d", "d1")]),
+                2, path, ["k"], "ts", "k")  # must NOT be skipped
+    out = sorted(r.k for r in read_upsert_table(spark, path).collect())
+    assert out == [1, 3, 4]
 
 
 def test_partition_touch_carries_untouched_by_hardlink(spark, tmp_path):

@@ -766,3 +766,122 @@ def q_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("d2"), 6).alias("total_sq_err"),
         )
     )
+
+
+# --- learned product quantization (per-subspace Lloyd) ----------------------
+# vector_pq_encode quantizes against SEEDED codebooks; this learns
+# them: one Lloyd iteration per subspace, with ALL M subspaces trained
+# in a single relation keyed by j — the assignment is one broadcast
+# join + per-(vec, j) argmin, and the recompute is one
+# (j, code, dim)-keyed aggregation bounded by M*K*D rows. Nothing
+# subspace-specific runs M separate jobs; the subspace id is just
+# another grouping column, which is what makes the training loop
+# scale-independent of M. Encoding against the learned books then
+# reuses the same argmin shape.
+
+_PQL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+js AS (SELECT unnest(range({PQ_M})) AS j),
+sub AS (
+    SELECT vec_id, j, emb[j*{PQ_D}+1 : j*{PQ_D}+{PQ_D}] AS sv
+    FROM e CROSS JOIN js
+),
+cb0 AS (
+    SELECT j, vec_id AS code_id, sv AS cw FROM sub WHERE vec_id < {PQ_K}
+),
+a1 AS (
+    SELECT vec_id, j, code_id, sv FROM (
+        SELECT s.vec_id, s.j, c.code_id, s.sv,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.j
+                   ORDER BY list_reduce(
+                       list_transform(range({PQ_D}),
+                                      i -> (s.sv[i+1] - c.cw[i+1]) ** 2),
+                       (a, b) -> a + b), c.code_id
+               ) AS rn
+        FROM sub s JOIN cb0 c ON c.j = s.j) x
+    WHERE rn = 1
+),
+cb1 AS (
+    SELECT j, code_id, list(av ORDER BY dim) AS cw FROM (
+        SELECT j, code_id, dim, round(avg(v), 6) AS av
+        FROM (SELECT j, code_id, unnest(sv) AS v,
+                     generate_subscripts(sv, 1) AS dim
+              FROM a1) u
+        GROUP BY j, code_id, dim) m
+    GROUP BY j, code_id
+),
+enc AS (
+    SELECT vec_id, j, code_id, d2 FROM (
+        SELECT s.vec_id, s.j, c.code_id,
+               list_reduce(
+                   list_transform(range({PQ_D}),
+                                  i -> (s.sv[i+1] - c.cw[i+1]) ** 2),
+                   (a, b) -> a + b) AS d2,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.j
+                   ORDER BY list_reduce(
+                       list_transform(range({PQ_D}),
+                                      i -> (s.sv[i+1] - c.cw[i+1]) ** 2),
+                       (a, b) -> a + b), c.code_id
+               ) AS rn
+        FROM sub s JOIN cb1 c ON c.j = s.j) x
+    WHERE rn = 1
+)
+SELECT vec_id,
+       '[' || string_agg(code_id::VARCHAR, ',' ORDER BY j) || ']' AS codes,
+       round(sum(d2), 6) AS total_sq_err
+FROM enc GROUP BY vec_id
+"""
+
+
+@query("vector_pq_learned", oracle=_PQL_ORACLE)
+def q_vector_pq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
+    subvec = F.slice("emb", F.col("j") * PQ_D + 1, PQ_D)
+    sub = e.select("vec_id", "emb", js).select(
+        "vec_id", "j", subvec.alias("sv")
+    )
+    cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "j", F.col("vec_id").alias("code_id"), F.col("sv").alias("cw")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy("d2", "code_id")
+
+    def assign(codebook):
+        return (
+            sub.join(F.broadcast(codebook), "j")
+            .select("vec_id", "j", "code_id", "sv", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    a1 = assign(cb0)
+    cb1 = (
+        a1.select("j", "code_id", F.posexplode("sv").alias("dim", "v"))
+        .groupBy("j", "code_id", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+        .groupBy("j", "code_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "av"))).alias("p"))
+        .select("j", "code_id", F.transform(F.col("p"), lambda s: s.av).alias("cw"))
+    )
+    enc = assign(cb1)
+    return (
+        enc.groupBy("vec_id")
+        .agg(
+            F.to_json(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "code_id"))),
+                    lambda s: s["code_id"],
+                )
+            ).alias("codes"),
+            F.round(F.sum("d2"), 6).alias("total_sq_err"),
+        )
+    )

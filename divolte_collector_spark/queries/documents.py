@@ -1498,3 +1498,78 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 9).alias("q"),
         F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
     )
+
+
+# --- contrastive negative sampling ------------------------------------------
+# Contrastive/embedding training needs (anchor, negative) pairs with
+# negatives drawn uniformly-at-random but REPRODUCIBLY (resumable jobs
+# re-derive the same pairs). The draw is hash-based: negative i of an
+# anchor is md5(anchor:i) mod (N-1), shifted past the anchor itself so
+# a doc never pairs with itself. Pair generation is a map-side explode
+# (no randomness state, no shuffle); fetching the negatives' text is
+# ONE equi-join on doc id — at 100 TB the join is shuffle-on-key
+# against the corpus's own layout, and the k-per-anchor fan-out is the
+# output size, not an intermediate. Assumes the corpus carries a dense
+# 0..N-1 doc index (true of the provided tables; a general corpus
+# derives one once via seeded_corpus_permutation's positions).
+
+_NEG_K = 4
+
+
+_NEG_SAMPLE_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+draws AS (
+    SELECT d.doc_id AS anchor_id, i.i AS neg_rank,
+           CAST(('0x' || substr(md5(d.doc_id || ':' || i.i), 1, 12))
+                AS BIGINT) % ((SELECT n FROM n) - 1) AS off
+    FROM documents d CROSS JOIN (SELECT unnest(range({_NEG_K})) AS i) i
+),
+pairs AS (
+    SELECT anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+           CASE WHEN off >= anchor_id THEN off + 1 ELSE off END AS neg_id
+    FROM draws
+)
+SELECT p.anchor_id, p.neg_rank, p.neg_id, t.source AS neg_source
+FROM pairs p JOIN documents t ON t.doc_id = p.neg_id
+"""
+
+
+@query("sample_negatives_contrastive", oracle=_NEG_SAMPLE_ORACLE)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    draws = docs.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("neg_rank"),
+    ).select(
+        "anchor_id",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("anchor_id").cast("string"),
+                            F.lit(":"),
+                            F.col("neg_rank").cast("string"),
+                        )
+                    ),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(n - 1),
+        ).alias("off"),
+    )
+    pairs = draws.select(
+        "anchor_id", "neg_rank",
+        F.when(F.col("off") >= F.col("anchor_id"), F.col("off") + 1)
+        .otherwise(F.col("off"))
+        .alias("neg_id"),
+    )
+    targets = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return pairs.join(targets, "neg_id").select(
+        "anchor_id", "neg_rank", "neg_id", "neg_source"
+    )

@@ -4,7 +4,8 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB at the given SF, then compares row count, column names, and
 an order-insensitive value multiset.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--window] [sf_dir] [query ...]
+(--window = only the driver-checked first 50 sorted names)
 """
 
 from __future__ import annotations
@@ -54,11 +55,17 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from divolte_collector_spark.session import get_spark
+
+    if window_only:
+        # the driver's checked prefix: first 50 names in sort order
+        only = set(sorted(e.queries())[:50])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()

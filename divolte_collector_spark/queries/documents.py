@@ -1573,3 +1573,70 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(targets, "neg_id").select(
         "anchor_id", "neg_rank", "neg_id", "neg_source"
     )
+
+
+# --- length-bucketed batching (padding-efficiency) --------------------------
+# Training loaders batch similar-length documents together so padding
+# to the batch max wastes little compute. Docs bucket by token-length
+# band, order deterministically inside the band, and chop into
+# fixed-size batches; the emitted per-batch stats (max length, padded
+# vs real tokens, waste fraction) are exactly what a loader needs to
+# pick band widths. One shuffle on the band key; the window partitions
+# by band (bounded by the band's doc count, never the corpus), and the
+# per-batch aggregation reuses the same partitioning.
+
+_LB_BAND = 16  # tokens per length band
+_LB_BATCH = 8  # docs per batch
+
+
+_LENGTH_BATCH_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+ranked AS (
+    SELECT doc_id, n_tokens, n_tokens // {_LB_BAND} AS band,
+           row_number() OVER (
+               PARTITION BY n_tokens // {_LB_BAND}
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS rn
+    FROM t
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(rn // {_LB_BATCH} AS BIGINT) AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+       round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                   / (count(*) * max(n_tokens)), 6) AS pad_waste
+FROM ranked GROUP BY band, rn // {_LB_BATCH}
+"""
+
+
+@query("token_length_batches", oracle=_LENGTH_BATCH_ORACLE)
+def q_token_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    ).withColumn("band", F.floor(F.col("n_tokens") / _LB_BAND))
+    w = Window.partitionBy("band").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = t.withColumn("rn", F.row_number().over(w) - 1)
+    return (
+        ranked.groupBy(
+            F.col("band").cast("long").alias("band"),
+            F.floor(F.col("rn") / _LB_BATCH).cast("long").alias("batch_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("real_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_tokens")),
+                6,
+            ).alias("pad_waste"),
+        )
+    )

@@ -1640,3 +1640,89 @@ def q_token_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste"),
         )
     )
+
+
+# --- corpus overlap via bottom-k sketch -------------------------------------
+# "How much does corpus B overlap corpus A" without joining them: the
+# bottom-k sketch. Hash every distinct shingle, keep the k smallest
+# hash values of the UNION, and count how many of those appear in both
+# corpora — that fraction estimates the Jaccard similarity with
+# standard error ~1/sqrt(k), using k values of state per corpus
+# regardless of corpus size. The gated query computes the estimate AND
+# the exact Jaccard (affordable at test SF) side by side, so the
+# oracle pins both and the estimate's machinery is verified against
+# its own ground truth. Work: one distinct-aggregation per corpus and
+# a k-limit over the union — no shingle-to-shingle join anywhere.
+
+_BK_K = 64
+
+
+_OVERLAP_ORACLE = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id % 2 AS corpus,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x
+),
+hashes AS (SELECT DISTINCT corpus, md5(shingle) AS h FROM sh),
+presence AS (
+    SELECT h, max(CASE WHEN corpus = 0 THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN corpus = 1 THEN 1 ELSE 0 END) AS in_b
+    FROM hashes GROUP BY h
+),
+bottomk AS (SELECT * FROM presence ORDER BY h LIMIT {_BK_K}),
+est AS (
+    SELECT CAST(sum(in_a * in_b) AS BIGINT) AS shared_in_k,
+           CAST(count(*) AS BIGINT) AS k
+    FROM bottomk
+),
+exact AS (
+    SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+           CAST(count(*) AS BIGINT) AS n_union
+    FROM presence
+)
+SELECT e.k, e.shared_in_k,
+       round(CAST(e.shared_in_k AS DOUBLE) / e.k, 6) AS jaccard_est,
+       x.n_inter, x.n_union,
+       round(CAST(x.n_inter AS DOUBLE) / x.n_union, 6) AS jaccard_exact
+FROM est e CROSS JOIN exact x
+"""
+
+
+@query("sketch_corpus_overlap", oracle=_OVERLAP_ORACLE)
+def q_sketch_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        _docs(spark, sf_dir)
+        .select(
+            (F.col("doc_id") % 2).alias("corpus"),
+            F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias(
+                "shingle"
+            ),
+        )
+        .select("corpus", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    presence = sh.groupBy("h").agg(
+        F.max(F.when(F.col("corpus") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("corpus") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    bottomk = presence.orderBy("h").limit(_BK_K)
+    est = bottomk.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("shared_in_k"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    exact = presence.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return est.crossJoin(exact).select(
+        "k", "shared_in_k",
+        F.round(F.col("shared_in_k").cast("double") / F.col("k"), 6).alias(
+            "jaccard_est"
+        ),
+        "n_inter", "n_union",
+        F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6).alias(
+            "jaccard_exact"
+        ),
+    )

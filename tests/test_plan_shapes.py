@@ -195,6 +195,8 @@ def test_every_gated_query_scale_discipline(spark):
         "embedding_near_dup",
         # one-row broadcast of the bin totals (scalar-subquery shape)
         "snapshot_drift_psi",
+        # one-row estimate x one-row exact (scalar-subquery shape)
+        "sketch_corpus_overlap",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):

@@ -347,3 +347,57 @@ def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("min_day"), F.max("y").alias("max_day"),
         )
     )
+
+
+# --- exact equi-depth histogram over the distributed prefix scan ------------
+# Equi-depth (equal-count) histograms are what optimizers and data
+# profilers actually want, but the exact formulation is ntile() over a
+# GLOBAL order — a single window task at scale. This rides
+# operators/prefixsum.py instead: cumulative row counts come from the
+# two-phase scan (bucketed by a monotone value band), and the depth
+# bucket is ceil(cum * B / N). The default RANGE window frame makes
+# value-ties peers that share one cumulative count on BOTH engines,
+# so tie handling is deterministic and identical. One aggregation
+# shuffle + one banded window; the only driver state is the band
+# totals.
+
+_ED_BUCKETS = 8
+_ED_BAND = 25.0  # value units per scan band
+
+
+_EQUIDEPTH_ORACLE = f"""
+WITH c AS (
+    SELECT value,
+           sum(1) OVER (ORDER BY value) AS cum,
+           (SELECT count(*) FROM events) AS n
+    FROM events
+),
+b AS (
+    SELECT value, CAST(ceil(cum * {_ED_BUCKETS} / n) AS BIGINT) AS bucket
+    FROM c
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM b GROUP BY bucket
+"""
+
+
+@query("value_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE)
+def q_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.operators.prefixsum import global_cumsum
+
+    ev = _events(spark, sf_dir).select(
+        "value", F.lit(1).cast("long").alias("_one")
+    )
+    n = ev.count()
+    band = F.floor(F.col("value") / _ED_BAND).cast("long")
+    c = global_cumsum(ev, "value", "_one", bucket=band)
+    bucket = F.ceil(F.col("cumsum") * _ED_BUCKETS / F.lit(n)).cast("long")
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

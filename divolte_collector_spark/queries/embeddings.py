@@ -885,3 +885,119 @@ def q_vector_pq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("d2"), 6).alias("total_sq_err"),
         )
     )
+
+
+# --- reciprocal rank fusion --------------------------------------------------
+# Hybrid retrieval: two rankers (here cosine similarity and euclidean
+# distance over the same vectors — in production, a dense ANN ranking
+# and a sparse TF-IDF/BM25 ranking) each produce a per-query top-R
+# list, and RRF fuses them as sum(1 / (60 + rank)) without needing the
+# scores to be commensurable. Work: each ranking is the broadcast-
+# queries-x-scan shape with a per-query top-R window; the fusion is a
+# full outer join on (query, candidate) over two R-row-per-query
+# relations — output-sized, never corpus-sized. Distances accumulate
+# via the same explicit left fold on both engines so ranks compare
+# bit-identical values.
+
+_RRF_K = 60
+_RRF_R = 10  # depth of each input ranking
+
+
+_RRF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.emb, c.emb) AS cos,
+           list_reduce(list_transform(range(len(q.emb)),
+                                      i -> (q.emb[i+1] - c.emb[i+1]) ** 2),
+                       (a, b) -> a + b) AS l2sq
+    FROM q JOIN e c ON c.vec_id <> q.vec_id
+),
+r1 AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored QUALIFY rnk <= {_RRF_R}
+),
+r2 AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY l2sq, neighbor_id) AS rnk
+    FROM scored QUALIFY rnk <= {_RRF_R}
+),
+fused AS (
+    SELECT coalesce(r1.query_id, r2.query_id) AS query_id,
+           coalesce(r1.neighbor_id, r2.neighbor_id) AS neighbor_id,
+           round(coalesce(1.0 / ({_RRF_K} + r1.rnk), 0)
+                 + coalesce(1.0 / ({_RRF_K} + r2.rnk), 0), 9) AS rrf
+    FROM r1 FULL OUTER JOIN r2
+      ON r1.query_id = r2.query_id AND r1.neighbor_id = r2.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id) AS BIGINT)
+           AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {TOP_K}
+"""
+
+
+@query("rank_fusion_rrf", oracle=_RRF_ORACLE)
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    l2sq = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            l2sq.alias("l2sq"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    w2 = Window.partitionBy("query_id").orderBy("l2sq", "neighbor_id")
+    r1 = (
+        scored.withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= _RRF_R)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+    r2 = (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _RRF_R)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+    fused = (
+        r1.withColumnRenamed("rnk", "rnk1")
+        .join(
+            r2.withColumnRenamed("rnk", "rnk2"),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rnk1")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rnk2")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= TOP_K)
+    )

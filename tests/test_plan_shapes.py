@@ -197,6 +197,8 @@ def test_every_gated_query_scale_discipline(spark):
         "snapshot_drift_psi",
         # one-row estimate x one-row exact (scalar-subquery shape)
         "sketch_corpus_overlap",
+        # broadcast-20-query-vectors scan, same shape as the kNN baseline
+        "rank_fusion_rrf",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):

@@ -1726,3 +1726,94 @@ def q_sketch_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_exact"
         ),
     )
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+# The sparse ranker proper (the production counterpart rank_fusion_rrf
+# fuses with a dense ANN list): Okapi BM25 over the corpus for a fixed
+# query term set. tf comes from the one exploded aggregation filtered
+# to query terms (predicate pushdown keeps the explode-join output
+# query-term-sized, not vocab-sized), df and the average document
+# length are broadcast scalars/vocab-rows, and the per-doc score sum
+# is a |query|-bounded aggregation. All floating math is spelled as
+# the same expression on both engines.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "table", "join")
+_BM25_TOP = 20
+
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT count(*) AS n_docs, avg(dlen) AS avg_len FROM dl
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN {_BM25_QUERY!r}
+    GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT t.doc_id,
+           sum(
+               ln(1 + ((SELECT n_docs FROM stats) - d.df + 0.5)
+                      / (d.df + 0.5))
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                   + {_BM25_B} * l.dlen / (SELECT avg_len FROM stats)))
+           ) AS score
+    FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 9) AS bm25,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {_BM25_TOP}
+"""
+
+
+@query("text_bm25_retrieval", oracle=_BM25_ORACLE)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col()).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_len")
+    ).collect()[0]
+    n_docs, avg_len = int(stats["n_docs"]), float(stats["avg_len"])
+    tf = (
+        toks.filter(F.col("term").isin(list(_BM25_QUERY)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dlen") / F.lit(avg_len)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+    )
+    # top-k via orderBy+limit (TakeOrdered: per-partition heads merged)
+    # — a no-partition row_number window would be one task over every
+    # matching doc; the rank window below runs on only k survivors
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOP)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("doc_id", F.round("score", 9).alias("bm25"), "rnk")
+    )

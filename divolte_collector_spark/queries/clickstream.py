@@ -743,3 +743,44 @@ def q_stitch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return labeled.select("event_id", "first_in_session")
+
+
+# --- per-user event-type entropy --------------------------------------------
+# Behavioral-diversity metric (a one-page complement to user_bot_score:
+# scripted clients concentrate on one event type, humans spread):
+# Shannon entropy of each user's event-type distribution. Two
+# partial-agg shuffles — (user, type) counts then the per-user entropy
+# fold — with the same explicit ln expression on both engines.
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+),
+u AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(-sum((CAST(c.n AS DOUBLE) / u.tot)
+                  * ln(CAST(c.n AS DOUBLE) / u.tot)), 9) AS entropy
+FROM c JOIN u USING (user_id)
+GROUP BY c.user_id
+"""
+
+
+@query("user_event_entropy", oracle=_ENTROPY_ORACLE)
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(u, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 9).alias("entropy"),
+        )
+    )

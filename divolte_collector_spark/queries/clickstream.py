@@ -784,3 +784,36 @@ def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 9).alias("entropy"),
         )
     )
+
+
+# --- as-of operator: forward direction + tolerance, oracle-gated ------------
+
+_ASOF_FWD_ORACLE = """
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       min(x.ts) AS asof_ts
+FROM events e LEFT JOIN events x
+  ON x.user_id = e.user_id AND x.event_type = 'error'
+ AND x.ts >= e.ts AND epoch_us(x.ts) - epoch_us(e.ts) <= 1800000000
+WHERE e.event_type = 'purchase'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@query("tolerance_forward_asof", oracle=_ASOF_FWD_ORACLE)
+def q_tolerance_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator's OTHER half: direction='forward' (earliest right
+    row at-or-after the left time) with a 30-minute tolerance that
+    nulls matches beyond the horizon — "did an error follow this
+    purchase within half an hour". Same single-shuffle union-window
+    plan; the oracle is the quadratic LEFT JOIN it replaces."""
+    from divolte_collector_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_join(
+        purchases, errors, on="user_id", left_time="ts", right_time="ts",
+        direction="forward", tolerance_seconds=1800,
+    ).select("event_id", "user_id", F.col("asof_ts"))

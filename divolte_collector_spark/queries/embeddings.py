@@ -1001,3 +1001,96 @@ def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("fused_rank") <= TOP_K)
     )
+
+
+# --- ANN recall measurement --------------------------------------------------
+# The number that justifies every approximate index: recall@k of the
+# bucketed IVF search against the exact brute-force ground truth, per
+# query. Both rankings are the existing formulations; the measurement
+# is a join of two k-row-per-query relations (output-sized). At scale
+# you run this on a sampled query set — the ground-truth side is the
+# expensive exact scan, which is precisely why recall is measured on a
+# sample and the index serves the rest.
+
+_RECALL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+                            c.vec_id) AS rnk
+        FROM q JOIN e c ON c.vec_id <> q.vec_id) x
+    WHERE rnk <= {TOP_K}
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+                            c.vec_id) AS rnk
+        FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id) x
+    WHERE rnk <= {TOP_K}
+)
+SELECT x.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(a.neighbor_id) / {TOP_K}.0, 6) AS recall_at_k
+FROM exact x LEFT JOIN approx a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
+@query("recall_ann_vs_exact", oracle=_RECALL_ORACLE)
+def q_recall_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+
+    def topk(candidates):
+        return (
+            candidates.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(
+        e.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+    )
+    approx = topk(
+        e.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+    )
+    hit = approx.withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") / float(TOP_K), 6).alias("recall_at_k"),
+        )
+    )

@@ -199,6 +199,8 @@ def test_every_gated_query_scale_discipline(spark):
         "sketch_corpus_overlap",
         # broadcast-20-query-vectors scan, same shape as the kNN baseline
         "rank_fusion_rrf",
+        # contains the exact ground-truth scan (the kNN baseline shape)
+        "recall_ann_vs_exact",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):

@@ -77,14 +77,19 @@ def probe_bloom(
     seeds); True must be settled exactly. The bitmaps ride a broadcast
     join; the probe itself never shuffles ``df``."""
     key = F.col(key_col)
+    # Tag each input row with a unique id before the k-way explode so the
+    # regroup restores EXACTLY the input rows: duplicate probe rows stay
+    # duplicated, and map-typed payload columns (which groupBy cannot key
+    # on) ride through as first() aggregates rather than grouping keys.
+    tagged = df.withColumn("_rid", F.monotonically_increasing_id())
     probed = (
-        df.select(
-            *df.columns,
+        tagged.select(
+            "_rid", *df.columns,
             _bucket(key, buckets).alias("_bkt"),
             F.explode(_positions(key, m, seeds)).alias("pos"),
         )
         .select(
-            *df.columns, "_bkt",
+            "_rid", *df.columns, "_bkt",
             F.expr(_WORD).alias("_word"), F.expr(_MASK).alias("_mask"),
         )
         .join(
@@ -104,6 +109,10 @@ def probe_bloom(
         & (F.col("bits").bitwiseAND(F.col("_mask")) == F.col("_mask"))
     )
     return (
-        probed.groupBy(*df.columns)
-        .agg((F.min(hit.cast("int")) == 1).alias("maybe_member"))
+        probed.groupBy("_rid")
+        .agg(
+            *[F.first(c).alias(c) for c in df.columns],
+            (F.min(hit.cast("int")) == 1).alias("maybe_member"),
+        )
+        .drop("_rid")
     )

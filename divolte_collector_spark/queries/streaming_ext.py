@@ -21,6 +21,17 @@ from divolte_collector_spark.queries import query
 from divolte_collector_spark.session import load_table
 from divolte_collector_spark.streaming.stateful import sessionize_stateful
 
+def _await_or_die(q, seconds: int = 600) -> None:
+    """awaitTermination returns False on timeout — proceeding then would
+    read a partially merged/filled sink; fail loudly instead."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{seconds}s; refusing to read a partial result"
+        )
+
+
 _ORACLE = """
 SELECT CAST(event_id AS VARCHAR) AS event_id,
        (prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000)
@@ -63,7 +74,7 @@ def stateful_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q, 600)
         # the memory sink holds the rows after termination; safe to
         # return directly (independent of the json tempdir)
         return spark.table(name).select("event_id", "first_in_session")
@@ -138,7 +149,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q, 600)
         return spark.table(name).select(
             F.col("user_id").cast("long").alias("user_id"),
             "n_events",
@@ -195,7 +206,7 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q, 600)
         out = read_upsert_table(spark, table).select(
             "user_id", "event_id", "event_type"
         )

@@ -314,8 +314,8 @@ SELECT e.event_id AS event_id,
        'N' || CAST(n.n_nationkey AS VARCHAR) AS country_code,
        CAST(n.n_nationkey + 4000000 AS INT) AS country_id,
        n.n_name AS country_name,
-       n.n_nationkey * 1.5 AS latitude,
-       n.n_nationkey * -2.25 AS longitude,
+       CAST(n.n_nationkey * 1.5 AS DOUBLE) AS latitude,
+       CAST(n.n_nationkey * -2.25 AS DOUBLE) AS longitude,
        CAST(n.n_nationkey % 100 AS INT) AS metro_code,
        'Zone/' || n.n_name AS time_zone,
        'P' || CAST(n.n_nationkey AS VARCHAR) AS postal_code,
@@ -455,8 +455,8 @@ SELECT e.event_id AS event_id,
            AS most_specific_subdivision_code,
        CAST(64512 + n.n_nationkey AS INT) AS autonomous_system_number,
        'Zone/' || n.n_name AS time_zone,
-       n.n_nationkey * 1.5 AS latitude,
-       n.n_nationkey * -2.25 AS longitude
+       CAST(n.n_nationkey * 1.5 AS DOUBLE) AS latitude,
+       CAST(n.n_nationkey * -2.25 AS DOUBLE) AS longitude
 FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
 """
 

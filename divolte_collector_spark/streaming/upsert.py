@@ -64,13 +64,24 @@ def _read_pointer(path: str) -> tuple[int, int] | None:
         return None
 
 
-def _publish(path: str, version: int, watermark: int) -> None:
+def _publish(
+    path: str, version: int, watermark: int, retain_previous: bool = True
+) -> None:
     tmp = os.path.join(path, _CURRENT + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(f"{version} {watermark}")
     os.replace(tmp, os.path.join(path, _CURRENT))
+    # Retain the immediately previous version as a read grace window: a
+    # reader that resolved the pointer just before this flip may still be
+    # scanning _v{version-1}; deleting it mid-scan would fail that read.
+    # Only versions two or more flips old are pruned. Erasures pass
+    # retain_previous=False: compliance requires the subject's files
+    # gone NOW, which outranks the in-flight-reader grace.
+    keep = {f"_v{version}"}
+    if retain_previous:
+        keep.add(f"_v{version - 1}")
     for entry in os.listdir(path):
-        if entry.startswith("_v") and entry != f"_v{version}":
+        if entry.startswith("_v") and entry not in keep:
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
@@ -79,12 +90,32 @@ def current_version(path: str) -> int | None:
     return None if ptr is None else ptr[0]
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_dir_name(partition_col: str, value) -> str:
+    """The directory name Spark writes for a partition value — null
+    values land in ``__HIVE_DEFAULT_PARTITION__``, not ``None``."""
+    return f"{partition_col}={_HIVE_NULL if value is None else value}"
+
+
+def _touched_predicate(partition_col: str, touched: list):
+    """Column predicate matching the touched partitions, null-correct:
+    ``isin`` never matches null rows, so a None in ``touched`` needs an
+    explicit ``isNull`` arm."""
+    non_null = [t for t in touched if t is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(t is None for t in touched):
+        pred = pred | F.col(partition_col).isNull()
+    return pred
+
+
 def _carry_partitions(
     prev_dir: str, new_dir: str, partition_col: str, touched: list
 ) -> None:
     """Hardlink untouched partition directories into the new version
     (falls back to copying when the filesystem refuses cross-links)."""
-    touched_dirs = {f"{partition_col}={t}" for t in touched}
+    touched_dirs = {_part_dir_name(partition_col, t) for t in touched}
     for entry in os.listdir(prev_dir):
         if entry.startswith(f"{partition_col}=") and entry not in touched_dirs:
             try:
@@ -131,8 +162,18 @@ def merge_batch(
     order_col: str,
     tiebreak: str,
     partition_col: str | None = None,
+    static_partitions: bool = False,
 ) -> None:
-    """Merge one micro-batch into the keyed table at ``path``."""
+    """Merge one micro-batch into the keyed table at ``path``.
+
+    ``static_partitions=True`` asserts that ``partition_col`` is a
+    deterministic function of ``key_cols`` (e.g. ``hash(key) % N`` or a
+    stable signup-date attribute), letting the merge skip the
+    moved-key lookup and read ONLY the partitions named in the batch —
+    the zero-table-scan fast path. The default (False) is correct for
+    any partitioning (e.g. last-activity date, which MOVES as a key
+    updates): it semi-joins the existing table against the batch's keys
+    to also rewrite partitions holding a moved key's stale row."""
     os.makedirs(path, exist_ok=True)
     ptr = _read_pointer(path)
     if ptr is not None and ptr[1] >= batch_id:
@@ -162,10 +203,30 @@ def merge_batch(
         ]
         prev_dir = _version_dir(path, prev)
         existing = spark.read.parquet(prev_dir)
+        if not static_partitions:
+            # A key's latest row may land in a DIFFERENT partition than
+            # its existing row; the stale row in the untouched partition
+            # would otherwise survive the merge and break latest-per-key.
+            # Find every partition holding one of the batch's keys via a
+            # semi-join (shuffles only the key columns of the table; the
+            # partition-pruned fast path below skips this scan entirely
+            # when partition_col is a function of the key).
+            moved = (
+                existing.join(
+                    batch_df.select(*key_cols).distinct(),
+                    on=key_cols,
+                    how="left_semi",
+                )
+                .select(partition_col)
+                .distinct()
+                .collect()
+            )
+            seen = {t for t in touched}
+            touched += [r[0] for r in moved if r[0] not in seen]
         merged = _latest_per_key(
-            existing.filter(F.col(partition_col).isin(touched)).unionByName(
-                batch_df
-            ),
+            existing.filter(
+                _touched_predicate(partition_col, touched)
+            ).unionByName(batch_df),
             key_cols, order_col, tiebreak,
         )
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(
@@ -185,6 +246,7 @@ def upsert_sink(
     order_col: str,
     tiebreak: str,
     partition_col: str | None = None,
+    static_partitions: bool = False,
 ):
     """Attach the upsert merge as a foreachBatch sink; returns the
     DataStreamWriter (caller picks the trigger and starts it)."""
@@ -193,7 +255,7 @@ def upsert_sink(
     def do_merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch(
             spark, batch_df, batch_id, path, key_cols, order_col, tiebreak,
-            partition_col,
+            partition_col, static_partitions,
         )
 
     return (
@@ -249,7 +311,7 @@ def erase_keys(
             .collect()
         ]
         (
-            existing.filter(F.col(partition_col).isin(touched) & keep)
+            existing.filter(_touched_predicate(partition_col, touched) & keep)
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(new_dir)
@@ -257,5 +319,7 @@ def erase_keys(
         _carry_partitions(prev_dir, new_dir, partition_col, touched)
 
     # erasure bumps the version but not the batch watermark: the next
-    # micro-batch must still merge, not be mistaken for a replay
-    _publish(path, new_version, watermark)
+    # micro-batch must still merge, not be mistaken for a replay.
+    # retain_previous=False: every pre-erasure version holds the
+    # subject's rows and must be retired immediately.
+    _publish(path, new_version, watermark, retain_previous=False)

@@ -59,3 +59,29 @@ def test_probe_preserves_input_columns(spark):
     out = {r.k: r for r in probe_bloom(df, "k", blooms).collect()}
     assert out["a"].payload == 1 and out["b"].payload == 2
     assert out["a"].maybe_member
+
+
+def test_probe_preserves_duplicate_rows(spark):
+    # REGRESSION: grouping on all input columns collapsed duplicate
+    # probe rows; the contract is add-a-column, cardinality unchanged
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "k string, payload int"
+    )
+    blooms = build_bloom(_keys_df(spark, ["a"]), "k")
+    out = probe_bloom(df, "k", blooms).collect()
+    assert len(out) == 3
+    assert sorted((r.k, r.payload, r.maybe_member) for r in out) == [
+        ("a", 1, True), ("a", 1, True), ("b", 2, False)
+    ]
+
+
+def test_probe_tolerates_map_typed_payload(spark):
+    # REGRESSION: groupBy cannot key on map columns; the row-id regroup
+    # must let them ride through
+    df = spark.createDataFrame(
+        [("a", {"x": 1}), ("b", {"y": 2})], "k string, meta map<string,int>"
+    )
+    blooms = build_bloom(_keys_df(spark, ["a"]), "k")
+    out = {r.k: r for r in probe_bloom(df, "k", blooms).collect()}
+    assert out["a"].meta == {"x": 1} and out["a"].maybe_member
+    assert out["b"].meta == {"y": 2} and not out["b"].maybe_member

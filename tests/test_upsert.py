@@ -69,8 +69,13 @@ def test_version_pointer_flips_and_prunes(spark, tmp_path):
     merge_batch(spark, _df(spark, [(1, 2, "y", "d1")]), 7,
                 path, ["k"], "ts", "k")
     assert current_version(path) == 1
-    versions = [e for e in os.listdir(path) if e.startswith("_v")]
-    assert versions == ["_v1"]  # superseded _v0 pruned after the flip
+    versions = sorted(e for e in os.listdir(path) if e.startswith("_v"))
+    # _v0 is retained one flip as a grace window for in-flight readers
+    assert versions == ["_v0", "_v1"]
+    merge_batch(spark, _df(spark, [(2, 3, "z", "d1")]), 8,
+                path, ["k"], "ts", "k")
+    versions = sorted(e for e in os.listdir(path) if e.startswith("_v"))
+    assert versions == ["_v1", "_v2"]  # two-flips-old _v0 pruned
     # batch ids 3 and 7 were applied; 7 replayed is a no-op
     merge_batch(spark, _df(spark, [(1, 0, "stale", "d1")]), 7,
                 path, ["k"], "ts", "k")
@@ -121,6 +126,73 @@ def test_partition_touch_carries_untouched_by_hardlink(spark, tmp_path):
     assert set(
         r.day for r in read_upsert_table(spark, path).select("day").collect()
     ) == {"d1", "d2"}
+
+
+def test_moved_key_does_not_leave_stale_row(spark, tmp_path):
+    # REGRESSION: a key whose latest row lands in a DIFFERENT partition
+    # than its existing row used to leave the stale row alive in the
+    # untouched partition — two rows for one key.
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d2")]), 0,
+        path, ["k"], "ts", "k", partition_col="day",
+    )
+    # key 1 moves d1 -> d3; the batch itself never names d1
+    merge_batch(
+        spark, _df(spark, [(1, 20, "a2", "d3")]), 1,
+        path, ["k"], "ts", "k", partition_col="day",
+    )
+    rows = read_upsert_table(spark, path).collect()
+    assert sorted((r.k, r.ts, r.v, r.day) for r in rows) == [
+        (1, 20, "a2", "d3"),
+        (2, 10, "b", "d2"),
+    ]
+
+
+def test_static_partitions_skips_moved_key_scan(spark, tmp_path):
+    # with the invariant asserted, only batch-named partitions merge:
+    # the d2 partition must carry by hardlink (no table scan happened)
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d2")]), 0,
+        path, ["k"], "ts", "k", partition_col="day", static_partitions=True,
+    )
+    v0 = os.path.join(path, "_v0", "day=d2")
+    inodes = {
+        f: os.stat(os.path.join(v0, f)).st_ino
+        for f in os.listdir(v0) if f.endswith(".parquet")
+    }
+    merge_batch(
+        spark, _df(spark, [(1, 20, "a2", "d1")]), 1,
+        path, ["k"], "ts", "k", partition_col="day", static_partitions=True,
+    )
+    v1 = os.path.join(path, "_v1", "day=d2")
+    for f, ino in inodes.items():
+        assert os.stat(os.path.join(v1, f)).st_ino == ino
+
+
+def test_null_partition_value_merges_once(spark, tmp_path):
+    # REGRESSION: a null partition value writes to
+    # __HIVE_DEFAULT_PARTITION__, but the touched-set used str(None) and
+    # isin() (null-hostile), so the null partition was both rewritten
+    # AND carried -> duplicated rows.
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", None), (2, 10, "b", "d2")]), 0,
+        path, ["k"], "ts", "k", partition_col="day",
+    )
+    merge_batch(
+        spark, _df(spark, [(1, 20, "a2", None)]), 1,
+        path, ["k"], "ts", "k", partition_col="day",
+    )
+    rows = read_upsert_table(spark, path).collect()
+    assert sorted((r.k, r.ts, r.v, r.day) for r in rows) == [
+        (1, 20, "a2", None),
+        (2, 10, "b", "d2"),
+    ]
 
 
 def test_erase_keys_removes_subject_and_bumps_version(spark, tmp_path):

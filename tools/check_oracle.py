@@ -25,38 +25,45 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
+def norm_cell(v, strict=False):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         # normalize -0.0 and represent at fixed precision
         if v == 0:
             v = 0.0
-        return f"{v:.9g}"
+        # strict = byte-faithful to the driver's hash: exact repr, no
+        # significant-digit rounding (a Spark double and a DuckDB double
+        # must be the SAME double)
+        return repr(v) if strict else f"{v:.9g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+        return tuple(norm_cell(x, strict) for x in v)
     if isinstance(v, bytes):
         return v.hex()
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        # strict: a DECIMAL result is NOT a double — Spark returns float64
+        # while duckdb hands back decimal.Decimal with its own scale
+        # (Decimal('-4.50') vs -4.5), which no exact hash can reconcile.
+        # Keep the type visible so the oracle gets an explicit CAST.
+        return ("dec", str(v)) if strict else f"{float(v):.9g}"
     return v
 
 
-def norm_rows(cols, rows):
+def norm_rows(cols, rows, strict=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return Counter(
+        tuple(norm_cell(r[i], strict) for i in order) for r in rows
+    )
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--window"]
+    args = [a for a in sys.argv[1:] if a not in ("--window", "--strict")]
     window_only = "--window" in sys.argv[1:]
+    strict = "--strict" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -102,8 +109,8 @@ def main() -> int:
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
-        s_ms = norm_rows(scols, [tuple(r) for r in srows])
-        d_ms = norm_rows(dcols, drows)
+        s_ms = norm_rows(scols, [tuple(r) for r in srows], strict)
+        d_ms = norm_rows(dcols, drows, strict)
         ok_vals = s_ms == d_ms
         status = "OK  " if (ok_cols and ok_count and ok_vals) else "FAIL"
         if status == "FAIL":

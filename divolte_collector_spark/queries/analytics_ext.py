@@ -401,3 +401,105 @@ def q_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+# --- RFM user segmentation --------------------------------------------------
+# The classic recency/frequency/monetary marketing segmentation over
+# the event stream: one aggregation shuffle compresses events to a
+# per-user row, then the quintile windows rank the AGGREGATE (user
+# count rows, not event count — the global ntile never sees the fact
+# table, so the single-ordering window is bounded by the user
+# dimension). Monetary rides integer cents (sum of exact longs), the
+# cross-engine-exact trick the bot-score query established: a double
+# SUM's addition order can drift in the last ulp between engines, an
+# integer sum cannot.
+
+_RFM_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+),
+g AS (SELECT max(ts) AS gmax FROM events),
+r AS (
+    SELECT user_id, frequency, monetary_cents,
+           CAST(date_diff('day', CAST(last_ts AS DATE), CAST(g.gmax AS DATE))
+                AS INT) AS recency_days
+    FROM u, g
+),
+s AS (
+    SELECT *,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS INT)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id) AS INT)
+               AS m_score
+    FROM r
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+            WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk_spender'
+            WHEN r_score <= 2 THEN 'lapsed'
+            ELSE 'regular' END AS segment
+FROM s
+"""
+
+
+@query("user_rfm_segments", oracle=_RFM_ORACLE)
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    g = ev.agg(F.max("ts").alias("gmax"))
+    r = u.crossJoin(F.broadcast(g)).select(
+        "user_id", "frequency", "monetary_cents",
+        F.datediff(F.to_date("gmax"), F.to_date("last_ts"))
+        .cast("int")
+        .alias("recency_days"),
+    )
+    s = r.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary_cents"), "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("m_score") >= 4),
+            "at_risk_spender",
+        )
+        .when(F.col("r_score") <= 2, "lapsed")
+        .otherwise("regular")
+    )
+    return s.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    )

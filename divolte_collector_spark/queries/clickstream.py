@@ -817,3 +817,92 @@ def q_tolerance_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors, on="user_id", left_time="ts", right_time="ts",
         direction="forward", tolerance_seconds=1800,
     ).select("event_id", "user_id", F.col("asof_ts"))
+
+
+# --- canonical-URL dedup ----------------------------------------------------
+# Crawl/clickstream dedup by URL identity: the same page arrives under
+# mixed-case hosts, explicit default ports, tracking params (utm_*),
+# reordered query strings, and fragments. Canonicalization runs the
+# repo's reference-parity URI surface (functions/uri.py, §2.6
+# UriValueProducer; functions/querystring.py multimap grammar) in a new
+# combination: lowercase scheme+host, strip the scheme-default port,
+# drop utm_* params, sort surviving params by key, discard the
+# fragment — then one groupBy on the canonical string. A narrow map
+# over the scan plus one aggregation shuffle; at 100 TB this is the
+# same shape as exact dedup (hash-groupBy on a derived key).
+#
+# The URL matrix is synthesized from event columns (the geoip trick),
+# so the oracle predicts every canonical form straight from the raw
+# columns without parsing anything.
+
+_URL_CANON_ORACLE = """
+SELECT 'https://www.shop' || CAST(user_id % 5 AS VARCHAR) || '.example.com'
+       || CASE WHEN user_id % 3 = 1 THEN ':8443' ELSE '' END
+       || '/p/' || CAST(event_id % 50 AS VARCHAR)
+       || CASE WHEN event_id % 4 IN (0, 1, 2) THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event
+FROM events
+GROUP BY 1
+"""
+
+
+@query("url_canonical_dedup", oracle=_URL_CANON_ORACLE)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.functions.querystring import qs_entries
+    from divolte_collector_spark.functions.uri import (
+        uri_host,
+        uri_port,
+        uri_raw_path,
+        uri_raw_query,
+        uri_scheme,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    messy = F.concat(
+        F.when(uid % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://WWW.Shop"), (uid % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(uid % 3 == 0, F.lit(":443"))
+        .when(uid % 3 == 1, F.lit(":8443"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"), (eid % 50).cast("string"),
+        F.when(eid % 4 == 0, F.lit("?utm_source=fb&b=2&a=1"))
+        .when(eid % 4 == 1, F.lit("?a=1&b=2&utm_campaign=x"))
+        .when(eid % 4 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(uid % 2 == 1, F.lit("#section-3")).otherwise(F.lit("")),
+    )
+    url = messy
+    scheme = F.lower(uri_scheme(url))
+    host = F.lower(uri_host(url))
+    port = uri_port(url)
+    default_port = F.when(scheme == "https", 443).when(scheme == "http", 80)
+    port_part = F.when(
+        port.isNull() | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port.cast("string")))
+    kept = F.array_sort(
+        F.filter(
+            F.coalesce(qs_entries(uri_raw_query(url)), F.array()),
+            lambda e: ~e.key.startswith("utm_"),
+        )
+    )
+    qstr = F.array_join(
+        F.transform(kept, lambda e: F.concat(e.key, F.lit("="), e.value)), "&"
+    )
+    q_part = F.when(qstr == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qstr)
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host, port_part, uri_raw_path(url), q_part
+    )
+    return (
+        ev.select(canonical.alias("canonical_url"), "event_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )

@@ -1817,3 +1817,157 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("doc_id", F.round("score", 9).alias("bm25"), "rnk")
     )
+
+
+# --- temperature-resampled source mixture -----------------------------------
+# The multilingual/multi-domain rebalancing step every pretraining mix
+# does (alpha-temperature sampling, e.g. XLM-R's alpha=0.3..0.7): big
+# sources are downweighted to w_s = n_s^alpha so the mixture is less
+# dominated by the largest domain, then documents are drawn
+# DETERMINISTICALLY (md5-uniform per doc) with per-source acceptance
+# probability p_s = min(1, B * w_s / sum(w) / n_s) for a total budget
+# B = N/2. Everything is one tiny per-source aggregate broadcast back
+# over the scan — the corpus never shuffles; at 100 TB the source
+# stats are the only state that moves.
+#
+# Cross-engine discipline: sum(w) is an ORDERED left-fold over sources
+# (float addition is not associative; an unordered SUM could differ in
+# the last ulp and flip an accept at the boundary), and the per-doc
+# uniform is integer md5 arithmetic — bit-identical everywhere.
+
+_TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt damping), exact in binary floating point"
+
+_TEMP_MIX_ORACLE = """
+WITH s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY source
+),
+t AS (
+    SELECT sum(n) AS total,
+           list_reduce(list(sqrt(n) ORDER BY source),
+                       (a, b) -> a + b) AS sumw
+    FROM s
+),
+p AS (
+    SELECT s.source, s.n,
+           least(1.0, CAST(t.total // 2 AS DOUBLE) * sqrt(s.n)
+                      / t.sumw / s.n) AS p_accept
+    FROM s, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN p ON p.source = d.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           AS DOUBLE) / 1152921504606846976.0 < p.p_accept
+"""
+
+
+@query("temperature_source_mix", oracle=_TEMP_MIX_ORACLE)
+def q_temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = s.agg(
+        F.sum("n").alias("total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("source", F.sqrt("n").alias("w")))
+                ),
+                lambda x: x.w,
+            ),
+            F.lit(0.0),
+            lambda acc, w: acc + w,
+        ).alias("sumw"),
+    )
+    p = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.expr("total div 2").cast("double")
+            * F.sqrt("n") / F.col("sumw") / F.col("n"),
+        ).alias("p_accept"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.join(F.broadcast(p), "source")
+        .filter(u < F.col("p_accept"))
+        .select("doc_id", "source")
+    )
+
+
+# --- self-trained unigram LM quality score ----------------------------------
+# The KenLM-style perplexity gate of CCNet/RefinedWeb, reduced to the
+# LM that needs no external model: the corpus's own unigram
+# distribution. Two aggregation shuffles bound the whole thing — the
+# vocabulary count (token -> c) and the per-doc regroup — plus one
+# equi-join of the exploded tokens against the vocabulary (at 100 TB
+# that join shuffles on the token key; a head-vocabulary broadcast is
+# the standard hybrid). Documents with very low average token
+# log-probability are the gibberish/rare-junk tail a corpus gate cuts.
+#
+# Cross-engine discipline: ln() is rounded to 8 decimals BEFORE the
+# per-doc sum (libm vs JVM log can differ in the last ulp), and the
+# sum is an ordered left-fold over token positions, so both engines
+# add the same doubles in the same order.
+
+_UNIGRAM_LM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+scored AS (
+    SELECT toks.doc_id, toks.pos,
+           round(ln(CAST(vocab.c AS DOUBLE) / tot.total), 8) AS lp
+    FROM toks JOIN vocab USING (t), tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(list_reduce(list(lp ORDER BY pos), (a, b) -> a + b)
+             / count(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("token_unigram_logprob", oracle=_UNIGRAM_LM_ORACLE)
+def q_token_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    lp = F.round(F.log(F.col("c") / F.col("total")), 8)
+    scored = (
+        toks.join(vocab, "t")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "pos", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    lambda x: x.lp,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("lp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("lp_sum") / F.col("n_tokens"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -1094,3 +1094,91 @@ def q_recall_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit") / float(TOP_K), 6).alias("recall_at_k"),
         )
     )
+
+
+# --- SemDeDup: cluster-then-dedup semantic deduplication --------------------
+# The published recipe for semantic dedup at corpus scale (SemDeDup,
+# arXiv:2303.09540): k-means the embeddings, then look for high-cosine
+# pairs ONLY within a cluster, keeping one canonical document per
+# near-duplicate group. The clustering bounds the pair search — the
+# quadratic term is per-cluster, never corpus-wide — which is exactly
+# the property that survives 100 TB (the all-pairs formulation,
+# embedding_near_dup above, is the labeled non-scale baseline).
+#
+# Plan shape: one Lloyd iteration (map-side assignment against
+# driver-held centroids + one K*dims-bounded recompute shuffle), then a
+# self-equi-join on the cluster id — no cartesian anywhere. Removal
+# rule: a vector is removed if a lower-id vector in ITS cluster is
+# within the cosine threshold; the lowest such id is the canonical
+# keeper (deterministic, order-free).
+
+SEMDEDUP_THRESHOLD = 0.4
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CLUSTERS}),
+{_assign_cte('a1', 'c0')},
+{_recompute_cte('c1', 'a1')},
+{_assign_cte('a2', 'c1')},
+pairs AS (
+    SELECT a.vec_id AS kept, b.vec_id AS removed, b.cid AS cid,
+           list_cosine_similarity(a.emb, b.emb) AS cos
+    FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+ranked AS (
+    SELECT removed, kept, cid, cos,
+           row_number() OVER (PARTITION BY removed ORDER BY kept) AS rn
+    FROM pairs WHERE cos >= {SEMDEDUP_THRESHOLD}
+)
+SELECT removed AS removed_id, kept AS kept_id, cid,
+       round(cos, 4) AS cosine_sim
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("semantic_dedup_kmeans", oracle=_SEMDEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: one deterministic Lloyd
+    iteration (same discipline as ann_ivf_kmeans — centroids rounded
+    to 6 decimals so both engines agree bitwise), then within-cluster
+    near-duplicate pairs above the cosine threshold; each removed
+    vector reports its lowest-id keeper."""
+    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    c0 = [
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
+    ]
+    _, c1 = lloyd_iterate(e, c0, iterations=1)
+    a2 = _assign(e, c1)
+    a = a2.select(
+        F.col("cid").alias("a_cid"),
+        F.col("vec_id").alias("kept"),
+        F.col("emb").alias("emb_a"),
+    )
+    b = a2.select(
+        "cid", F.col("vec_id").alias("removed"), F.col("emb").alias("emb_b")
+    )
+    pairs = (
+        b.join(
+            F.broadcast(a),
+            (F.col("a_cid") == F.col("cid"))
+            & (F.col("kept") < F.col("removed")),
+        )
+        .select(
+            "removed", "kept", "cid",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+    )
+    # lowest-id keeper per removed vector, with that pair's cosine:
+    # min over struct(kept, cos) orders by kept first
+    return (
+        pairs.groupBy("removed", "cid")
+        .agg(F.min(F.struct("kept", "cos")).alias("best"))
+        .select(
+            F.col("removed").alias("removed_id"),
+            F.col("best.kept").alias("kept_id"),
+            "cid",
+            F.round(F.col("best.cos"), 4).alias("cosine_sim"),
+        )
+    )

@@ -201,6 +201,12 @@ def test_every_gated_query_scale_discipline(spark):
         "rank_fusion_rrf",
         # contains the exact ground-truth scan (the kNN baseline shape)
         "recall_ann_vs_exact",
+        # one-row broadcast of (total, ordered-fold sum of weights)
+        "temperature_source_mix",
+        # one-row broadcast of the corpus token count
+        "token_unigram_logprob",
+        # one-row broadcast of the global max timestamp
+        "user_rfm_segments",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):

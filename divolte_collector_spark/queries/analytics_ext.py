@@ -503,3 +503,55 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "recency_days", "frequency", "monetary_cents",
         "r_score", "f_score", "m_score", seg.alias("segment"),
     )
+
+
+# --- quantile sketch with deterministic error bounds ------------------------
+# percentile_approx is Spark's Greenwald-Khanna-style mergeable
+# quantile sketch — the only way to get percentiles at 100 TB without
+# a global sort. GK's guarantee is DETERMINISTIC rank error <=
+# n/accuracy, so the honest cross-engine assertion (the sketch bytes
+# aren't portable) is: the approximate value must lie between the
+# EXACT percentiles at q +/- eps (eps = 2/accuracy for boundary
+# slack). The exact interpolated percentiles themselves ARE portable
+# and are hash-checked; the bound booleans gate the sketch. Same
+# honest-labeling pattern as approx_distinct_bounds.
+
+_QSK_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+_QSK_ACC = 1000
+_QSK_EPS = 2.0 / _QSK_ACC
+
+_QSK_ORACLE = " UNION ALL ".join(
+    f"""SELECT CAST({q} AS DOUBLE) AS q,
+       round(quantile_cont(value, {q}), 6) AS exact_value,
+       CAST(1 AS BOOLEAN) AS within_bounds
+FROM events"""
+    for q in _QSK_QS
+)
+
+
+@query("value_quantile_sketch", oracle=_QSK_ORACLE)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qs = list(_QSK_QS)
+    lo = [max(0.0, q - _QSK_EPS) for q in qs]
+    hi = [min(1.0, q + _QSK_EPS) for q in qs]
+    agg = ev.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("ex"),
+        F.percentile_approx(
+            "value", F.array(*[F.lit(q) for q in qs]), F.lit(_QSK_ACC)
+        ).alias("ap"),
+        F.percentile("value", F.array(*[F.lit(q) for q in lo])).alias("exlo"),
+        F.percentile("value", F.array(*[F.lit(q) for q in hi])).alias("exhi"),
+    )
+    rows = agg.select(
+        F.posexplode(F.array(*[F.lit(q) for q in qs])).alias("i", "q"),
+        "ex", "ap", "exlo", "exhi",
+    )
+    pick = lambda c: F.element_at(F.col(c), F.col("i") + 1)  # noqa: E731
+    return rows.select(
+        "q",
+        F.round(pick("ex"), 6).alias("exact_value"),
+        (
+            (pick("ap") >= pick("exlo")) & (pick("ap") <= pick("exhi"))
+        ).alias("within_bounds"),
+    )

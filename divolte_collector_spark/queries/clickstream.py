@@ -906,3 +906,130 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event"),
         )
     )
+
+
+# --- last-touch campaign attribution ----------------------------------------
+# Marketing attribution over the event stream: every purchase is
+# credited to the most recent campaign-tagged click by the same user
+# at or before it (last-touch). One running window per user partition
+# — `last(campaign) IGNORE NULLS` over rows-unbounded-preceding — so
+# the whole thing is a single shuffle on user_id; no self-join of the
+# event table against itself (the naive formulation at 100 TB).
+# Campaign tags are synthesized onto click events from raw columns so
+# the oracle can predict the attribution independently.
+
+_ATTRIBUTION_ORACLE = """
+SELECT event_id, user_id, attributed_campaign
+FROM (
+    SELECT event_id, user_id, event_type,
+           last_value(camp IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS attributed_campaign
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN event_type = 'click'
+                    THEN 'camp' || CAST(event_id % 4 AS VARCHAR) END AS camp
+        FROM events
+    )
+)
+WHERE event_type = 'purchase'
+"""
+
+
+@query("utm_last_touch_attribution", oracle=_ATTRIBUTION_ORACLE)
+def q_utm_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    camp = F.when(
+        F.col("event_type") == "click",
+        F.concat(F.lit("camp"), (F.col("event_id") % 4).cast("string")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = ev.select(
+        "event_id", "user_id", "event_type",
+        F.last(camp, ignorenulls=True).over(w).alias("attributed_campaign"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "attributed_campaign"
+    )
+
+
+# --- SCD Type-2 user dimension ----------------------------------------------
+# The warehouse temporal-modeling primitive: collapse each user's
+# per-event attribute stream into validity intervals (one row per
+# consecutive run of the same value, with valid_from/valid_to and a
+# version counter). Gaps-and-islands via a change-flag running sum —
+# two windows over the SAME user partitioning, so Spark plans ONE
+# shuffle on user_id and both windows (and the final regroup) run
+# co-partitioned; nothing about the shape changes at 100 TB because
+# every window is bounded by one user's history.
+
+_SCD2_ORACLE = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN value > 250 THEN 'high'
+                WHEN value > 50 THEN 'mid'
+                ELSE 'low' END AS seg
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(seg) OVER w IS DISTINCT FROM seg THEN 1 ELSE 0 END
+               AS chg
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT *,
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INT) AS version
+    FROM flagged
+),
+collapsed AS (
+    SELECT user_id, version, min(seg) AS seg,
+           min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, seg, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to,
+       n_events
+FROM collapsed
+"""
+
+
+@query("user_scd2_history", oracle=_SCD2_ORACLE)
+def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seg = (
+        F.when(F.col("value") > 250, "high")
+        .when(F.col("value") > 50, "mid")
+        .otherwise("low")
+    )
+    tagged = ev.select("user_id", "ts", "event_id", seg.alias("seg"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # IS DISTINCT FROM: the first row per user (lag null) opens run 1
+    chg = F.when(
+        ~F.lag("seg").over(w).eqNullSafe(F.col("seg")), 1
+    ).otherwise(0)
+    runs = tagged.withColumn(
+        "version",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    collapsed = runs.groupBy("user_id", "version").agg(
+        F.min("seg").alias("seg"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return collapsed.select(
+        "user_id", "version", "seg", "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )

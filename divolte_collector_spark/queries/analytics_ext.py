@@ -19,7 +19,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUBE_ORACLE = """
 SELECT event_type, CAST(ts AS DATE) AS day,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS sum_value
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
 FROM events
 GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """
@@ -32,7 +32,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube(F.col("event_type"), F.to_date(F.col("ts")).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0, 2
+            ).alias("sum_value"),
         )
     )
 
@@ -114,7 +117,8 @@ WITH bands AS (
 )
 SELECT bd.band_id AS band_id,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total
+       round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             AS DOUBLE) / 100.0, 2) AS total
 FROM orders o
 JOIN bands bd ON o.o_totalprice >= bd.lo AND o.o_totalprice < bd.hi
 GROUP BY bd.band_id
@@ -140,7 +144,11 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            ) / 100.0, 2
+        ).alias("total"),
     )
 
 
@@ -163,7 +171,7 @@ _SALTED_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(sum(value), 2) AS sum_value
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
 FROM events
 GROUP BY event_type
 """
@@ -174,12 +182,12 @@ def q_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_type", "user_id", "value")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("pv"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("pv"),
     )
     return per_user.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
         F.count(F.lit(1)).alias("n_users"),
-        F.round(F.sum("pv"), 2).alias("sum_value"),
+        F.round(F.sum("pv").cast("double") / 100.0, 2).alias("sum_value"),
     )
 
 

@@ -227,8 +227,9 @@ _TYPE_STATS_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 3) AS avg_value,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 3)
+           AS avg_value,
        round(quantile_cont(value, 0.5), 3) AS median_value
 FROM events GROUP BY event_type
 """
@@ -242,8 +243,14 @@ def q_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 3).alias("avg_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0, 2
+            ).alias("sum_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0 / F.count(F.lit(1)), 3
+            ).alias("avg_value"),
             F.round(F.expr("percentile(value, 0.5)"), 3).alias("median_value"),
         )
     )

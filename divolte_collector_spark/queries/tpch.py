@@ -24,17 +24,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# --- exact money arithmetic --------------------------------------------------
+# Every money column in the schema is 2-decimal (verified: the max
+# deviation of value*100 from an integer is ~1e-9 across all tables).
+# A double SUM adds in engine-specific order, and at sf0.1 one revenue
+# group landed on a half-cent boundary where Spark's and DuckDB's
+# round(,2) disagreed (q9, round 4). All revenue/price sums therefore
+# run in exact integers — cents, cents x discount-percent (e4), or
+# cents x discount x tax (e6) — and divide back down once, after the
+# aggregation: integer sums cannot drift at any scale or skew.
+
+def cents(col: str):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def rev_e4():
+    """l_extendedprice * (1 - l_discount) in exact ten-thousandths."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+def sum_money(int_expr, scale: float, nd: int = 2):
+    return F.round(F.sum(int_expr).cast("double") / scale, nd)
+
+
+def rev_e4_sql(p: str = "") -> str:
+    return (
+        f"CAST(round({p}l_extendedprice * 100) AS BIGINT)"
+        f" * (100 - CAST(round({p}l_discount * 100) AS BIGINT))"
+    )
+
+
+def sum_money_sql(int_sql: str, scale: str, nd: int = 2) -> str:
+    return f"round(CAST(sum({int_sql}) AS DOUBLE) / {scale}, {nd})"
+
+
+def sum_rev_sql(p: str = "", nd: int = 2) -> str:
+    return sum_money_sql(rev_e4_sql(p), "10000.0", nd)
+
+
 # --- Q1-style pricing summary ----------------------------------------------
 
-_Q1_ORACLE = """
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {sum_money_sql("CAST(round(l_extendedprice * 100) AS BIGINT)", "100.0")}
+           AS sum_base_price,
+       {sum_rev_sql()} AS sum_disc_price,
+       {sum_money_sql(rev_e4_sql() + " * (100 + CAST(round(l_tax * 100) AS BIGINT))", "1000000.0")}
+           AS sum_charge,
        round(avg(l_quantity), 3) AS avg_qty,
-       round(avg(l_extendedprice), 3) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / count(*), 3) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / count(*), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -45,18 +87,26 @@ GROUP BY l_returnflag, l_linestatus
 @query("q1_pricing_summary", oracle=_Q1_ORACLE)
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # quantity is integer-valued, so its double SUM/AVG is exact as-is;
+    # every money aggregate runs on exact integer cents (see helpers)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            sum_money(cents("l_extendedprice"), 100.0).alias("sum_base_price"),
+            sum_money(rev_e4(), 10000.0).alias("sum_disc_price"),
+            sum_money(
+                rev_e4() * (100 + cents("l_tax")), 1000000.0
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 3).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(cents("l_extendedprice")).cast("double") / 100.0 / n, 3
+            ).alias("avg_price"),
+            F.round(
+                F.sum(cents("l_discount")).cast("double") / 100.0 / n, 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,7 +116,9 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT l.l_orderkey AS l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue,
        o.o_orderdate AS o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -93,9 +145,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            sum_money(rev_e4(), 10000.0).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -107,7 +157,9 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n.n_name AS n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -145,9 +197,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            sum_money(rev_e4(), 10000.0).alias("revenue")
         )
     )
 
@@ -184,8 +234,12 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = """
 SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+                              THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                              ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 4)
+           AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -199,13 +253,13 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = rev_e4()
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
                 / F.sum(rev),
                 4,
             ).alias("promo_revenue_pct")
@@ -217,7 +271,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS sum_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -230,7 +285,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            sum_money(cents("l_extendedprice"), 100.0).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -241,7 +296,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOP_PARTS_ORACLE = """
 WITH pr AS (
     SELECT p.p_brand AS p_brand, p.p_partkey AS p_partkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 AS DOUBLE) / 10000.0, 2) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand, p.p_partkey
 )
@@ -261,9 +318,7 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            sum_money(rev_e4(), 10000.0).alias("revenue")
         )
     )
     w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))

@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
+from divolte_collector_spark.queries.tpch import (
+    cents,
+    rev_e4,
+    sum_money,
+)
 from divolte_collector_spark.session import load_table
 
 
@@ -37,7 +42,9 @@ def _ts(lit: str):
 # --- Q6: forecast revenue change (pure scan + filter + scalar agg) ----------
 
 _Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+             AS DOUBLE) / 10000.0, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -60,9 +67,9 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.06)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            sum_money(
+                cents("l_extendedprice") * cents("l_discount"), 10000.0
+            ).alias("revenue")
         )
     )
 
@@ -71,11 +78,11 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       round(CAST(sum(volume) AS DOUBLE) / 10000.0, 2) AS revenue
 FROM (
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           l.l_extendedprice * (1 - l.l_discount) AS volume
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -119,9 +126,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            sum_money(rev_e4(), 10000.0).alias("revenue")
         )
     )
 
@@ -130,11 +135,11 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 4) AS mkt_share
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             AS DOUBLE) / sum(volume), 4) AS mkt_share
 FROM (
     SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume,
            ns.n_name AS nation
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -167,7 +172,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region"))
     ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = rev_e4()
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -180,7 +185,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0))
+                ).cast("double")
                 / F.sum(vol),
                 4,
             ).alias("mkt_share")
@@ -253,7 +260,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = """
 SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
        round(c.c_acctbal, 2) AS c_acctbal, n.n_name AS n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -285,9 +292,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            sum_money(rev_e4(), 10000.0).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -334,7 +339,8 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue0 AS (
     SELECT l_suppkey AS supplier_no,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
+               AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -356,9 +362,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        sum_money(rev_e4(), 10000.0).alias("total_revenue")
     ).persist()  # feeds both the MAX and the filter; AQE does not
     # reuse the duplicated agg subtree (0 ReusedExchange measured)
     # Scalar subquery as a broadcast 1-row cross join — NOT a global
@@ -376,7 +380,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q17-shaped: small-quantity revenue (correlated avg per part) -----------
 
 _Q17_ORACLE = """
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
@@ -399,7 +404,11 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part_avg, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -450,7 +459,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q19-shaped: OR-of-conjuncts bracket revenue ----------------------------
 
 _Q19_ORACLE = """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
@@ -490,9 +499,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(brackets)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            sum_money(rev_e4(), 10000.0).alias("revenue")
         )
     )
 
@@ -502,10 +509,12 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q22_ORACLE = """
 SELECT CAST(substr(c.c_name, length(c.c_name), 1) AS VARCHAR) AS name_digit,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c.c_acctbal), 2) AS totacctbal
+       round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-                     WHERE c2.c_acctbal > 0.0)
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                            AS DOUBLE) / 100.0 / count(*)
+                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
@@ -524,7 +533,9 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
+        (
+            F.sum(cents("c_acctbal")).cast("double") / 100.0 / F.count(F.lit(1))
+        ).alias("_avg_bal")
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -533,7 +544,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_name").substr(F.length("c_name"), F.lit(1)).alias("name_digit"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            sum_money(cents("c_acctbal"), 100.0).alias("totacctbal"),
         )
     )
 
@@ -542,7 +553,8 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GSETS_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS sum_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -556,7 +568,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS DOUBLE) / 100.0, 2) AS sum_price,
                count(*) AS n
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -613,7 +626,7 @@ N_JOIN_SALTS = 8
 _SALTED_JOIN_ORACLE = """
 SELECT p.p_brand,
        CAST(count(*) AS BIGINT) AS n_lineitems,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY p.p_brand
 """
@@ -645,9 +658,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lineitems"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        sum_money(rev_e4(), 10000.0).alias("revenue"),
     )
 
 

@@ -727,3 +727,103 @@ def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clipped).cast("double") / F.count(F.lit(1)) / 100.0, 6
         ).alias("winsorized_mean"),
     )
+
+
+# --- weekly cohort retention matrix -----------------------------------------
+# The product-analytics staple: bucket users by first-seen week (the
+# cohort), then count how many are still active N weeks later. Two
+# aggregations bound the whole thing — first-seen per user (one
+# shuffle on user_id), then the (cohort, offset) matrix over the
+# user-week relation joined to its own cohort assignment (broadcast:
+# the per-user cohort relation is user-dimension-sized). Weeks are
+# integer day-arithmetic (epoch days // 7), so no engine's week-of-
+# year convention is involved.
+
+_COHORT_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                AS BIGINT) AS week
+    FROM events
+),
+first_seen AS (
+    SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(uw.week - f.cohort_week AS BIGINT) AS offset_weeks,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM uw JOIN first_seen f ON f.user_id = uw.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("weekly_cohort_retention", oracle=_COHORT_ORACLE)
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(F.unix_date(F.to_date("ts")) / 7).cast("long").alias("week"),
+    ).distinct()
+    first_seen = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias(
+                "offset_weeks"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --- activity-concentration diagnostics (Gini over per-user volume) ---------
+# The skew DIAGNOSTIC that motivates the salted formulations: how
+# concentrated is event volume across users? Gini over per-user event
+# counts via the sorted-rank formula G = (2*sum(i*c_i)/(n*sum(c)) -
+# (n+1)/n), computed with INTEGER sums over the user aggregate (rank
+# windows run on |users| rows, never events). Ties rank
+# deterministically (count, then user_id), which the rank-sum formula
+# is invariant to.
+
+_GINI_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT c, CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS i
+    FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       sum(c) AS n_events,
+       max(c) AS max_user_events,
+       round(CAST(2 * sum(i * c) AS DOUBLE) / (count(*) * sum(c))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
+@query("user_activity_gini", oracle=_GINI_ORACLE)
+def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = per_user.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_users"),
+        F.sum("c").alias("n_events"),
+        F.max("c").alias("max_user_events"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("c"))).cast("double")
+            / (n * F.sum("c"))
+            - (n + 1).cast("double") / n,
+            6,
+        ).alias("gini"),
+    )

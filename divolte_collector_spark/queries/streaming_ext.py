@@ -263,3 +263,72 @@ def user_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_UPSERT_MOVED_ORACLE = """
+SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+       CAST(ts AS DATE) AS day
+FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("streaming_upsert_moved_keys", oracle=_UPSERT_MOVED_ORACLE)
+def streaming_upsert_moved_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-touch merge under its hardest case, end to end:
+    the table partitions by LAST-ACTIVITY DATE — a partition value
+    that MOVES whenever a user's newer event lands on a different day.
+    The events stream replays in event-time order (sorted source
+    files, maxFilesPerTrigger=1), so nearly every user's row migrates
+    across day-partitions batch by batch; a merge that only rewrote
+    batch-named partitions would leave the stale row alive in the old
+    day and break latest-per-key (the round-4 moved-key fix, here
+    under the oracle gate rather than a unit test). The batch argmax
+    with its day is the whole truth the merged table must converge to."""
+    from divolte_collector_spark.streaming.upsert import (
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.to_date("ts").alias("day")
+    )
+    base = tempfile.mkdtemp(prefix="dvs_upsertmv_")
+    src, table, ckpt = (f"{base}/{d}" for d in ("src", "table", "ckpt"))
+    try:
+        # event-time-ordered source files: early days arrive first, so
+        # users' latest rows migrate to later day-partitions over the
+        # run (sortWithinPartitions on a single output partition gives
+        # a deterministic file order the file source replays in order)
+        (
+            ev.repartition(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 2500)
+            .json(src)
+        )
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, day date"
+        ).option("maxFilesPerTrigger", "1").json(src)
+        q = (
+            upsert_sink(
+                stream, table, ckpt,
+                key_cols=["user_id"], order_col="ts", tiebreak="event_id",
+                partition_col="day",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        out = read_upsert_table(spark, table).select(
+            "user_id", "event_id", "day"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

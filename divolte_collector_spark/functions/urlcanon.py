@@ -1,9 +1,8 @@
 """Canonical-URL normalization for URL-identity dedup.
 
 Composes the §2.6 URI surface (functions/uri.py — parse_url accessors
-mirroring UriValueProducer, DslRecordMapping.java:449-530) and the
-query-string grammar (functions/querystring.py) into the normalization
-crawl dedup needs:
+mirroring UriValueProducer, DslRecordMapping.java:449-530) into the
+normalization crawl dedup needs:
 
 - scheme and host lowercased;
 - the scheme's default port stripped (443/https, 80/http), any other
@@ -13,9 +12,19 @@ crawl dedup needs:
 - the fragment discarded;
 - a query string that becomes empty loses its ``?`` entirely.
 
-Everything is JVM-side Column expressions (whole-stage codegen) — a
-narrow map over the scan, so canonical-URL dedup costs the same as
-exact dedup: one hash-groupBy on the derived key.
+The query string is canonicalized at the RAW byte level: parameters
+are split and sorted WITHOUT URL-decoding, and values keep everything
+after the first ``=``. Decoding before the rebuild is a correctness
+trap: ``?a=%26b%3D2`` (one param whose value is ``&b=2``) would
+rebuild to the same bytes as ``?a=&b=2`` (two params), silently
+merging distinct pages — so percent-encoding differences deliberately
+do NOT merge (``%41`` != ``A``), the conservative direction for an
+identity key. The decoded multimap view stays in
+functions/querystring.py for the mapping DSL.
+
+Everything is JVM-side Column expressions — a narrow map over the
+scan, so canonical-URL dedup costs the same as exact dedup: one
+hash-groupBy on the derived key.
 """
 
 from __future__ import annotations
@@ -23,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from divolte_collector_spark.functions.querystring import qs_entries
 from divolte_collector_spark.functions.uri import (
     uri_host,
     uri_port,
@@ -35,6 +43,27 @@ from divolte_collector_spark.functions.uri import (
 DEFAULT_PORTS = {"https": 443, "http": 80}
 
 _BIG = 1 << 20  # "rest of string" length for substr
+
+
+def raw_qs_entries(qs: Column) -> Column:
+    """Raw query string -> array<struct<key,value>> with NO decoding:
+    the key is everything before the first ``=``, the value everything
+    after it (so ``a=b=c`` keeps value ``b=c``), valueless params map
+    to ``""``. Byte-preserving on purpose — see the module docstring."""
+    return F.transform(
+        F.split(qs, "&"),
+        lambda p: F.struct(
+            F.substring_index(p, "=", 1).alias("key"),
+            F.when(
+                p.contains("="),
+                p.substr(
+                    F.length(F.substring_index(p, "=", 1)) + 2, F.lit(_BIG)
+                ),
+            )
+            .otherwise(F.lit(""))
+            .alias("value"),
+        ),
+    )
 
 
 def _parts_parity(url: Column) -> tuple[Column, Column, Column, Column, Column]:
@@ -50,12 +79,12 @@ def _parts_parity(url: Column) -> tuple[Column, Column, Column, Column, Column]:
 
 
 def _parts_fast(url: Column) -> tuple[Column, Column, Column, Column, Column]:
-    """The same five parts from regex-free string splits — one pass of
-    cheap substring arithmetic instead of five regex evaluations
-    (measured ~5x on the canonicalization map). Correct for the
-    standard ``scheme://host[:port]/path[?query][#fragment]`` shape;
-    NOT for userinfo (``u@h``) or IPv6-literal hosts — use the parity
-    path (fast=False) for those. Equivalence on the standard shape is
+    """The same five parts from regex-free string splits — cheap
+    substring arithmetic instead of five regex evaluations (measured
+    ~5x on the canonicalization map). Correct for the standard
+    ``scheme://host[:port]/path[?query][#fragment]`` shape; NOT for
+    userinfo (``u@h``) or IPv6-literal hosts — use the parity path
+    (fast=False) for those. Equivalence on the standard shape is
     pinned in tests/test_urlcanon.py."""
     no_frag = F.substring_index(url, "#", 1)
     scheme = F.substring_index(no_frag, "://", 1)
@@ -73,17 +102,14 @@ def _parts_fast(url: Column) -> tuple[Column, Column, Column, Column, Column]:
     return scheme, host, port, raw_path, raw_query
 
 
-def canonical_url(
-    url: Column, tracking_prefix: str = "utm_", fast: bool = False
+def _canonical_from_parts(
+    scheme_raw: Column,
+    host_raw: Column,
+    port: Column,
+    raw_path: Column,
+    raw_query: Column,
+    tracking_prefix: str,
 ) -> Column:
-    """Normalize ``url`` to its canonical identity string.
-
-    ``fast=True`` swaps the parse_url accessors for the regex-free
-    split decomposition (see :func:`_parts_fast`); both modes produce
-    identical output for standard-shaped URLs."""
-    scheme_raw, host_raw, port, raw_path, raw_query = (
-        _parts_fast(url) if fast else _parts_parity(url)
-    )
     scheme = F.lower(scheme_raw)
     host = F.lower(host_raw)
     default_port = F.lit(None).cast("int")
@@ -94,7 +120,9 @@ def canonical_url(
     ).otherwise(F.concat(F.lit(":"), port.cast("string")))
     kept = F.array_sort(
         F.filter(
-            F.coalesce(qs_entries(raw_query), F.array()),
+            F.when(raw_query.isNull(), F.array()).otherwise(
+                raw_qs_entries(raw_query)
+            ),
             lambda e: ~e.key.startswith(tracking_prefix),
         )
     )
@@ -107,6 +135,21 @@ def canonical_url(
     return F.concat(scheme, F.lit("://"), host, port_part, raw_path, q_part)
 
 
+def canonical_url(
+    url: Column, tracking_prefix: str = "utm_", fast: bool = False
+) -> Column:
+    """Normalize ``url`` to its canonical identity string.
+
+    ``fast=True`` swaps the parse_url accessors for the regex-free
+    split decomposition (see :func:`_parts_fast`); both modes produce
+    identical output for standard-shaped URLs. Prefer
+    :func:`with_canonical_url` in query plans — the single-Column form
+    re-evaluates shared subtrees inside interpreted
+    higher-order-function chains."""
+    parts = _parts_fast(url) if fast else _parts_parity(url)
+    return _canonical_from_parts(*parts, tracking_prefix)
+
+
 def with_canonical_url(
     df: DataFrame,
     url: Column,
@@ -116,26 +159,85 @@ def with_canonical_url(
 ) -> DataFrame:
     """Add ``out_col`` = canonical form of ``url`` via STAGED selects.
 
-    The single-Column form above composes one expression tree in which
-    shared pieces (the query string, the sorted param array) are
-    referenced more than once; the higher-order-function chain is
-    interpreted, so every reference re-evaluates its whole subtree —
-    measured 28.7 s for the 10x-events canonicalization map versus
-    8.6 s staged (3.3x). Staging each intermediate as a NAMED column
-    across selects makes every piece evaluate once per row; Catalyst's
-    CollapseProject keeps the stages because the duplicated
+    The single-Column form composes one expression tree in which
+    shared pieces (the url itself, the split chain, the sorted param
+    array) are referenced more than once; the higher-order-function
+    chain is interpreted, so every reference re-evaluates its whole
+    subtree — measured 28.7 s for the 10x-events canonicalization map
+    versus 8.6 s staged (3.3x). Staging each intermediate as a NAMED
+    column across selects makes every piece evaluate once per row;
+    Catalyst's CollapseProject keeps the stages because the duplicated
     expressions are non-cheap. Same output, same narrow-map plan —
-    only the expression wiring differs."""
-    parts = _parts_fast(url) if fast else _parts_parity(url)
-    scheme_raw, host_raw, port, raw_path, raw_query = parts
-    staged = df.select(
-        "*",
-        F.lower(scheme_raw).alias("_uc_s"),
-        F.lower(host_raw).alias("_uc_h"),
-        port.alias("_uc_p"),
-        raw_path.alias("_uc_pa"),
-        raw_query.alias("_uc_q"),
-    )
+    only the expression wiring differs. The input ``url`` expression
+    itself is staged first, so an expensive synthesized url evaluates
+    once, not once per derived part."""
+    staged = df.select("*", url.alias("_uc_url"))
+    if fast:
+        # stage the split chain too: each link is referenced by the
+        # next AND by its own derived parts
+        staged = (
+            staged.select(
+                "*",
+                F.substring_index(F.col("_uc_url"), "#", 1).alias("_uc_nf"),
+            )
+            .select(
+                "*",
+                F.substring_index(F.col("_uc_nf"), "://", 1).alias("_uc_sr"),
+            )
+            .select(
+                "*",
+                F.col("_uc_nf")
+                .substr(F.length("_uc_sr") + 4, F.lit(_BIG))
+                .alias("_uc_rest"),
+            )
+            .select(
+                "*",
+                F.substring_index(F.col("_uc_rest"), "/", 1).alias("_uc_hp"),
+            )
+            .select(
+                "*",
+                F.col("_uc_rest")
+                .substr(F.length("_uc_hp") + 1, F.lit(_BIG))
+                .alias("_uc_pq"),
+                F.substring_index(F.col("_uc_hp"), ":", 1).alias("_uc_hr"),
+            )
+            .select(
+                "*",
+                F.substring_index(F.col("_uc_pq"), "?", 1).alias("_uc_pa"),
+                F.nullif(
+                    F.col("_uc_hp").substr(
+                        F.length("_uc_hr") + 2, F.lit(_BIG)
+                    ),
+                    F.lit(""),
+                )
+                .try_cast("int")
+                .alias("_uc_p"),
+            )
+            .select(
+                "*",
+                F.lower(F.col("_uc_sr")).alias("_uc_s"),
+                F.lower(F.col("_uc_hr")).alias("_uc_h"),
+                F.nullif(
+                    F.col("_uc_pq").substr(
+                        F.length("_uc_pa") + 2, F.lit(_BIG)
+                    ),
+                    F.lit(""),
+                ).alias("_uc_q"),
+            )
+        )
+        chain_cols = ["_uc_nf", "_uc_sr", "_uc_rest", "_uc_hp", "_uc_pq",
+                      "_uc_hr"]
+    else:
+        u = F.col("_uc_url")
+        staged = staged.select(
+            "*",
+            F.lower(uri_scheme(u)).alias("_uc_s"),
+            F.lower(uri_host(u)).alias("_uc_h"),
+            uri_port(u).alias("_uc_p"),
+            uri_raw_path(u).alias("_uc_pa"),
+            uri_raw_query(u).alias("_uc_q"),
+        )
+        chain_cols = []
     default_port = F.lit(None).cast("int")
     for s, p in DEFAULT_PORTS.items():
         default_port = F.when(F.col("_uc_s") == s, p).otherwise(default_port)
@@ -149,7 +251,9 @@ def with_canonical_url(
         .alias("_uc_pp"),
         F.array_sort(
             F.filter(
-                F.coalesce(qs_entries(F.col("_uc_q")), F.array()),
+                F.when(F.col("_uc_q").isNull(), F.array()).otherwise(
+                    raw_qs_entries(F.col("_uc_q"))
+                ),
                 lambda e: ~e.key.startswith(tracking_prefix),
             )
         ).alias("_uc_kept"),
@@ -177,6 +281,6 @@ def with_canonical_url(
         ).alias(out_col),
     )
     return out.drop(
-        "_uc_s", "_uc_h", "_uc_p", "_uc_pa", "_uc_q", "_uc_pp",
-        "_uc_kept", "_uc_qs",
+        "_uc_url", "_uc_s", "_uc_h", "_uc_p", "_uc_pa", "_uc_q", "_uc_pp",
+        "_uc_kept", "_uc_qs", *chain_cols,
     )

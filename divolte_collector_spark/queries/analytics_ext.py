@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
+from divolte_collector_spark.queries.tpch import cents, sum_money
 from divolte_collector_spark.session import load_table
 
 
@@ -32,10 +33,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube(F.col("event_type"), F.to_date(F.col("ts")).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / 100.0, 2
-            ).alias("sum_value"),
+            sum_money(cents("value"), 100.0).alias("sum_value"),
         )
     )
 
@@ -144,11 +142,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
-                "double"
-            ) / 100.0, 2
-        ).alias("total"),
+        sum_money(cents("o_totalprice"), 100.0).alias("total"),
     )
 
 
@@ -182,12 +176,12 @@ def q_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_type", "user_id", "value")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("pv"),
+        F.sum(cents("value")).alias("pv"),
     )
     return per_user.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
         F.count(F.lit(1)).alias("n_users"),
-        F.round(F.sum("pv").cast("double") / 100.0, 2).alias("sum_value"),
+        sum_money(F.col("pv"), 100.0).alias("sum_value"),
     )
 
 
@@ -465,9 +459,7 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-            "monetary_cents"
-        ),
+        F.sum(cents("value")).alias("monetary_cents"),
         F.max("ts").alias("last_ts"),
     )
     g = ev.agg(F.max("ts").alias("gmax"))
@@ -646,8 +638,10 @@ m AS (
     FROM daily GROUP BY event_type
 )
 SELECT d.event_type, d.day, d.n_events,
-       ((m.n * d.n_events - m.s) * (m.n * d.n_events - m.s)
-        > 9 * (m.n * m.ssq - m.s * m.s)) AS is_anomaly
+       ((CAST(m.n AS HUGEINT) * d.n_events - m.s)
+        * (CAST(m.n AS HUGEINT) * d.n_events - m.s)
+        > 9 * (CAST(m.n AS HUGEINT) * m.ssq
+               - CAST(m.s AS HUGEINT) * m.s)) AS is_anomaly
 FROM daily d JOIN m ON m.event_type = d.event_type
 """
 
@@ -664,11 +658,16 @@ def q_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_events") * F.col("n_events")).alias("ssq"),
     )
     j = daily.join(F.broadcast(m), "event_type")
-    dev = F.col("n") * F.col("n_events") - F.col("s")
+    # decimal(38,0) intermediates: n*ssq and dev^2 wrap a 64-bit long at
+    # realistic daily volumes (the oracle side computes in HUGEINT)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.col("n")) * F.col("n_events") - F.col("s")
     return j.select(
         "event_type", "day", "n_events",
-        (dev * dev > 9 * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s")))
-        .alias("is_anomaly"),
+        (
+            dev * dev
+            > 9 * (dec(F.col("n")) * F.col("ssq") - dec(F.col("s")) * F.col("s"))
+        ).alias("is_anomaly"),
     )
 
 
@@ -706,7 +705,7 @@ FROM c, b
 @query("value_winsorized_stats", oracle=_WINSOR_ORACLE)
 def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    c = ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    c = ev.select(cents("value").alias("cents"))
     b = c.agg(
         F.ceil(F.percentile("cents", F.lit(0.01))).cast("long").alias("lo"),
         F.floor(F.percentile("cents", F.lit(0.99))).cast("long").alias("hi"),
@@ -724,7 +723,8 @@ def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo").alias("lo_cents"),
         F.min("hi").alias("hi_cents"),
         F.round(
-            F.sum(clipped).cast("double") / F.count(F.lit(1)) / 100.0, 6
+            F.sum(clipped.cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)) / 100.0, 6
         ).alias("winsorized_mean"),
     )
 
@@ -765,8 +765,10 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_date(F.to_date("ts")) / 7).cast("long").alias("week"),
     ).distinct()
     first_seen = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # plain shuffle join on user_id: first_seen is user-dimension-
+    # sized, which GROWS with the table — broadcasting it caps scale
     return (
-        uw.join(F.broadcast(first_seen), "user_id")
+        uw.join(first_seen, "user_id")
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).cast("long").alias(
@@ -798,7 +800,8 @@ ranked AS (
 SELECT CAST(count(*) AS BIGINT) AS n_users,
        sum(c) AS n_events,
        max(c) AS max_user_events,
-       round(CAST(2 * sum(i * c) AS DOUBLE) / (count(*) * sum(c))
+       round(CAST(2 * sum(CAST(i AS HUGEINT) * c) AS DOUBLE)
+             / (count(*) * sum(c))
              - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
 FROM ranked
 """
@@ -821,7 +824,8 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_events"),
         F.max("c").alias("max_user_events"),
         F.round(
-            (2 * F.sum(F.col("i") * F.col("c"))).cast("double")
+            (2 * F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")))
+            .cast("double")
             / (n * F.sum("c"))
             - (n + 1).cast("double") / n,
             6,

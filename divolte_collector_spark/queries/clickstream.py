@@ -17,6 +17,7 @@ from divolte_collector_spark.operators.sessionize import (
     sessionize,
 )
 from divolte_collector_spark.queries import query
+from divolte_collector_spark.queries.tpch import cents, sum_money
 from divolte_collector_spark.session import load_table
 
 
@@ -243,12 +244,9 @@ def q_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
+            sum_money(cents("value"), 100.0).alias("sum_value"),
             F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / 100.0, 2
-            ).alias("sum_value"),
-            F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                F.sum(cents("value").cast("decimal(38,0)")).cast("double")
                 / 100.0 / F.count(F.lit(1)), 3
             ).alias("avg_value"),
             F.round(F.expr("percentile(value, 0.5)"), 3).alias("median_value"),

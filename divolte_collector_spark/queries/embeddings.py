@@ -1245,9 +1245,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", F.col("vec_id").alias("removed"),
         F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
+    # plain equi-join on the cluster id: side `a` is the WHOLE
+    # corpus (every vector + its array) — broadcasting it caps scale at
+    # the broadcast limit, while the shuffle join is bounded per
+    # cluster, which is the SemDeDup property this query exists for
     pairs = (
         b.join(
-            F.broadcast(a),
+            a,
             (F.col("a_cid") == F.col("cid"))
             & (F.col("kept") < F.col("removed")),
         )

@@ -32,7 +32,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # round(,2) disagreed (q9, round 4). All revenue/price sums therefore
 # run in exact integers — cents, cents x discount-percent (e4), or
 # cents x discount x tax (e6) — and divide back down once, after the
-# aggregation: integer sums cannot drift at any scale or skew.
+# aggregation. The SUM itself accumulates as decimal(38,0), not long:
+# a long sum of e6 units (~1e11/row) wraps silently past 2^63 at a few
+# hundred million rows per group, exactly the volumes the exactness
+# claim is for, while DuckDB's sum(BIGINT) auto-promotes to HUGEINT —
+# decimal(38,0) keeps both engines exact to 1e38.
 
 def cents(col: str):
     return F.round(F.col(col) * 100).cast("long")
@@ -44,7 +48,9 @@ def rev_e4():
 
 
 def sum_money(int_expr, scale: float, nd: int = 2):
-    return F.round(F.sum(int_expr).cast("double") / scale, nd)
+    return F.round(
+        F.sum(int_expr.cast("decimal(38,0)")).cast("double") / scale, nd
+    )
 
 
 def rev_e4_sql(p: str = "") -> str:
@@ -102,10 +108,12 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
             F.round(
-                F.sum(cents("l_extendedprice")).cast("double") / 100.0 / n, 3
+                F.sum(cents("l_extendedprice").cast("decimal(38,0)"))
+                .cast("double") / 100.0 / n, 3
             ).alias("avg_price"),
             F.round(
-                F.sum(cents("l_discount")).cast("double") / 100.0 / n, 4
+                F.sum(cents("l_discount").cast("decimal(38,0)"))
+                .cast("double") / 100.0 / n, 4
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )

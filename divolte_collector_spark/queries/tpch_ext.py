@@ -242,17 +242,10 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("amount_e4"),
+            rev_e4().alias("amount_e4"),
         )
         .groupBy("nation", "o_year")
-        .agg(
-            F.round(F.sum("amount_e4").cast("double") / 10000.0, 2).alias(
-                "sum_profit"
-            )
-        )
+        .agg(sum_money(F.col("amount_e4"), 10000.0).alias("sum_profit"))
     )
 
 
@@ -406,7 +399,8 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             F.round(
-                F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0, 2
+                F.sum(cents("l_extendedprice").cast("decimal(38,0)"))
+                .cast("double") / 100.0 / 7.0, 2
             ).alias("avg_yearly")
         )
     )
@@ -534,7 +528,8 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (
-            F.sum(cents("c_acctbal")).cast("double") / 100.0 / F.count(F.lit(1))
+            F.sum(cents("c_acctbal").cast("decimal(38,0)")).cast("double")
+            / 100.0 / F.count(F.lit(1))
         ).alias("_avg_bal")
     )
     return (
@@ -732,8 +727,10 @@ def q_referential_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         edge("lineitem->orders", li, "l_orderkey",
              orders.select("o_orderkey"), "o_orderkey", False),
+        # customer is fact-scaled (grows with sf), NOT a bounded
+        # dimension: this edge shuffles like lineitem->orders
         edge("orders->customer", orders.select("o_custkey"), "o_custkey",
-             customer.select("c_custkey"), "c_custkey", True),
+             customer.select("c_custkey"), "c_custkey", False),
         edge("customer->nation", customer.select("c_nationkey"),
              "c_nationkey", nation.select("n_nationkey"), "n_nationkey",
              True),

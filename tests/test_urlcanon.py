@@ -104,6 +104,28 @@ def test_valueless_and_duplicate_params(spark):
     ]
 
 
+def test_encoded_separators_do_not_collide(spark):
+    # REGRESSION: rebuilding from URL-DECODED values turned
+    # ?a=%26b%3D2 (ONE param, value '&b=2') into the same bytes as
+    # ?a=&b=2 (TWO params) — two distinct pages merged by the dedup.
+    # Raw-byte canonicalization keeps them distinct.
+    one_param, two_params = _canon(
+        spark,
+        ["https://e.com/p?a=%26b%3D2", "https://e.com/p?a=&b=2"],
+    )
+    assert one_param == "https://e.com/p?a=%26b%3D2"
+    assert two_params == "https://e.com/p?a=&b=2"
+    assert one_param != two_params
+
+
+def test_value_keeps_everything_after_first_equals(spark):
+    # ?a=b=c and ?a=b=d are different values, not both 'a=b'
+    x, y = _canon(
+        spark, ["https://e.com/p?a=b=c", "https://e.com/p?a=b=d"]
+    )
+    assert x == "https://e.com/p?a=b=c" and y == "https://e.com/p?a=b=d"
+
+
 def test_custom_tracking_prefix(spark):
     df = spark.createDataFrame(
         [("https://e.com/p?ref_src=tw&a=1",)], "url string"

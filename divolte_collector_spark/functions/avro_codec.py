@@ -271,42 +271,55 @@ OCF_MAGIC = b"Obj\x01"
 _META_SCHEMA = {"type": "map", "values": "bytes"}
 
 
-def container_bytes(
-    schema: dict,
-    records: list[dict],
-    sync_marker: bytes | None = None,
-    block_records: int = 1000,
-) -> bytes:
-    """Serialize records as a complete Avro Object Container File.
+def default_sync_marker(schema: dict) -> bytes:
+    """Deterministic 16-byte sync marker derived from the schema
+    fingerprint (byte-identical output for identical input; pass 16
+    random bytes for the reference's exact DataFileWriter behavior)."""
+    return schema_fingerprint_sha256(schema)[:16]
 
-    Header: magic, file-metadata map (``avro.schema`` JSON +
-    ``avro.codec`` null), 16-byte sync marker; then blocks of
-    (count, byte-size, records, sync). ``block_records`` mirrors the
-    reference's sync-every-1000-records default
-    (FileStrategyConfiguration ``syncFileAfterRecords``): a reader can
-    recover at every block boundary, same durability granularity.
 
-    The sync marker is derived from the schema fingerprint by default
-    (deterministic => byte-identical output for identical input, which
-    the tests and the oracle rely on); pass 16 random bytes for the
-    reference's exact behavior (DataFileWriter's random marker).
-    """
-    if sync_marker is None:
-        sync_marker = schema_fingerprint_sha256(schema)[:16]
+def container_header(schema: dict, sync_marker: bytes) -> bytes:
+    """OCF header: magic, file-metadata map (``avro.schema`` JSON +
+    ``avro.codec`` null), 16-byte sync marker. An OCF is this header
+    followed by any number of independent blocks — which is what makes
+    the container format APPEND-ABLE: a writer can emit blocks as data
+    arrives without buffering the file."""
     if len(sync_marker) != 16:
         raise ValueError("sync marker must be 16 bytes")
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode("utf-8"),
         "avro.codec": b"null",
     }
-    out = [OCF_MAGIC, _encode_value(_META_SCHEMA, meta), sync_marker]
+    return b"".join([OCF_MAGIC, _encode_value(_META_SCHEMA, meta), sync_marker])
+
+
+def container_block(schema: dict, records: list[dict], sync_marker: bytes) -> bytes:
+    """One OCF block: (count, byte-size, records, sync). A reader can
+    recover at every block boundary — the reference's
+    sync-every-N-records durability granularity
+    (FileStrategyConfiguration ``syncFileAfterRecords``)."""
+    body = b"".join(encode_record(schema, r) for r in records)
+    return b"".join(
+        [encode_long(len(records)), encode_long(len(body)), body, sync_marker]
+    )
+
+
+def container_bytes(
+    schema: dict,
+    records: list[dict],
+    sync_marker: bytes | None = None,
+    block_records: int = 1000,
+) -> bytes:
+    """Serialize records as a complete Avro Object Container File
+    (header + blocks of ``block_records``); see container_header /
+    container_block for the streaming-append decomposition."""
+    if sync_marker is None:
+        sync_marker = default_sync_marker(schema)
+    out = [container_header(schema, sync_marker)]
     for i in range(0, len(records), block_records):
-        chunk = records[i : i + block_records]
-        body = b"".join(encode_record(schema, r) for r in chunk)
-        out.append(encode_long(len(chunk)))
-        out.append(encode_long(len(body)))
-        out.append(body)
-        out.append(sync_marker)
+        out.append(
+            container_block(schema, records[i : i + block_records], sync_marker)
+        )
     return b"".join(out)
 
 

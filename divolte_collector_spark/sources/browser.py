@@ -126,10 +126,20 @@ def parse_browser_events(
     requests = drop_etag_replays(requests)
     entries = qs_entries(F.col(qs_col))
     ev = requests.withColumn("_entries", _once(entries))
-    # first wire occurrence wins: reversed entries under LAST_WIN dedup
-    ev = ev.withColumn(
-        "_qs_map", _once(F.map_from_entries(F.reverse(F.col("_entries"))))
+    # first wire occurrence wins, deduplicated IN-EXPRESSION: relying on
+    # spark.sql.mapKeyDedupPolicy=LAST_WIN (a session conf) made a
+    # single duplicated wire param kill the whole batch under the
+    # default EXCEPTION policy on any externally-built session. Keeping
+    # entry i only when no earlier entry shares its key makes
+    # map_from_entries duplicate-free under ANY policy.
+    dedup = F.filter(
+        F.col("_entries"),
+        lambda e, i: ~F.exists(
+            F.slice(F.col("_entries"), F.lit(1), i),
+            lambda prev: prev.key.eqNullSafe(e.key),
+        ),
     )
+    ev = ev.withColumn("_qs_map", _once(F.map_from_entries(dedup)))
     e = F.col("_qs_map")
 
     party_id = _valid_identifier(_first_value(e, "p"))

@@ -77,7 +77,10 @@ def parse_json_events(
         parsed.is_new_session.alias("first_in_session"),
         client_time.alias("client_time"),
         F.get_json_object(body, "$.parameters").alias("event_parameters"),
-        required_ok.alias("_complete"),
+        # null-safe: octet_length(NULL)/rlike(NULL) propagate NULL, and
+        # a NULL _complete row would vanish from BOTH filter(col) and
+        # filter(~col) — an unparseable request is simply incomplete
+        F.coalesce(required_ok, F.lit(False)).alias("_complete"),
     )
     if request_time_col and request_time_col in requests.columns:
         out = out.withColumn("request_start_time", F.col(request_time_col))

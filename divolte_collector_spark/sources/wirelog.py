@@ -178,6 +178,13 @@ class _WireLogStreamReader(SimpleDataSourceStreamReader):
         for f in self._files():
             pos = int(start.get(f, 0))
             size = os.path.getsize(f)
+            if size < pos:
+                # the file SHRANK below the stored offset: truncated or
+                # rotated in place (logrotate copytruncate). The content
+                # is new — restart from 0 rather than skipping forever
+                # and then resuming mid-file at a stale byte position.
+                pos = 0
+                end[f] = 0
             if size <= pos:
                 continue
             # binary read: offsets are RAW byte positions. A text-mode

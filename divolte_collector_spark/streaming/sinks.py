@@ -38,10 +38,29 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from divolte_collector_spark.functions.avro_codec import (
     confluent_frame,
-    container_bytes,
+    container_block,
+    container_header,
+    default_sync_marker,
     encode_record,
     schema_fingerprint_sha256,
 )
+
+
+def _clean(v):
+    """Arrow->pandas turns a null value in a numeric column into NaN
+    (and a null timestamp into NaT), which is NOT None — encode_record
+    would then take the non-null union branch and int(nan) raises,
+    aborting the whole micro-batch for one null field. Map the pandas
+    missing sentinels back to None before encoding."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    return v
+
+
+def _record(row: dict, columns: list[str]) -> dict:
+    return {c: _clean(row.get(c)) for c in columns}
 
 
 def file_sink(
@@ -67,6 +86,8 @@ def file_sink(
     )
     if available_now:
         return writer.trigger(availableNow=True)
+    if trigger_seconds is None:  # Spark's default micro-batch trigger
+        return writer
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
 
 
@@ -92,8 +113,12 @@ def write_avro_files(
 
     Scale: the encode+write runs inside ``mapInPandas`` on the
     executors — each partition streams its own container file to
-    (shared) storage; the driver only collects the (filename, count)
-    manifest. At 100 TB nothing funnels through the driver.
+    (shared) storage, appending one OCF BLOCK per Arrow chunk as it
+    arrives (the container format is block-appendable), so worker
+    memory is bounded by the Arrow batch size, never by the roll
+    bucket; the driver only collects the (filename, count) manifest.
+    At 100 TB nothing funnels through the driver and nothing buffers
+    a whole bucket.
     """
     import os
 
@@ -104,32 +129,47 @@ def write_avro_files(
     bucketed = batch_df.withColumn(
         "_roll", F.date_format(F.col(roll_column), "yyyyMMddHHmmss")
     )
+    sync = default_sync_marker(schema)
 
     def write_partition(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        by_roll: dict[str, list[dict]] = {}
-        for pdf in iterator:
-            for row in pdf.to_dict("records"):
-                by_roll.setdefault(row["_roll"], []).append(
-                    {c: row.get(c) for c in columns}
-                )
         os.makedirs(path, exist_ok=True)
+        # roll -> (open .partial handle, published name, record count);
+        # the header goes out when the first record for a roll arrives,
+        # then every Arrow chunk appends one block and is dropped
+        open_files: dict[str, tuple] = {}
+        for pdf in iterator:
+            for roll, group in pdf.groupby("_roll", sort=False):
+                records = [
+                    _record(row, columns) for row in group.to_dict("records")
+                ]
+                if not records:
+                    continue
+                if roll not in open_files:
+                    name = (
+                        f"{roll}-divolte-tracking-{host_string}"
+                        f"-{batch_tag}-{pid}.avro"
+                    )
+                    fh = open(os.path.join(path, name + ".partial"), "wb")
+                    fh.write(container_header(schema, sync))
+                    open_files[roll] = [fh, name, 0]
+                entry = open_files[roll]
+                entry[0].write(container_block(schema, records, sync))
+                entry[2] += len(records)
         names: list[str] = []
         counts: list[int] = []
-        for roll, records in by_roll.items():
-            if not records:
-                continue  # empties are discarded, never published
-            name = f"{roll}-divolte-tracking-{host_string}-{batch_tag}-{pid}.avro"
-            inflight = os.path.join(path, name + ".partial")
-            with open(inflight, "wb") as fh:
-                fh.write(container_bytes(schema, records))
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(inflight, os.path.join(path, name))  # atomic publish
+        for fh, name, n in open_files.values():
+            fh.flush()
+            os.fsync(fh.fileno())
+            fh.close()
+            # empties never open a file, so everything here publishes
+            os.replace(
+                os.path.join(path, name + ".partial"), os.path.join(path, name)
+            )  # atomic publish
             names.append(name)
-            counts.append(len(records))
+            counts.append(n)
         yield pd.DataFrame({"file": names, "n": counts})
 
     # repartition on the roll bucket so each bucket lands in few
@@ -170,22 +210,9 @@ def avro_file_sink(
     )
     if available_now:
         return writer.trigger(availableNow=True)
+    if trigger_seconds is None:  # Spark's default micro-batch trigger
+        return writer
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
-
-
-def _avro_encoder_udf(schema: dict, columns: list[str]):
-    """mapInPandas-compatible encoder: rows -> binary Avro values."""
-
-    def encode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in iterator:
-            values = [
-                encode_record(schema, {c: row[c] for c in columns})
-                for row in pdf.to_dict("records")
-            ]
-            out = pd.DataFrame({"key": pdf["party_id"], "value": values})
-            yield out
-
-    return encode
 
 
 def kafka_frame(
@@ -216,7 +243,7 @@ def kafka_frame(
         for pdf in iterator:
             vals = []
             for row in pdf.to_dict("records"):
-                body = encode_record(schema, {c: row.get(c) for c in columns})
+                body = encode_record(schema, _record(row, columns))
                 if mode == "confluent":
                     body = confluent_frame(confluent_id, body)
                 vals.append(body)
@@ -240,8 +267,6 @@ def pubsub_messages(
         schema_fingerprint_sha256(schema)
     ).decode("ascii")
     confluent_hex = None if confluent_id is None else f"0x{confluent_id:x}"
-    framed = kafka_frame(df.select("*"), schema, mode="naked")
-    # rejoin attributes by recomputing from the source columns
     columns = [f["name"] for f in schema["fields"]]
     out_schema = T.StructType(
         [
@@ -257,7 +282,7 @@ def pubsub_messages(
     def encode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             data = [
-                encode_record(schema, {c: row.get(c) for c in columns})
+                encode_record(schema, _record(row, columns))
                 for row in pdf.to_dict("records")
             ]
             yield pd.DataFrame(

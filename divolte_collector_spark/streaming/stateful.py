@@ -117,7 +117,12 @@ def _make_labeler(gap_ms: int):
                 first = last_ms < 0 or (ms - last_ms) > gap_ms
                 if first:
                     session_id = _mint_session_id(party, ms)
-                last_ms = ms  # sliding refresh, divolte.js:1312
+                # sliding refresh (divolte.js:1312) — but never BACKWARD:
+                # an event later than the watermark but earlier than
+                # last_ms (cross-batch late arrival) must not rewind the
+                # inactivity clock, or the next on-time event sees an
+                # inflated gap and mints a spurious session
+                last_ms = max(last_ms, ms)
                 rows.append(
                     {
                         "party_id": party,
@@ -128,8 +133,15 @@ def _make_labeler(gap_ms: int):
                     }
                 )
         state.update((last_ms, session_id))
-        # expire the cookie one gap after the last event (event time)
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # expire the cookie one gap after the last event (event time),
+        # clamped to the engine watermark: a party whose events all lag
+        # the global watermark (skewed or very late but accepted data)
+        # would otherwise request a timeout in the past, which Spark
+        # rejects and the task dies — clamping makes the cookie expire
+        # at the next opportunity instead
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(rows, columns=[f.name for f in _OUTPUT_SCHEMA.fields])
 
     return label

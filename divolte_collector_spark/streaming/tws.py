@@ -97,7 +97,9 @@ class CookieSessionProcessor(StatefulProcessor):
                 first = last_ms < 0 or (ms - last_ms) > self._gap_ms
                 if first:
                     session_id = _mint_session_id(party, ms)
-                last_ms = ms  # sliding refresh
+                # sliding refresh — never backward (late arrivals must
+                # not rewind the inactivity clock; see stateful.py)
+                last_ms = max(last_ms, ms)
                 out.append(
                     {
                         "party_id": party,

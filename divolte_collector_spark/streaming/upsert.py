@@ -60,7 +60,10 @@ def _read_pointer(path: str) -> tuple[int, int] | None:
             if len(parts) == 1:  # legacy single-number pointer
                 return int(parts[0]), int(parts[0])
             return int(parts[0]), int(parts[1])
-    except (FileNotFoundError, ValueError):
+    except (FileNotFoundError, ValueError, IndexError):
+        # IndexError: a zero-length pointer (crash between replace and
+        # data hitting disk) must read as "no published version", not
+        # wedge every future merge
         return None
 
 
@@ -70,6 +73,8 @@ def _publish(
     tmp = os.path.join(path, _CURRENT + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(f"{version} {watermark}")
+        fh.flush()
+        os.fsync(fh.fileno())  # the rename must never outrun the data
     os.replace(tmp, os.path.join(path, _CURRENT))
     # Retain the immediately previous version as a read grace window: a
     # reader that resolved the pointer just before this flip may still be
@@ -211,12 +216,17 @@ def merge_batch(
             # semi-join (shuffles only the key columns of the table; the
             # partition-pruned fast path below skips this scan entirely
             # when partition_col is a function of the key).
+            # null-safe key equality: `on=key_cols` never matches a
+            # NULL key, so a null-keyed row's old partition would be
+            # missed and its stale row would survive
+            bk = batch_df.select(*key_cols).distinct().alias("_bk")
+            ex = existing.alias("_ex")
+            cond = None
+            for k in key_cols:
+                c = F.col(f"_ex.{k}").eqNullSafe(F.col(f"_bk.{k}"))
+                cond = c if cond is None else (cond & c)
             moved = (
-                existing.join(
-                    batch_df.select(*key_cols).distinct(),
-                    on=key_cols,
-                    how="left_semi",
-                )
+                ex.join(bk, cond, "left_semi")
                 .select(partition_col)
                 .distinct()
                 .collect()

@@ -138,3 +138,57 @@ def test_stateful_agrees_with_batch_sessionize(spark, events_sf0001=None):
         assert j.filter(F.col("got_first") != F.col("first_in_session")).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def test_late_event_does_not_rewind_session_clock(spark):
+    # REGRESSION: a cross-batch LATE event (within the watermark but
+    # earlier than the party's last seen time) used to rewind last_ms,
+    # so the next on-time event saw an inflated inactivity gap and
+    # minted a spurious session.
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dvs_late_")
+    try:
+        import os
+        import time
+
+        _write_batch(d, "b1", [("pA", "e1", "2024-01-01 10:00:00"),
+                               ("pA", "e2", "2024-01-01 10:20:00")])
+        # batch 2: e_late is 9 min EARLIER than e2 (late arrival, still
+        # within the default 10-min watermark), then e3 22 min after e2
+        # — a true gap under 30 min, so SAME session
+        _write_batch(d, "b2", [("pA", "elate", "2024-01-01 10:11:00")])
+        _write_batch(d, "b3", [("pA", "e3", "2024-01-01 10:42:00"),
+                               ("pZ", "e9", "2024-01-02 09:00:00")])
+        # the file source orders batches by modification time; force a
+        # strictly increasing order so b3's sentinel cannot advance the
+        # watermark before the late event is processed
+        now = time.time()
+        for i, name in enumerate(("b1", "b2", "b3")):
+            os.utime(f"{d}/{name}.json", (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(d)
+        )
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("stateful_late")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = {
+            r.event_id: r
+            for r in spark.sql("SELECT * FROM stateful_late").collect()
+        }
+        # the late event joins the open session and does NOT rewind it
+        assert not rows["elate"].first_in_session
+        # e3's gap from the true last activity (e2, 22 min) is within
+        # the 30-min timeout: same session, not a spurious new one
+        assert not rows["e3"].first_in_session
+        assert rows["e3"].session_id == rows["e1"].session_id
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -326,3 +326,60 @@ def test_pubsub_messages_attributes(spark):
     # without a registry id the attribute is absent (None)
     bare = pubsub_messages(batch, schema).first()
     assert bare.schemaConfluentId is None
+
+
+def test_kafka_frame_tolerates_null_numeric_fields(spark):
+    # REGRESSION: Arrow->pandas turns a null long column into NaN; the
+    # encoder then took the non-null union branch and int(nan) raised,
+    # killing the whole micro-batch for one null field.
+    from divolte_collector_spark.functions.avro_codec import decode_record
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "party_id", "type": "string"},
+            {"name": "w", "type": ["null", "long"], "default": None},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("0:a:1", 1920), ("0:b:2", None)], "party_id string, w long"
+    )
+    rows = {
+        bytes(r.key).decode(): bytes(r.value)
+        for r in kafka_frame(df, schema).collect()
+    }
+    assert decode_record(schema, rows["0:a:1"])["w"] == 1920
+    assert decode_record(schema, rows["0:b:2"])["w"] is None
+
+
+def test_write_avro_files_null_field_and_incremental_blocks(spark, tmp_path):
+    from divolte_collector_spark.functions.avro_codec import read_container
+    from divolte_collector_spark.streaming.sinks import write_avro_files
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "party_id", "type": "string"},
+            {"name": "w", "type": ["null", "long"], "default": None},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("p1", 5, "2024-01-01 10:00:00"), ("p2", None, "2024-01-01 10:30:00")],
+        "party_id string, w long, client_time string",
+    ).withColumn("client_time", F.to_timestamp("client_time"))
+    out = str(tmp_path / "avro")
+    manifest = write_avro_files(df, schema, out, batch_tag="t")
+    assert sum(n for _, n in manifest) == 2
+    import os
+
+    recs = []
+    for name, _ in manifest:
+        with open(os.path.join(out, name), "rb") as fh:
+            _, rs = read_container(fh.read())
+        recs.extend(rs)
+    by_party = {r["party_id"]: r for r in recs}
+    assert by_party["p1"]["w"] == 5 and by_party["p2"]["w"] is None
+    assert not [f for f in os.listdir(out) if f.endswith(".partial")]

@@ -233,3 +233,20 @@ def test_erase_keys_partition_touch(spark, tmp_path):
         assert os.stat(os.path.join(v1d1, f)).st_ino == ino
     out = {r.k: r.day for r in read_upsert_table(spark, path).collect()}
     assert out == {1: "d1", 3: "d2"}
+
+
+def test_empty_pointer_file_reads_as_unpublished(spark, tmp_path):
+    # REGRESSION: a crash could leave a zero-length _CURRENT; parsing
+    # it raised an uncaught IndexError on every later merge/read,
+    # permanently wedging the sink. It must read as "nothing published"
+    # and the next merge must self-heal.
+    path = str(tmp_path / "t")
+    import os
+
+    os.makedirs(path)
+    open(os.path.join(path, "_CURRENT"), "w").close()  # empty pointer
+    assert current_version(path) is None
+    merge_batch(spark, _df(spark, [(1, 10, "a", "d1")]), 0,
+                path, ["k"], "ts", "k")
+    assert current_version(path) == 0
+    assert [r.k for r in read_upsert_table(spark, path).collect()] == [1]

@@ -140,3 +140,27 @@ def test_etag_replay_dropped_before_parse(spark):
     out = parse_browser_events(df)
     assert out.count() == 2
     assert out.filter(F.col("if_none_match") == SENTINEL_ETAG).count() == 0
+
+
+def test_duplicate_wire_param_survives_any_dedup_policy(spark):
+    # REGRESSION: the decoder relied on the session conf
+    # spark.sql.mapKeyDedupPolicy=LAST_WIN; under Spark's default
+    # EXCEPTION policy one duplicated wire param killed the whole
+    # batch. The dedup is now in-expression (first occurrence wins,
+    # the reference's Undertow parameter-map behavior).
+    from divolte_collector_spark.sources.browser import parse_browser_events
+
+    qs = (
+        "p=0:1heitfsl:aaaaaaaaaaaaaaaa&s=0:1heitfsl:bbbbbbbbbbbbbbbb"
+        "&v=pv1&e=ev1&c=1heitfsl&n=t&f=t&l=http%3A%2F%2Fx%2F&t=first"
+        "&t=second"
+    )
+    df = spark.createDataFrame([(qs,)], "query_string string")
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        out = parse_browser_events(df).collect()
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+    assert len(out) == 1
+    assert out[0].event_type == "first"  # first occurrence wins

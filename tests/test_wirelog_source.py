@@ -136,3 +136,30 @@ def test_stream_offsets_are_exact_bytes_for_crlf_and_bad_utf8(log_dir):
     # replay between offsets (binary) must agree with the live read
     replay = list(reader.readBetweenOffsets(end, end2))
     assert replay == rows2
+
+
+def test_stream_recovers_from_in_place_truncation(log_dir):
+    # REGRESSION: after logrotate copytruncate, the stored offset
+    # exceeded the file size; the reader skipped the file until it
+    # regrew past the stale offset and then resumed MID-FILE, silently
+    # losing everything before it. A shrunken file now restarts at 0.
+    import os
+
+    from divolte_collector_spark.sources.wirelog import _WireLogStreamReader
+
+    f = os.path.join(log_dir, "rotate.log")
+    line = (
+        f'2024-01-02T05:00:00 10.9.0.1 "GET /csc-event?{_QS.format(n=1)} '
+        f'HTTP/1.1" "AgentR/1.0"'
+    ).encode() + b"\n"
+    with open(f, "wb") as fh:
+        fh.write(line * 3)
+    reader = _WireLogStreamReader({"path": f})
+    rows, off1 = reader.read(reader.initialOffset())
+    assert len(list(rows)) == 3
+    # copytruncate: file restarts smaller than the stored offset
+    with open(f, "wb") as fh:
+        fh.write(line * 2)
+    rows, off2 = reader.read(off1)
+    assert len(list(rows)) == 2  # post-rotation lines ingested, from 0
+    assert off2[f] == 2 * len(line)

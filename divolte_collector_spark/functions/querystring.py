@@ -26,26 +26,42 @@ def qs_entries(qs: Column) -> Column:
     """Raw query string -> array<struct<key,value>> with URL-decoding.
 
     Valueless params (no '=') decode to value "" per
-    QueryStringParser.java:61-66.
+    QueryStringParser.java:61-66; the VALUE is everything after the
+    FIRST '=' (``t=dGVzdA==`` keeps its base64 padding, ``a=b=c``
+    keeps ``b=c``), matching the reference parser and this repo's own
+    Python checksum decode — split_part at index 2 would truncate at
+    the second separator.
     """
     pairs = F.split(qs, "&")
     return F.transform(
         pairs,
         lambda p: F.struct(
-            F.try_url_decode(F.split_part(p, F.lit("="), F.lit(1))).alias("key"),
+            F.try_url_decode(F.substring_index(p, "=", 1)).alias("key"),
             F.try_url_decode(
-                F.when(p.contains("="), F.split_part(p, F.lit("="), F.lit(2))).otherwise(
-                    F.lit("")
-                )
+                F.when(
+                    p.contains("="),
+                    p.substr(
+                        F.length(F.substring_index(p, "=", 1)) + 2,
+                        F.lit(1 << 20),
+                    ),
+                ).otherwise(F.lit(""))
             ).alias("value"),
         ),
     )
 
 
 def qs_multimap(qs: Column) -> Column:
-    """Raw query string -> map<string, array<string>> (multi-valued)."""
+    """Raw query string -> map<string, array<string>> (multi-valued).
+
+    A parameter whose KEY fails URL decoding (``a%zz=1``) is absent
+    from the map rather than a null key — map_from_arrays raises
+    NULL_MAP_KEY at runtime otherwise, failing the whole job on one
+    corrupt request (the uri.py contract is undecodable => absent)."""
     entries = qs_entries(qs)
-    keys = F.array_distinct(F.transform(entries, lambda e: e.key))
+    keys = F.filter(
+        F.array_distinct(F.transform(entries, lambda e: e.key)),
+        lambda k: k.isNotNull(),
+    )
     return F.map_from_arrays(
         keys,
         F.transform(

@@ -89,12 +89,15 @@ def _parts_fast(url: Column) -> tuple[Column, Column, Column, Column, Column]:
     no_frag = F.substring_index(url, "#", 1)
     scheme = F.substring_index(no_frag, "://", 1)
     rest = no_frag.substr(F.length(scheme) + 4, F.lit(_BIG))
-    hostport = F.substring_index(rest, "/", 1)
-    pathq = rest.substr(F.length(hostport) + 1, F.lit(_BIG))
-    raw_path = F.substring_index(pathq, "?", 1)
+    # split the query off FIRST: a path-less URL ('https://h?a=1') has
+    # its '?' before any '/', and splitting on '/' first would fold the
+    # whole query string into the host
+    rest_nq = F.substring_index(rest, "?", 1)
     raw_query = F.nullif(
-        pathq.substr(F.length(raw_path) + 2, F.lit(_BIG)), F.lit("")
+        rest.substr(F.length(rest_nq) + 2, F.lit(_BIG)), F.lit("")
     )
+    hostport = F.substring_index(rest_nq, "/", 1)
+    raw_path = rest_nq.substr(F.length(hostport) + 1, F.lit(_BIG))
     host = F.substring_index(hostport, ":", 1)
     port = F.nullif(
         hostport.substr(F.length(host) + 2, F.lit(_BIG)), F.lit("")
@@ -132,7 +135,12 @@ def _canonical_from_parts(
     q_part = F.when(qstr == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), qstr)
     )
-    return F.concat(scheme, F.lit("://"), host, port_part, raw_path, q_part)
+    # parse_url PATH is null for a path-less URL; a null leg would null
+    # the whole concat
+    return F.concat(
+        scheme, F.lit("://"), host, port_part,
+        F.coalesce(raw_path, F.lit("")), q_part,
+    )
 
 
 def canonical_url(
@@ -191,19 +199,33 @@ def with_canonical_url(
                 .alias("_uc_rest"),
             )
             .select(
+                # query split FIRST: a path-less URL has '?' before '/'
                 "*",
-                F.substring_index(F.col("_uc_rest"), "/", 1).alias("_uc_hp"),
+                F.substring_index(F.col("_uc_rest"), "?", 1).alias(
+                    "_uc_rnq"
+                ),
             )
             .select(
                 "*",
-                F.col("_uc_rest")
+                F.nullif(
+                    F.col("_uc_rest").substr(
+                        F.length("_uc_rnq") + 2, F.lit(_BIG)
+                    ),
+                    F.lit(""),
+                ).alias("_uc_q"),
+                F.substring_index(F.col("_uc_rnq"), "/", 1).alias("_uc_hp"),
+            )
+            .select(
+                "*",
+                F.col("_uc_rnq")
                 .substr(F.length("_uc_hp") + 1, F.lit(_BIG))
-                .alias("_uc_pq"),
+                .alias("_uc_pa"),
                 F.substring_index(F.col("_uc_hp"), ":", 1).alias("_uc_hr"),
             )
             .select(
                 "*",
-                F.substring_index(F.col("_uc_pq"), "?", 1).alias("_uc_pa"),
+                F.lower(F.col("_uc_sr")).alias("_uc_s"),
+                F.lower(F.col("_uc_hr")).alias("_uc_h"),
                 F.nullif(
                     F.col("_uc_hp").substr(
                         F.length("_uc_hr") + 2, F.lit(_BIG)
@@ -213,19 +235,8 @@ def with_canonical_url(
                 .try_cast("int")
                 .alias("_uc_p"),
             )
-            .select(
-                "*",
-                F.lower(F.col("_uc_sr")).alias("_uc_s"),
-                F.lower(F.col("_uc_hr")).alias("_uc_h"),
-                F.nullif(
-                    F.col("_uc_pq").substr(
-                        F.length("_uc_pa") + 2, F.lit(_BIG)
-                    ),
-                    F.lit(""),
-                ).alias("_uc_q"),
-            )
         )
-        chain_cols = ["_uc_nf", "_uc_sr", "_uc_rest", "_uc_hp", "_uc_pq",
+        chain_cols = ["_uc_nf", "_uc_sr", "_uc_rest", "_uc_rnq", "_uc_hp",
                       "_uc_hr"]
     else:
         u = F.col("_uc_url")
@@ -274,7 +285,7 @@ def with_canonical_url(
             F.lit("://"),
             F.col("_uc_h"),
             F.col("_uc_pp"),
-            F.col("_uc_pa"),
+            F.coalesce(F.col("_uc_pa"), F.lit("")),
             F.when(F.col("_uc_qs") == "", F.lit("")).otherwise(
                 F.concat(F.lit("?"), F.col("_uc_qs"))
             ),

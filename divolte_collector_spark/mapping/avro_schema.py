@@ -64,7 +64,8 @@ def _convert(avro_type: Any) -> tuple[T.DataType, bool]:
         if kind == "record":
             return _record_to_struct(avro_type), False
         if kind == "enum":
-            # enum symbols -> string with membership validated at map time
+            # enum symbols -> string; literal membership is validated
+            # at build time by enum_symbols()/validate_enum_literal
             return T.StringType(), False
         if kind == "fixed":
             return T.BinaryType(), False
@@ -78,7 +79,10 @@ def _record_to_struct(record: dict) -> T.StructType:
     fields = []
     for f in record.get("fields", []):
         dtype, nullable = _convert(f["type"])
-        fields.append(T.StructField(f["name"], dtype, nullable=True if nullable else True))
+        # propagate REAL nullability (this was a constant-True typo):
+        # a required Avro field maps to a non-nullable StructField so
+        # validation layers can distinguish required from optional
+        fields.append(T.StructField(f["name"], dtype, nullable=bool(nullable)))
     return T.StructType(fields)
 
 
@@ -96,6 +100,23 @@ def avro_to_spark_schema(schema: dict) -> tuple[T.StructType, dict[str, Any]]:
         if "default" in f:
             defaults[f["name"]] = f["default"]
     return struct, defaults
+
+
+def enum_fields(schema: dict) -> dict[str, list[str]]:
+    """Field name -> enum symbol list for every (possibly
+    null-unioned) enum-typed field of a record schema — the build-time
+    validation surface for literal mappings (an invalid symbol must be
+    a STARTUP failure, not a per-record ValueError deep in the Avro
+    encoder)."""
+    out: dict[str, list[str]] = {}
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, list):  # ["null", {...enum...}]
+            non_null = [x for x in t if x != "null"]
+            t = non_null[0] if len(non_null) == 1 else None
+        if isinstance(t, dict) and t.get("type") == "enum":
+            out[f["name"]] = list(t.get("symbols", []))
+    return out
 
 
 def load_avsc(path: str) -> tuple[T.StructType, dict[str, Any]]:

@@ -88,7 +88,13 @@ class MappingBuilder:
     """
 
     def __init__(self, schema: T.StructType | dict, defaults: dict[str, Any] | None = None):
+        self._enums: dict[str, list[str]] = {}
         if isinstance(schema, dict):
+            from divolte_collector_spark.mapping.avro_schema import (
+                enum_fields,
+            )
+
+            self._enums = enum_fields(schema)
             schema, avsc_defaults = avro_to_spark_schema(schema)
             defaults = {**avsc_defaults, **(defaults or {})}
         self.schema: T.StructType = schema
@@ -168,6 +174,12 @@ class MappingBuilder:
         target = self._target(field)
         if literal is None:
             raise SchemaMappingException("cannot map a null literal")
+        if field in self._enums and literal not in self._enums[field]:
+            # startup failure, not a per-record encoder ValueError
+            raise SchemaMappingException(
+                f"literal {literal!r} is not a symbol of enum field "
+                f"{field!r} (symbols: {self._enums[field]})"
+            )
         for py_type, spark_type in _LITERAL_TYPES:
             # bool is a subclass of int — check in declared order
             if isinstance(literal, py_type):

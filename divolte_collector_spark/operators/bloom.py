@@ -74,45 +74,40 @@ def probe_bloom(
 ) -> DataFrame:
     """Add ``maybe_member`` to ``df``: False proves ``key_col`` was
     never inserted into ``blooms`` (built with IDENTICAL m/buckets/
-    seeds); True must be settled exactly. The bitmaps ride a broadcast
-    join; the probe itself never shuffles ``df``."""
+    seeds); True must be settled exactly.
+
+    The probe is a NARROW MAP over ``df`` — no explode, no join, no
+    shuffle: the bitmap relation is sketch-sized by construction
+    (at most ``buckets * m / 64`` longs regardless of how many keys
+    went in), so it collects to the driver and rides into the plan as
+    one literal map (the same bounded-driver-state discipline as the
+    k-means centroids); each row then tests its k bit positions with
+    plain integer expressions. The previous explode+join+regroup
+    formulation shuffled the k-times-exploded fact relation through a
+    per-row-unique groupBy — the exact cost this operator's design
+    notes promise to avoid."""
+    wpb = (m + 63) // 64  # words per bucket
+    entries: list = []
+    for r in blooms.collect():
+        entries.append(F.lit(int(r["bkt"]) * wpb + int(r["word"])))
+        entries.append(F.lit(int(r["bits"])))
+    if not entries:
+        return df.withColumn("maybe_member", F.lit(False))
+    lookup = F.create_map(*entries)
     key = F.col(key_col)
-    # Tag each input row with a unique id before the k-way explode so the
-    # regroup restores EXACTLY the input rows: duplicate probe rows stay
-    # duplicated, and map-typed payload columns (which groupBy cannot key
-    # on) ride through as first() aggregates rather than grouping keys.
-    tagged = df.withColumn("_rid", F.monotonically_increasing_id())
-    probed = (
-        tagged.select(
-            "_rid", *df.columns,
-            _bucket(key, buckets).alias("_bkt"),
-            F.explode(_positions(key, m, seeds)).alias("pos"),
+    bkt = _bucket(key, buckets)
+    hits = []
+    for s in seeds:
+        pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m))
+        word = F.floor(pos / F.lit(64)).cast("long")
+        # F.shiftleft only takes a literal shift; call the SQL function
+        # directly to shift by a per-row column
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
-        .select(
-            "_rid", *df.columns, "_bkt",
-            F.expr(_WORD).alias("_word"), F.expr(_MASK).alias("_mask"),
-        )
-        .join(
-            F.broadcast(
-                blooms.select(
-                    F.col("bkt").alias("_bkt"),
-                    F.col("word").alias("_word"),
-                    "bits",
-                )
-            ),
-            ["_bkt", "_word"],
-            "left",
-        )
-    )
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("_mask")) == F.col("_mask"))
-    )
-    return (
-        probed.groupBy("_rid")
-        .agg(
-            *[F.first(c).alias(c) for c in df.columns],
-            (F.min(hit.cast("int")) == 1).alias("maybe_member"),
-        )
-        .drop("_rid")
-    )
+        bits = F.element_at(lookup, bkt * wpb + word)
+        hits.append(bits.isNotNull() & (bits.bitwiseAND(mask) == mask))
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    return df.withColumn("maybe_member", maybe)

@@ -87,12 +87,11 @@ def compact_partition(
     old = part_dir + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    (
-        df.repartition(target_files)
-        .sortWithinPartitions(*[c for c in ("party_id",) if c in df.columns])
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    out = df.repartition(target_files)
+    sort_cols = [c for c in ("party_id",) if c in df.columns]
+    if sort_cols:  # sortWithinPartitions rejects an empty column list
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(tmp)
     os.replace(part_dir, old)  # readers renaming-in-flight see old data
     os.replace(tmp, part_dir)
     shutil.rmtree(old, ignore_errors=True)

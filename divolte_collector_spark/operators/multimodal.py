@@ -145,6 +145,10 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.concat(F.lit("text/"), F.col("lang")).alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            (F.length(F.col("text")) / 16).cast("int").alias("n_frames"),
+            # BYTE length, matching the payload the frames are cut
+            # from: char length disagrees for any non-ASCII document
+            (F.octet_length(F.col("text")) / 16).cast("int").alias(
+                "n_frames"
+            ),
         ).alias("meta"),
     )

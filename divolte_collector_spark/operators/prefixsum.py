@@ -62,9 +62,23 @@ def global_cumsum(
         .agg(F.sum(F.col(value_col)).alias("_t"))
         .collect()
     )
-    # sequential prefix over |buckets| values — the only serial step
-    offsets: dict[int, int] = {}
-    acc = 0
+    # sequential prefix over |buckets| values — the only serial step.
+    # Offsets keep the VALUE column's numeric family: truncating a
+    # fractional bucket total to int would silently corrupt the
+    # cumulative sum for float value columns.
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    offsets: dict[int, float] = {}
+    acc = 0 if integral else 0.0
     for row in sorted(totals, key=lambda r: r["_psb"]):
         offsets[row["_psb"]] = acc
         acc += row["_t"] or 0
@@ -72,8 +86,11 @@ def global_cumsum(
     # ship offsets back as a broadcast dimension (|buckets| rows) — a
     # literal map expression would grow the plan linearly with buckets
     spark = df.sparkSession
+    off_type = "long" if integral else "double"
+    cast = int if integral else float
     offset_df = spark.createDataFrame(
-        [(int(k), int(v)) for k, v in offsets.items()], "_psb long, _off long"
+        [(int(k), cast(v)) for k, v in offsets.items()],
+        f"_psb long, _off {off_type}",
     )
     w = Window.partitionBy("_psb").orderBy(order_col)
     return (

@@ -43,11 +43,12 @@ def range_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bucket_width).cast("long"),
-                # hi is exclusive: a range ending exactly on a bucket
-                # boundary does not reach into the next bucket
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / bucket_width
-                ).cast("long"),
+                # end bucket = floor(hi / w): registering one bucket
+                # too many when hi sits exactly on a boundary is
+                # harmless (the strict `point < hi` residual discards
+                # it), while the subtract-epsilon trick DROPPED matches
+                # whenever hi lay within epsilon above a boundary
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
             )
         ),
     )

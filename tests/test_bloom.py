@@ -85,3 +85,13 @@ def test_probe_tolerates_map_typed_payload(spark):
     out = {r.k: r for r in probe_bloom(df, "k", blooms).collect()}
     assert out["a"].meta == {"x": 1} and out["a"].maybe_member
     assert out["b"].meta == {"y": 2} and not out["b"].maybe_member
+
+
+def test_probe_is_a_narrow_map_no_shuffle(spark):
+    # the probe's contract: no explode, no join, no shuffle of df —
+    # the bitmaps ride as one literal map
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    blooms = build_bloom(_keys_df(spark, ["a"]), "k")
+    plan = probe_bloom(df, "k", blooms)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

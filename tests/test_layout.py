@@ -87,3 +87,25 @@ def test_compaction_merges_small_files(spark):
         assert back.filter(F.col("event_date") == day).count() == total_before
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_partition_without_cluster_column(spark, tmp_path):
+    # REGRESSION: sortWithinPartitions() with zero columns raises; a
+    # table lacking party_id must still compact
+    import os
+
+    from divolte_collector_spark.operators.layout import (
+        PARTITION_COL,
+        compact_partition,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("x"), F.lit("2024-01-01").alias(PARTITION_COL)
+    )
+    df.write.partitionBy(PARTITION_COL).mode("overwrite").parquet(base)
+    n = compact_partition(spark, base, "2024-01-01", target_files=1)
+    assert n == 100
+    part = os.path.join(base, f"{PARTITION_COL}=2024-01-01")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) == 1

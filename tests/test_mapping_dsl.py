@@ -884,3 +884,32 @@ def test_digest_with_seed_fixture(spark):
     row = m.apply(_events(spark)).first()
     vals = [row.digestString, row.digestString2, row.digestString3]
     assert all(vals) and len(set(vals)) == 3
+
+
+def test_enum_literal_validated_at_build_time():
+    # REGRESSION: an invalid enum symbol passed all startup validation
+    # and only crashed per-record deep in the Avro encoder; it must be
+    # a build-time SchemaMappingException
+    import pytest
+
+    from divolte_collector_spark.mapping.avro_schema import (
+        SchemaMappingException,
+    )
+    from divolte_collector_spark.mapping.dsl import MappingBuilder
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {
+                "name": "tier",
+                "type": ["null", {"type": "enum", "name": "Tier",
+                                  "symbols": ["A", "B"]}],
+                "default": None,
+            }
+        ],
+    }
+    b = MappingBuilder(schema)
+    b.map_literal("A", "tier")  # valid symbol: accepted
+    with pytest.raises(SchemaMappingException, match="not a symbol"):
+        MappingBuilder(schema).map_literal("C", "tier")

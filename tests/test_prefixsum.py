@@ -44,3 +44,21 @@ def test_null_order_keys_form_first_peer_group(spark):
     )
     assert got == want
     assert dict(want)[1] == 16  # sanity: 15 (nulls) + 1
+
+
+def test_global_cumsum_fractional_values(spark):
+    # REGRESSION: per-bucket offsets were truncated with int(), so a
+    # double value column produced wrong cumulative sums
+    from divolte_collector_spark.operators.prefixsum import global_cumsum
+
+    df = spark.createDataFrame(
+        [(0, 0.5), (1, 0.5), (2, 0.5)], "ord long, v double"
+    )
+    out = {
+        r.ord: r.csum
+        for r in global_cumsum(
+            df, order_col="ord", value_col="v", out_col="csum",
+            bucket_width=1.0,
+        ).collect()
+    }
+    assert out == {0: 0.5, 1: 1.0, 2: 1.5}

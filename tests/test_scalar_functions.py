@@ -468,3 +468,33 @@ def test_jsonpath_filter_and_routing(spark):
     assert row.s == "string"
     assert row.m == "[]"  # present doc, no matches: empty list (jayway)
     assert bad.f is None and bad.w is None and bad.s is None
+
+
+def test_qs_value_keeps_tail_after_first_equals(spark):
+    # REGRESSION: split_part index 2 truncated 'a=b=c' to 'b' and
+    # base64 padding 't=dGVzdA==' to 'dGVzdA'
+    from divolte_collector_spark.functions.querystring import (
+        qs_multimap,
+        qs_value,
+    )
+
+    df = spark.createDataFrame(
+        [("t=dGVzdA%3D%3D&a=b=c",)], "qs string"
+    ).select(qs_multimap(F.col("qs")).alias("m"))
+    row = df.select(
+        qs_value(F.col("m"), "t").alias("t"),
+        qs_value(F.col("m"), "a").alias("a"),
+    ).collect()[0]
+    assert row.t == "dGVzdA=="
+    assert row.a == "b=c"
+
+
+def test_qs_multimap_undecodable_key_is_absent_not_fatal(spark):
+    # REGRESSION: a key failing URL-decode ('a%zz') became a NULL map
+    # key and map_from_arrays raised NULL_MAP_KEY, killing the job;
+    # the contract is undecodable => absent
+    from divolte_collector_spark.functions.querystring import qs_multimap
+
+    df = spark.createDataFrame([("a%zz=1&b=2",)], "qs string")
+    out = df.select(qs_multimap(F.col("qs")).alias("m")).collect()[0].m
+    assert out == {"b": ["2"]}

@@ -30,7 +30,20 @@ STANDARD_MATRIX = [
     "https://e.com/p",
     "https://e.com/p?flag&a=2&a=1",
     "https://shop3.example.com:8443/p/49?a=1&b=2#x",
+    # path-less URLs (query directly after the authority): the '?'
+    # comes BEFORE any '/', which the fast split must handle
+    "https://Example.com?b=2&utm_source=x&a=1",
+    "https://example.com:8443?a=1",
+    "https://example.com",
 ]
+
+
+def test_pathless_url_with_query(spark):
+    # REGRESSION: the fast decomposition split on '/' first, folding
+    # the query string into the host for path-less URLs — tracking
+    # params survived and the host was corrupted
+    assert _canon(spark, ["https://Example.com?b=2&utm_source=x&a=1"],
+                  fast=True) == ["https://example.com?a=1&b=2"]
 
 
 def test_fast_mode_matches_parity_on_standard_shapes(spark):

@@ -25,19 +25,32 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
+    # shuffle.partitions must be numeric even when cpus is 'local[*]''s
+    # wildcard; and a builder-set master would OVERRIDE spark-submit's
+    # --master, silently running a cluster job single-JVM on the driver
+    # — only default to local when no master was configured externally
+    n_parts = str(cpus) if str(cpus).isdigit() else str(os.cpu_count() or 8)
+    from pyspark import SparkConf
+
+    external_master = SparkConf().get("spark.master", None) or os.environ.get(
+        "MASTER"
+    )
+    builder = SparkSession.builder.appName(app_name)
+    if not external_master:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", n_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # wire-param maps keep the FIRST occurrence of a duplicated key
-        # by building map_from_entries over the reversed entry array
-        # (sources/browser.py) — requires LAST_WIN dedup semantics.
+        # The wire decoder dedups param keys in-expression (first
+        # occurrence wins, sources/browser.py) and works under ANY
+        # policy; LAST_WIN stays as defense in depth for ad-hoc
+        # map_from_entries over untrusted input elsewhere.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # The driver's events.parquet carries TIMESTAMP(NANOS) which the
         # vectorized reader rejects outright; read as long and rescale

@@ -81,6 +81,7 @@ def event_spark_schema(schema: dict) -> T.StructType:
         T.StructField("_topic", T.StringType(), True),
         T.StructField("_partition", T.IntegerType(), True),
         T.StructField("_offset", T.LongType(), True),
+        T.StructField("_timestamp", T.TimestampType(), True),
     ]
     return T.StructType(fields)
 
@@ -154,6 +155,13 @@ def decode_kafka_events(
     """
     if mode not in ("naked", "confluent"):
         raise ValueError(f"unknown kafka source mode: {mode}")
+    if expected_confluent_id is not None and mode != "confluent":
+        # naked frames carry no schema id: enforcing one is a config
+        # error, and silently skipping the check would defeat the
+        # mixed-registry protection the parameter exists for
+        raise ValueError(
+            "expected_confluent_id requires mode='confluent'"
+        )
     out_schema = event_spark_schema(schema)
     if mode == "confluent":
         out_schema = T.StructType(
@@ -170,9 +178,9 @@ def decode_kafka_events(
     def decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows: list[dict] = []
-            for key, value, topic, part, off in zip(
+            for key, value, topic, part, off, ts in zip(
                 pdf["key"], pdf["value"], pdf["topic"], pdf["partition"],
-                pdf["offset"],
+                pdf["offset"], pdf["timestamp"],
             ):
                 buf = bytes(value) if value is not None else b""
                 sid = None
@@ -199,6 +207,7 @@ def decode_kafka_events(
                 rec["_topic"] = topic
                 rec["_partition"] = part
                 rec["_offset"] = off
+                rec["_timestamp"] = ts
                 if verify_key:
                     party = rec.get("party_id")
                     rec["_key_matches"] = (
@@ -209,9 +218,17 @@ def decode_kafka_events(
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return kafka_df.select("key", "value", "topic", "partition", "offset").mapInPandas(
-        decode, out_schema
-    )
+    if "timestamp" not in kafka_df.columns:
+        # synthetic/batch frames (tests, replays) may lack the broker
+        # timestamp the real kafka scan always carries
+        from pyspark.sql import functions as F
+
+        kafka_df = kafka_df.withColumn(
+            "timestamp", F.lit(None).cast("timestamp")
+        )
+    return kafka_df.select(
+        "key", "value", "topic", "partition", "offset", "timestamp"
+    ).mapInPandas(decode, out_schema)
 
 
 def kafka_events(

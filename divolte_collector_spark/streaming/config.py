@@ -91,10 +91,10 @@ def _decoder(
     if stype == "browser":
 
         def decode(raw: DataFrame) -> DataFrame:
+            # parse_browser_events applies drop_etag_replays itself
             return _core_first(
                 parse_browser_events(
-                    drop_etag_replays(raw),
-                    use_x_forwarded_for=use_x_forwarded_for,
+                    raw, use_x_forwarded_for=use_x_forwarded_for
                 )
             )
 
@@ -128,12 +128,7 @@ def _mapping_transform(
         raise TopologyError(
             f"mapping {name!r}: mapping_script {script!r} is not registered"
         )
-    schema = cfg.get("schema")
-    if schema is None and cfg.get("schema_file"):
-        import json
-
-        with open(cfg["schema_file"]) as fh:
-            schema = json.load(fh)
+    schema = _mapping_schema(cfg)
     if script is not None:
         transform = mapping_registry[script]
     elif schema is not None:
@@ -154,6 +149,18 @@ def _mapping_transform(
     return apply
 
 
+def _mapping_schema(cfg: Mapping[str, Any]) -> dict | None:
+    """The mapping's declared Avro schema (inline or schema_file), or
+    None for script-registry mappings whose output shape is opaque."""
+    schema = cfg.get("schema")
+    if schema is None and cfg.get("schema_file"):
+        import json
+
+        with open(cfg["schema_file"]) as fh:
+            schema = json.load(fh)
+    return schema
+
+
 def _default_mapping(name: str, schema: dict) -> Callable[[DataFrame], DataFrame]:
     """The built-in default mapping (Mapping.java:70-100): each schema
     field whose name matches a decoded-event column maps onto it;
@@ -162,8 +169,9 @@ def _default_mapping(name: str, schema: dict) -> Callable[[DataFrame], DataFrame
     from divolte_collector_spark.mapping import MappingBuilder
 
     field_names = [f["name"] for f in schema.get("fields", [])]
-    matched = [f for f in field_names if f in EVENT_CORE]
-    if not matched:
+    if not [f for f in field_names if f in EVENT_CORE]:
+        # startup sanity: a schema matching NO core event column can
+        # never produce a meaningful default mapping
         raise TopologyError(
             f"mapping {name!r}: default mapping matched no schema fields "
             f"against the event columns {sorted(EVENT_CORE)}"
@@ -172,6 +180,11 @@ def _default_mapping(name: str, schema: dict) -> Callable[[DataFrame], DataFrame
     def apply(df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
+        # match against the DECODED FRAME's full column set, not just
+        # the core: the decoders expose more top-level columns
+        # (remote_host, query_string, ...) and Mapping.java's default
+        # maps every name match, not a core subset
+        matched = [f for f in field_names if f in df.columns]
         m = MappingBuilder(schema)
         for f in matched:
             m.map_value(F.col(f), f)
@@ -295,7 +308,7 @@ def build_topology(
     # default false): when set, browser sources replace remote_host
     # from the XFF chain before decode
     use_xff = bool(
-        (config.get("global") or {}).get("server", {}).get(
+        ((config.get("global") or {}).get("server") or {}).get(
             "use_x_forwarded_for", False
         )
     )
@@ -311,6 +324,12 @@ def build_topology(
         srcs = list(mcfg.get("sources") or [])
         if not srcs:
             raise TopologyError(f"mapping {mname!r}: no sources attached")
+        if len(set(srcs)) != len(srcs):
+            # a duplicated attachment would union a source with itself
+            # and silently DOUBLE every event
+            raise TopologyError(
+                f"mapping {mname!r}: duplicate sources {sorted(srcs)}"
+            )
         unknown = [s for s in srcs if s not in sources_cfg]
         if unknown:
             raise TopologyError(
@@ -319,14 +338,48 @@ def build_topology(
         dsts = list(mcfg.get("sinks") or [])
         if not dsts:
             raise TopologyError(f"mapping {mname!r}: no sinks attached")
+        if len(set(dsts)) != len(dsts):
+            raise TopologyError(
+                f"mapping {mname!r}: duplicate sinks {sorted(dsts)}"
+            )
         unknown = [d for d in dsts if d not in sinks_cfg]
         if unknown:
             raise TopologyError(
                 f"mapping {mname!r} references unknown sinks: {unknown}"
             )
-        topo.add_mapping(
-            mname, srcs, _mapping_transform(mname, mcfg, mapping_registry)
-        )
+        # the mapping's own validation (unknown script, all-miss
+        # default schema) must fire before sink-compat checks
+        transform = _mapping_transform(mname, mcfg, mapping_registry)
+        # build-time schema compatibility: a sink avro_schema field the
+        # mapping cannot produce, or a kafka/gcps sink without the
+        # party_id key column, would otherwise fail PER RECORD inside
+        # mapInPandas on an executor — the reference's contract is
+        # startup failure (declared schemas only; script-registry
+        # mappings have opaque output and validate at first batch)
+        mschema = _mapping_schema(mcfg)
+        if mschema is not None:
+            mfields = {f["name"] for f in mschema.get("fields", [])}
+            for d in dsts:
+                scfg = sinks_cfg[d]
+                sschema = scfg.get("avro_schema")
+                if sschema is not None:
+                    missing = sorted(
+                        {f["name"] for f in sschema.get("fields", [])}
+                        - mfields
+                    )
+                    if missing:
+                        raise TopologyError(
+                            f"sink {d!r}: avro_schema fields {missing} are "
+                            f"not produced by mapping {mname!r}"
+                        )
+                if scfg.get("type") in ("kafka", "gcps") and (
+                    "party_id" not in mfields
+                ):
+                    raise TopologyError(
+                        f"sink {d!r} keys records by party_id, which "
+                        f"mapping {mname!r} does not produce"
+                    )
+        topo.add_mapping(mname, srcs, transform)
         for d in dsts:
             sink_feeds[d].append(mname)
 

@@ -17,6 +17,15 @@ too wide.
 
 from __future__ import annotations
 
+
+def _rate(v) -> float:
+    """Spark rate metrics can be None OR NaN (first batch); both mean
+    'no rate yet'."""
+    if v is None or v != v:
+        return 0.0
+    return float(v)
+
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -76,8 +85,11 @@ class ProgressRecorder(StreamingQueryListener):
             BatchMetrics(
                 batch_id=p.batchId,
                 num_input_rows=p.numInputRows,
-                input_rate=p.inputRowsPerSecond or 0.0,
-                process_rate=p.processedRowsPerSecond or 0.0,
+                # `or 0.0` does not neutralize NaN (truthy): Spark
+                # reports NaN rates on the first progress event, which
+                # would poison any backpressure comparison or average
+                input_rate=_rate(p.inputRowsPerSecond),
+                process_rate=_rate(p.processedRowsPerSecond),
                 duration_ms=duration,
                 state_rows=state_rows,
                 watermark=(p.eventTime or {}).get("watermark"),

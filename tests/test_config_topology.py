@@ -275,3 +275,122 @@ def test_global_use_x_forwarded_for(spark):
     assert [r.remote_host for r in topo_off.sink_inputs()["out"].collect()] == [
         "10.0.0.1"
     ]
+
+
+_DM_SCHEMA = {
+    "type": "record",
+    "name": "DM",
+    "fields": [
+        {"name": "party_id", "type": ["null", "string"], "default": None},
+        {"name": "event_type", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def _dm_cfg(**overrides):
+    cfg = {
+        "sources": {"json_api": {"type": "json"}},
+        "mappings": {
+            "default": {
+                "sources": ["json_api"], "sinks": ["k"], "schema": _DM_SCHEMA,
+            }
+        },
+        "sinks": {"k": {"type": "kafka", "avro_schema": _DM_SCHEMA}},
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def test_duplicate_source_attachment_rejected(spark):
+    # REGRESSION: a duplicated sources entry unioned the source with
+    # itself and silently DOUBLED every event
+    cfg = _dm_cfg()
+    cfg["mappings"]["default"]["sources"] = ["json_api", "json_api"]
+    with pytest.raises(TopologyError, match="duplicate sources"):
+        build_topology(cfg, {"json_api": _raw_json(spark)})
+
+
+def test_duplicate_sink_attachment_rejected(spark):
+    cfg = _dm_cfg()
+    cfg["mappings"]["default"]["sinks"] = ["k", "k"]
+    with pytest.raises(TopologyError, match="duplicate sinks"):
+        build_topology(cfg, {"json_api": _raw_json(spark)})
+
+
+def test_sink_schema_field_not_produced_is_startup_error(spark):
+    # REGRESSION: a sink avro_schema field the mapping cannot produce
+    # failed per-record inside mapInPandas on an executor
+    cfg = _dm_cfg()
+    cfg["sinks"]["k"]["avro_schema"] = {
+        "type": "record",
+        "name": "S",
+        "fields": [
+            {"name": "party_id", "type": ["null", "string"], "default": None},
+            {"name": "not_produced", "type": ["null", "string"],
+             "default": None},
+        ],
+    }
+    with pytest.raises(TopologyError, match="not produced by mapping"):
+        build_topology(cfg, {"json_api": _raw_json(spark)})
+
+
+def test_kafka_sink_requires_party_id_from_mapping(spark):
+    cfg = _dm_cfg()
+    no_party = {
+        "type": "record",
+        "name": "NP",
+        "fields": [
+            {"name": "event_type", "type": ["null", "string"],
+             "default": None}
+        ],
+    }
+    cfg["mappings"]["default"]["schema"] = no_party
+    cfg["sinks"]["k"]["avro_schema"] = no_party
+    with pytest.raises(TopologyError, match="party_id"):
+        build_topology(cfg, {"json_api": _raw_json(spark)})
+
+
+def test_null_server_section_tolerated(spark):
+    # REGRESSION: {'global': {'server': None}} (empty config section
+    # deserialized as null) crashed with AttributeError
+    cfg = _dm_cfg()
+    cfg["global"] = {"server": None}
+    topo = build_topology(cfg, {"json_api": _raw_json(spark)})
+    assert "k" in topo.sink_inputs()
+
+
+def test_default_mapping_covers_non_core_decoded_columns(spark):
+    # REGRESSION: the default mapping matched only the 10-column event
+    # core, silently nulling schema fields like event_parameters that
+    # the decoders DO expose as top-level columns
+    schema = {
+        "type": "record",
+        "name": "WithParams",
+        "fields": [
+            {"name": "party_id", "type": ["null", "string"], "default": None},
+            {"name": "event_parameters", "type": ["null", "string"],
+             "default": None},
+        ],
+    }
+    cfg = _dm_cfg()
+    cfg["mappings"]["default"]["schema"] = schema
+    cfg["sinks"]["k"]["avro_schema"] = schema
+    body = json.dumps(
+        {
+            "event_type": "signup",
+            "session_id": "0:i1t84hgy:sess",
+            "event_id": "j-0",
+            "is_new_party": False,
+            "is_new_session": True,
+            "client_timestamp_iso": "2024-01-02T03:04:05.678+02:00",
+            "parameters": {"k": 1},
+        }
+    )
+    raw = spark.createDataFrame(
+        [(body, "0:i1t84hgy:party")], "body string, party_id_param string"
+    )
+    topo = build_topology(cfg, {"json_api": raw})
+    # the mapped relation (pre-sink) must carry real event_parameters
+    mapped = topo._mapped()["default"]
+    vals = [r.event_parameters for r in mapped.collect()]
+    assert any(v is not None for v in vals)

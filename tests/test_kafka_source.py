@@ -53,7 +53,7 @@ def test_decode_naked(spark):
     out = decode_kafka_events(_kafka_shaped(spark, values), _SCHEMA)
     assert [f.name for f in out.schema.fields] == [
         "party_id", "event_id", "event_type", "client_ms",
-        "_topic", "_partition", "_offset",
+        "_topic", "_partition", "_offset", "_timestamp",
     ]
     rows = {r.event_id: r for r in out.collect()}
     assert rows["e1"].party_id == "0:a:1" and rows["e1"].client_ms == 1000
@@ -208,3 +208,15 @@ def test_confluent_golden_bytes_roundtrip(spark):
     by_off = {r._offset: r for r in out}
     assert by_off[0].party_id == "0:a:1" and by_off[0].client_ms == 1000
     assert by_off[1].party_id is None and by_off[2].party_id is None
+
+
+def test_expected_id_with_naked_mode_rejected(spark):
+    # REGRESSION: expected_confluent_id was silently ignored for naked
+    # frames — the mixed-registry protection the parameter exists for
+    import pytest
+
+    with pytest.raises(ValueError, match="requires mode='confluent'"):
+        decode_kafka_events(
+            _kafka_shaped(spark, [b""]), _SCHEMA, mode="naked",
+            expected_confluent_id=7,
+        )

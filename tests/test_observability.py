@@ -49,3 +49,13 @@ def test_progress_recorder_captures_batches(spark):
     finally:
         spark.streams.removeListener(rec)
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_nan_rates_normalize_to_zero():
+    # REGRESSION: `or 0.0` is a no-op for NaN (truthy), poisoning any
+    # backpressure comparison or average over batches
+    from divolte_collector_spark.streaming.observability import _rate
+
+    assert _rate(float("nan")) == 0.0
+    assert _rate(None) == 0.0
+    assert _rate(123.5) == 123.5

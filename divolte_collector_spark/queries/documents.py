@@ -39,10 +39,17 @@ def tokens_col(text: str = "text"):
 
 
 def shingles_expr(tok_col: str, k: int = 3) -> str:
-    """Distinct k-word shingles of a token-array column (SQL expr)."""
+    """Distinct k-word shingles of a token-array column (SQL expr).
+
+    Documents shorter than ``k`` tokens yield an EMPTY array (matching
+    the oracle's ``range(1, len-1)``) — without the guard, Spark's
+    ``sequence(0, size-k)`` produces a DESCENDING sequence for short
+    docs and ``slice(..., 0, k)`` fails the whole job at runtime."""
     return (
+        f"CASE WHEN size({tok_col}) >= {k} THEN "
         f"array_distinct(transform(sequence(0, size({tok_col}) - {k}),"
-        f" i -> concat_ws(' ', slice({tok_col}, i + 1, {k}))))"
+        f" i -> concat_ws(' ', slice({tok_col}, i + 1, {k})))) "
+        f"ELSE array() END"
     )
 
 
@@ -54,7 +61,12 @@ def with_planted_dups(docs: DataFrame) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(
             (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-            F.concat_ws(" ", F.slice(toks, 3, F.size(toks) - 2)).alias("text"),
+            # greatest(.., 0): a 1-2 token doc mutates to '' instead of
+            # failing the job on a negative slice length
+            F.concat_ws(
+                " ",
+                F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+            ).alias("text"),
         )
     )
     return docs.select("doc_id", "text").unionByName(mutated)
@@ -155,12 +167,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH ----------------------------------------------------------
 
 # Universal-hash permutation family over ONE base hash per shingle:
-# h_k(x) = (a_k * (md5_60(x) mod 2^30) + b_k) mod (2^61 - 1).
+# h_k(x) = (a_k * (md5_60(x) mod 2^30) + b_k) mod (2^31 - 1).
 # One md5 per shingle instead of K (measured ~2x on the signature
-# stage); a_k < 2^30 and base < 2^30 keep every intermediate < 2^61,
-# exact in BIGINT on both engines (DuckDB errors on overflow, Java
-# wraps — staying under 2^63 sidesteps both).
-_MH_P = (1 << 61) - 1
+# stage); a_k < 2^30 and base < 2^30 keep a_k*x + b_k < 2^61, exact
+# in BIGINT on both engines (DuckDB errors on overflow, Java wraps —
+# staying under 2^63 sidesteps both).
+#
+# The MODULUS MUST SIT JUST ABOVE THE RESIDUE UNIVERSE (2^30): with a
+# huge prime like 2^61-1, a_k*x + b_k never wraps, every h_k is a
+# strictly INCREASING function of x, all K minima collapse to
+# monotone images of the single value min(x), and the 8x2 banding
+# amplifies nothing (a pair collides in every band or none —
+# candidate probability J instead of 1-(1-J^2)^8). With the Mersenne
+# prime 2^31-1 the products wrap thoroughly and the K permutations
+# order the universe independently, which is what banding requires.
+_MH_P = (1 << 31) - 1
 _MH_MOD = 1 << 30
 _MH_PARAMS = [
     ((1103515245 * k + 12345) % _MH_MOD | 1, (2654435761 * (k + 1)) % _MH_MOD)
@@ -227,70 +248,21 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1). Spread docs across the cluster FIRST — on a real
     # many-file table this is a no-op-priced round robin of doc texts.
     planted = planted.repartition(spark.sparkContext.defaultParallelism)
-    sh = planted.select(
-        "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
-    )
     # All K min-hashes AND the per-doc shingle arrays the verification
-    # step needs in ONE aggregation: one md5 per shingle row, K cheap
+    # step needs in ONE aggregation (see _lsh_doc_agg, shared with the
+    # incremental index builder): one md5 per shingle row, K cheap
     # integer permutations of it as columns, a single groupBy(doc_id).
     # The exploded |tokens|-row relation is consumed exactly once and
     # never persisted — what persists is the compact |docs|-row
     # aggregate feeding the three downstream consumers (bands + both
-    # verification sides). Versus the previous two-aggregation shape
-    # this halves the shuffle volume of the heaviest relation and
-    # removes the multi-hundred-MB executor-cache residency that made
-    # this query's wall time swing 3x under memory pressure. Versus the
-    # naive crossJoin(seeds) formulation it avoids K x |shingles| rows;
-    # versus K md5s per shingle the arithmetic family halves hash cost.
-    # 60-bit identity hash per shingle, reused twice: its mod-2^30
-    # residue feeds the minhash permutations, and the full value stands
-    # in for the shingle STRING in the verification arrays — an 8-byte
-    # long instead of a ~25-byte string through the aggregation shuffle,
-    # the persisted arrays, and array_intersect. Shingle sets are
-    # per-doc distinct, so intersect-of-hashes == intersect-of-strings
-    # unless two distinct corpus shingles collide in 60 bits (p ~ n^2 /
-    # 2^61; ~1e-9 for a 1M-shingle corpus — negligible against the
-    # oracle, and a collision would only perturb one candidate's count).
-    hid = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    doc_agg = (
-        sh.withColumn("_hid", hid)
-        .withColumn("_hsh", F.col("_hid") % F.lit(_MH_MOD))
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list("_hid").alias("shs"),
-            F.count(F.lit(1)).alias("n_sh"),
-            *[
-                F.min((F.lit(a) * F.col("_hsh") + F.lit(b)) % F.lit(_MH_P)).alias(
-                    f"mh{k}"
-                )
-                for k, (a, b) in enumerate(_MH_PARAMS)
-            ],
-        )
-        .persist()
-    )
-    rows_per_band = MINHASH_K // LSH_BANDS
-    band = doc_agg.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("int").alias("band_id"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh{h}").cast("string")
-                                for h in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("_b"),
-    ).select("doc_id", "_b.band_id", "_b.band_key")
+    # verification sides). The 60-bit identity hash per shingle is
+    # reused twice: its mod-2^30 residue feeds the minhash
+    # permutations, and the full value stands in for the shingle
+    # STRING in the verification arrays — an 8-byte long instead of a
+    # ~25-byte string through the shuffle, the persisted arrays, and
+    # array_intersect (collision p ~ n^2/2^61, negligible).
+    doc_agg = _lsh_doc_agg(planted).persist()
+    band = _lsh_bands(doc_agg)
     ba = band.alias("ba")
     bb = band.alias("bb")
     cand = (
@@ -380,7 +352,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUALITY_ORACLE = """
 WITH scored AS (
-    SELECT lang, source,
+    SELECT lang, source, doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            length(text) AS n_chars_calc,
            len(list_filter(string_split(text, ' '),
@@ -391,8 +363,12 @@ SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_tokens), 4) AS avg_tokens,
        round(avg(n_chars_calc), 4) AS avg_chars,
-       round(avg(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS avg_stopword_ratio,
-       round(avg(CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens), 6) AS avg_word_len
+       round(list_reduce(list(CAST(n_stop AS DOUBLE) / n_tokens
+                              ORDER BY doc_id), (a, b) -> a + b)
+             / count(*), 6) AS avg_stopword_ratio,
+       round(list_reduce(list(CAST(n_chars_calc - n_tokens + 1 AS DOUBLE)
+                              / n_tokens ORDER BY doc_id), (a, b) -> a + b)
+             / count(*), 6) AS avg_word_len
 FROM scored
 GROUP BY lang, source
 """
@@ -407,24 +383,44 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _docs(spark, sf_dir).select(
         "lang",
         "source",
+        "doc_id",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_calc"),
         n_stop.alias("n_stop"),
     )
+
+    # averages of integer columns are exact under any summation order;
+    # averages of per-doc RATIOS are doubles whose sum order differs
+    # between engines — fold them in doc_id order on both sides
+    def folded_avg(ratio, alias):
+        return F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", ratio.alias("r")))
+                    ),
+                    lambda x: x.r,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias(alias)
+
     return scored.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         F.round(F.avg("n_chars_calc"), 4).alias("avg_chars"),
-        F.round(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens")), 6).alias(
-            "avg_stopword_ratio"
+        folded_avg(
+            F.col("n_stop").cast("double") / F.col("n_tokens"),
+            "avg_stopword_ratio",
         ),
-        F.round(
-            F.avg(
-                (F.col("n_chars_calc") - F.col("n_tokens") + 1).cast("double")
-                / F.col("n_tokens")
-            ),
-            6,
-        ).alias("avg_word_len"),
+        folded_avg(
+            (F.col("n_chars_calc") - F.col("n_tokens") + 1).cast("double")
+            / F.col("n_tokens"),
+            "avg_word_len",
+        ),
     )
 
 
@@ -767,7 +763,11 @@ def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class ChunkDocument:
         def eval(self, doc_id: int, text: str):
-            toks = text.split(" ") if text is not None else [""]
+            if text is None:
+                # the DataFrame variant's explode(null) and the oracle
+                # both drop null-text docs: zero rows, not one '' chunk
+                return
+            toks = text.split(" ")
             n = max(1, math.ceil((len(toks) - size) / stride) + 1)
             for i in range(n):
                 yield doc_id, i, " ".join(toks[i * stride : i * stride + size])
@@ -1760,13 +1760,13 @@ tf AS (
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
     SELECT t.doc_id,
-           sum(
+           list_reduce(list(
                ln(1 + ((SELECT n_docs FROM stats) - d.df + 0.5)
                       / (d.df + 0.5))
                * t.tf * ({_BM25_K1} + 1)
                / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
                    + {_BM25_B} * l.dlen / (SELECT avg_len FROM stats)))
-           ) AS score
+               ORDER BY term), (a, b) -> a + b) AS score
     FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
     GROUP BY t.doc_id
 )
@@ -1802,11 +1802,25 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + _BM25_K1 * (
         1 - _BM25_B + _BM25_B * F.col("dlen") / F.lit(avg_len)
     )
+    # per-doc score as an ordered left-fold over the (few) query
+    # terms: an unordered double SUM's addition order can differ
+    # between engines and flip the exact hash at a rounding or rank
+    # boundary (the repo's standing float discipline)
+    contrib = (idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("c")
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", contrib))),
+                    lambda x: x.c,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("score")
+        )
     )
     # top-k via orderBy+limit (TakeOrdered: per-partition heads merged)
     # — a no-partition row_number window would be one task over every

@@ -62,10 +62,17 @@ def stateful_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="dvs_statefulq_")
     name = "stateful_labels_" + uuid.uuid4().hex[:8]
     try:
-        ev.write.mode("overwrite").json(tmp)
-        stream = spark.readStream.schema(
-            "party_id string, event_id string, client_time timestamp"
-        ).json(tmp)
+        # keep MICROSECONDS: the default JSON timestamp format truncates
+        # to ms, and the oracle orders by the full-precision ts
+        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
+        stream = (
+            spark.readStream.schema(
+                "party_id string, event_id string, client_time timestamp"
+            )
+            .option("timestampFormat", fmt)
+            .json(tmp)
+        )
         q = (
             sessionize_stateful(stream, watermark="0 seconds")
             .writeStream.format("memory")
@@ -194,10 +201,19 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, table, ckpt = (f"{base}/{d}" for d in ("src", "table", "ckpt"))
     try:
         # several source files -> several micro-batches -> several merges
-        ev.repartition(2).write.mode("overwrite").json(src)
-        stream = spark.readStream.schema(
-            "user_id long, event_id long, event_type string, ts timestamp"
-        ).option("maxFilesPerTrigger", "1").json(src)
+        # (microsecond-preserving format: ts is the merge order key)
+        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ev.repartition(2).write.mode("overwrite").option(
+            "timestampFormat", fmt
+        ).json(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp"
+            )
+            .option("timestampFormat", fmt)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
         q = (
             upsert_sink(
                 stream, table, ckpt,
@@ -306,16 +322,23 @@ def streaming_upsert_moved_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         # users' latest rows migrate to later day-partitions over the
         # run (sortWithinPartitions on a single output partition gives
         # a deterministic file order the file source replays in order)
+        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         (
             ev.repartition(1)
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 2500)
+            .option("timestampFormat", fmt)
             .json(src)
         )
-        stream = spark.readStream.schema(
-            "user_id long, event_id long, ts timestamp, day date"
-        ).option("maxFilesPerTrigger", "1").json(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, day date"
+            )
+            .option("timestampFormat", fmt)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
         q = (
             upsert_sink(
                 stream, table, ckpt,

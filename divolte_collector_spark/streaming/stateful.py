@@ -111,7 +111,9 @@ def _make_labeler(gap_ms: int):
         # which the state design already assumes is small.
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values("client_time")
+            # event_id tiebreak: same-timestamp events must label in the
+            # same order the SQL oracle's (ts, event_id) window uses
+            pdf = pdf.sort_values(["client_time", "event_id"])
             for ev_id, ts in zip(pdf["event_id"], pdf["client_time"]):
                 ms = int(ts.value // 1_000_000)  # pandas ns -> ms
                 first = last_ms < 0 or (ms - last_ms) > gap_ms

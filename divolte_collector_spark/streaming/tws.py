@@ -91,7 +91,7 @@ class CookieSessionProcessor(StatefulProcessor):
         pdf = pd.concat(list(rows), ignore_index=True)
         out: list[dict[str, Any]] = []
         if len(pdf):
-            pdf = pdf.sort_values("client_time")
+            pdf = pdf.sort_values(["client_time", "event_id"])
             for ev_id, ts in zip(pdf["event_id"], pdf["client_time"]):
                 ms = int(ts.value // 1_000_000)
                 first = last_ms < 0 or (ms - last_ms) > self._gap_ms

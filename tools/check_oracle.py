@@ -100,6 +100,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
+            # queries that persist() intermediates would otherwise
+            # accumulate executor cache across the whole sweep
+            spark.catalog.clearCache()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")

@@ -371,8 +371,12 @@ def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("N"), keys).alias("country_code"),
         (key + 4000000).cast("int").alias("country_id"),
         F.col("n_name").alias("country_name"),
-        (key * 1.5).alias("latitude"),
-        (key * -2.25).alias("longitude"),
+        # + 0.0 normalizes IEEE signed zero: the JVM double multiply
+        # emits -0.0 for nationkey 0 (key * -2.25) while the DuckDB
+        # oracle's decimal-then-cast path emits +0.0; -0.0 + 0.0 ==
+        # +0.0 and x + 0.0 == x for every other double.
+        (key * 1.5 + F.lit(0.0)).alias("latitude"),
+        (key * -2.25 + F.lit(0.0)).alias("longitude"),
         (key % 100).cast("int").alias("metro_code"),
         F.concat(F.lit("Zone/"), F.col("n_name")).alias("time_zone"),
         F.concat(F.lit("P"), keys).alias("postal_code"),

@@ -35,13 +35,16 @@ def norm_cell(v, strict=False):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # normalize -0.0 and represent at fixed precision
+        # strict = byte-faithful to the driver's hash: exact repr
+        # (which distinguishes -0.0 from 0.0 — the signed-zero drift
+        # that hid the 4-round geoip failure), no significant-digit
+        # rounding (a Spark double and a DuckDB double must be the
+        # SAME double). Loose mode still folds -0.0 into 0.0.
+        if strict:
+            return repr(v)
         if v == 0:
             v = 0.0
-        # strict = byte-faithful to the driver's hash: exact repr, no
-        # significant-digit rounding (a Spark double and a DuckDB double
-        # must be the SAME double)
-        return repr(v) if strict else f"{v:.9g}"
+        return f"{v:.9g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

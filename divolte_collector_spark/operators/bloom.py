@@ -71,33 +71,36 @@ def probe_bloom(
     m: int = 8192,
     buckets: int = 4,
     seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    max_literal_words: int = 65536,
 ) -> DataFrame:
     """Add ``maybe_member`` to ``df``: False proves ``key_col`` was
     never inserted into ``blooms`` (built with IDENTICAL m/buckets/
     seeds); True must be settled exactly.
 
-    The probe is a NARROW MAP over ``df`` — no explode, no join, no
-    shuffle: the bitmap relation is sketch-sized by construction
-    (at most ``buckets * m / 64`` longs regardless of how many keys
-    went in), so it collects to the driver and rides into the plan as
-    one literal map (the same bounded-driver-state discipline as the
-    k-means centroids); each row then tests its k bit positions with
-    plain integer expressions. The previous explode+join+regroup
-    formulation shuffled the k-times-exploded fact relation through a
-    per-row-unique groupBy — the exact cost this operator's design
-    notes promise to avoid."""
+    Two physical strategies, both shuffle-free over ``df``:
+
+    - **Literal map** (small filters): the bitmap relation is
+      sketch-sized by construction (at most ``buckets * m / 64`` longs
+      regardless of how many keys went in), so it collects to the
+      driver and rides into the plan as one literal map (the same
+      bounded-driver-state discipline as the k-means centroids); each
+      row then tests its k bit positions with plain integer
+      expressions — no Exchange, no Join.
+    - **Broadcast joins** (past ``max_literal_words`` populated words):
+      a literal ``create_map`` with millions of entries is a
+      multi-million-node Catalyst expression that blows up planning, so
+      a realistically sized filter instead probes with k broadcast
+      hash joins on (bucket, word) — still narrow over ``df``, and the
+      per-executor cost is one shared copy of the bitmap instead of an
+      expression-tree walk. (The OLD explode+join+regroup formulation
+      shuffled the k-times-exploded fact relation through a
+      per-row-unique groupBy; the k-join form never shuffles ``df``.)
+    """
     wpb = (m + 63) // 64  # words per bucket
-    entries: list = []
-    for r in blooms.collect():
-        entries.append(F.lit(int(r["bkt"]) * wpb + int(r["word"])))
-        entries.append(F.lit(int(r["bits"])))
-    if not entries:
-        return df.withColumn("maybe_member", F.lit(False))
-    lookup = F.create_map(*entries)
     key = F.col(key_col)
     bkt = _bucket(key, buckets)
-    hits = []
-    for s in seeds:
+
+    def _word_mask(s: int):
         pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m))
         word = F.floor(pos / F.lit(64)).cast("long")
         # F.shiftleft only takes a literal shift; call the SQL function
@@ -105,9 +108,56 @@ def probe_bloom(
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
-        bits = F.element_at(lookup, bkt * wpb + word)
-        hits.append(bits.isNotNull() & (bits.bitwiseAND(mask) == mask))
-    maybe = hits[0]
-    for h in hits[1:]:
+        return word, mask
+
+    populated = buckets * wpb
+    if populated <= max_literal_words:
+        entries: list = []
+        for r in blooms.collect():
+            entries.append(F.lit(int(r["bkt"]) * wpb + int(r["word"])))
+            entries.append(F.lit(int(r["bits"])))
+        if not entries:
+            return df.withColumn("maybe_member", F.lit(False))
+        if len(entries) // 2 <= max_literal_words:
+            lookup = F.create_map(*entries)
+            hits = []
+            for s in seeds:
+                word, mask = _word_mask(s)
+                bits = F.element_at(lookup, bkt * wpb + word)
+                hits.append(
+                    bits.isNotNull() & (bits.bitwiseAND(mask) == mask)
+                )
+            maybe = hits[0]
+            for h in hits[1:]:
+                maybe = maybe & h
+            return df.withColumn("maybe_member", maybe)
+
+    # large-filter path: k broadcast hash joins on (bucket, word)
+    probe = df.withColumn("_bb", bkt)
+    hit_cols = []
+    for i, s in enumerate(seeds):
+        word, mask = _word_mask(s)
+        side = blooms.select(
+            F.col("bkt").alias(f"_jb{i}"),
+            F.col("word").alias(f"_jw{i}"),
+            F.col("bits").alias(f"_bits{i}"),
+        )
+        probe = probe.withColumn(f"_w{i}", word).withColumn(f"_m{i}", mask)
+        probe = probe.join(
+            F.broadcast(side),
+            (F.col("_bb") == F.col(f"_jb{i}"))
+            & (F.col(f"_w{i}") == F.col(f"_jw{i}")),
+            "left",
+        )
+        hit_cols.append(
+            F.col(f"_bits{i}").isNotNull()
+            & (
+                F.col(f"_bits{i}").bitwiseAND(F.col(f"_m{i}"))
+                == F.col(f"_m{i}")
+            )
+        )
+    maybe = hit_cols[0]
+    for h in hit_cols[1:]:
         maybe = maybe & h
-    return df.withColumn("maybe_member", maybe)
+    probe = probe.withColumn("maybe_member", maybe)
+    return probe.select(*df.columns, "maybe_member")

@@ -265,10 +265,18 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
+            # sums accumulate as decimal(38,0), not long: a long sum of
+            # e4 units wraps silently past 2^63 at the row volumes the
+            # exactness discipline targets, while DuckDB auto-promotes
+            # to HUGEINT (see sum_money above)
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0))
+                    .cast("decimal(38,0)")
+                )
+                / F.sum(rev.cast("decimal(38,0)")),
                 4,
             ).alias("promo_revenue_pct")
         )

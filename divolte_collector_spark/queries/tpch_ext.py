@@ -184,11 +184,16 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy("o_year")
         .agg(
+            # decimal(38,0) accumulators: a long sum of e4 units wraps
+            # past 2^63 at scale while DuckDB promotes to HUGEINT
+            # (mirrors sum_money in tpch.py)
             F.round(
                 F.sum(
-                    F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0))
+                    F.when(F.col("nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0))
+                    .cast("decimal(38,0)")
                 ).cast("double")
-                / F.sum(vol),
+                / F.sum(vol.cast("decimal(38,0)")),
                 4,
             ).alias("mkt_share")
         )

@@ -17,10 +17,36 @@ gracefully to local mode:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _external_master() -> str | None:
+    """Detect a master configured outside this factory.
+
+    Before a SparkContext exists, ``SparkConf()`` has no JVM behind it
+    and cannot see ``spark-submit --master`` (it reads an empty local
+    dict), so probe the places the launcher actually records it: the
+    ``PYSPARK_SUBMIT_ARGS`` string spark-submit hands the Python child,
+    the classic ``MASTER``/``SPARK_MASTER`` env vars, and — when a
+    context is already live — the context itself (whose master wins at
+    ``getOrCreate`` regardless of what the builder asks for).
+    """
+    for var in ("MASTER", "SPARK_MASTER"):
+        if os.environ.get(var):
+            return os.environ[var]
+    m = re.search(r"--master[\s=]+(\S+)", os.environ.get("PYSPARK_SUBMIT_ARGS", ""))
+    if m:
+        return m.group(1)
+    from pyspark import SparkContext
+
+    active = SparkContext._active_spark_context
+    if active is not None:
+        return active.master
+    return None
 
 
 def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None) -> SparkSession:
@@ -30,13 +56,8 @@ def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None
     # --master, silently running a cluster job single-JVM on the driver
     # — only default to local when no master was configured externally
     n_parts = str(cpus) if str(cpus).isdigit() else str(os.cpu_count() or 8)
-    from pyspark import SparkConf
-
-    external_master = SparkConf().get("spark.master", None) or os.environ.get(
-        "MASTER"
-    )
     builder = SparkSession.builder.appName(app_name)
-    if not external_master:
+    if not _external_master():
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder

@@ -140,36 +140,55 @@ def write_avro_files(
         # the header goes out when the first record for a roll arrives,
         # then every Arrow chunk appends one block and is dropped
         open_files: dict[str, tuple] = {}
-        for pdf in iterator:
-            for roll, group in pdf.groupby("_roll", sort=False):
-                records = [
-                    _record(row, columns) for row in group.to_dict("records")
-                ]
-                if not records:
+        published: set[str] = set()
+        try:
+            for pdf in iterator:
+                for roll, group in pdf.groupby("_roll", sort=False):
+                    records = [
+                        _record(row, columns) for row in group.to_dict("records")
+                    ]
+                    if not records:
+                        continue
+                    if roll not in open_files:
+                        name = (
+                            f"{roll}-divolte-tracking-{host_string}"
+                            f"-{batch_tag}-{pid}.avro"
+                        )
+                        fh = open(os.path.join(path, name + ".partial"), "wb")
+                        fh.write(container_header(schema, sync))
+                        open_files[roll] = [fh, name, 0]
+                    entry = open_files[roll]
+                    entry[0].write(container_block(schema, records, sync))
+                    entry[2] += len(records)
+            names: list[str] = []
+            counts: list[int] = []
+            for fh, name, n in open_files.values():
+                fh.flush()
+                os.fsync(fh.fileno())
+                fh.close()
+                # empties never open a file, so everything here publishes
+                os.replace(
+                    os.path.join(path, name + ".partial"), os.path.join(path, name)
+                )  # atomic publish
+                published.add(name)
+                names.append(name)
+                counts.append(n)
+        finally:
+            # an encode/write error mid-iteration must not leak handles
+            # or leave orphaned .partial inflight files behind — the
+            # reference's flusher discards the inflight file on failure
+            # (FileFlusher.java:183-208); Spark then retries the task
+            for fh, name, _ in open_files.values():
+                if name in published:
                     continue
-                if roll not in open_files:
-                    name = (
-                        f"{roll}-divolte-tracking-{host_string}"
-                        f"-{batch_tag}-{pid}.avro"
-                    )
-                    fh = open(os.path.join(path, name + ".partial"), "wb")
-                    fh.write(container_header(schema, sync))
-                    open_files[roll] = [fh, name, 0]
-                entry = open_files[roll]
-                entry[0].write(container_block(schema, records, sync))
-                entry[2] += len(records)
-        names: list[str] = []
-        counts: list[int] = []
-        for fh, name, n in open_files.values():
-            fh.flush()
-            os.fsync(fh.fileno())
-            fh.close()
-            # empties never open a file, so everything here publishes
-            os.replace(
-                os.path.join(path, name + ".partial"), os.path.join(path, name)
-            )  # atomic publish
-            names.append(name)
-            counts.append(n)
+                try:
+                    fh.close()
+                except OSError:
+                    pass
+                try:
+                    os.unlink(os.path.join(path, name + ".partial"))
+                except OSError:
+                    pass
         yield pd.DataFrame({"file": names, "n": counts})
 
     # repartition on the roll bucket so each bucket lands in few

@@ -95,3 +95,28 @@ def test_probe_is_a_narrow_map_no_shuffle(spark):
     plan = probe_bloom(df, "k", blooms)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_large_filter_broadcast_join_path_matches_literal_path(spark):
+    """Past max_literal_words the probe switches from a literal-map
+    expression to k broadcast hash joins (a realistically sized filter
+    as a create_map literal is a multi-million-node Catalyst
+    expression); both strategies must agree bit-for-bit and the join
+    path must still never shuffle the probe side."""
+    members = [f"in{i}" for i in range(200)]
+    probes = members[:50] + [f"out{i}" for i in range(300)]
+    blooms = build_bloom(_keys_df(spark, members), "k")
+    lit = probe_bloom(_keys_df(spark, probes), "k", blooms)
+    joined = probe_bloom(
+        _keys_df(spark, probes), "k", blooms, max_literal_words=0
+    )
+    assert sorted((r.k, r.maybe_member) for r in lit.collect()) == sorted(
+        (r.k, r.maybe_member) for r in joined.collect()
+    )
+    # k broadcast joins over the probe side; the only exchanges allowed
+    # are the sketch-sized build-side aggregations (build_bloom's
+    # groupBy), never a shuffle join of the probe relation
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # (AQE prints the final AND initial plan, so count is 2x the joins)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

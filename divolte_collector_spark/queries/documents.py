@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
+from divolte_collector_spark.queries._persist import detach_result
 from divolte_collector_spark.session import load_table
 
 PLANT_OFFSET = 1_000_000
@@ -2239,7 +2240,7 @@ def q_sig_index_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hist_doc", "batch_doc", F.round(jaccard, 6).alias("jaccard")
             )
         )
-        # materialize before the on-disk index vanishes
-        return spark.createDataFrame(out.collect(), out.schema)
+        # detach from the on-disk index without a driver roundtrip
+        return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
+from divolte_collector_spark.queries._persist import detach_result
 from divolte_collector_spark.session import load_table
 
 N_QUERY_VECTORS = 20
@@ -747,8 +748,8 @@ def q_vector_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rnk",
             )
         )
-        # materialize before the index tempdir vanishes
-        return spark.createDataFrame(out.collect(), out.schema)
+        # detach from the index tempdir without a driver roundtrip
+        return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

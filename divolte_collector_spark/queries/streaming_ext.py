@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
+from divolte_collector_spark.queries._persist import detach_result
 from divolte_collector_spark.session import load_table
 from divolte_collector_spark.streaming.stateful import sessionize_stateful
 
@@ -226,8 +227,8 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_upsert_table(spark, table).select(
             "user_id", "event_id", "event_type"
         )
-        # materialize before the tempdir vanishes
-        return spark.createDataFrame(out.collect(), out.schema)
+        # detach from the tempdir without a driver roundtrip
+        return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -261,11 +262,12 @@ def user_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
-    subjects = [
-        int(r.user_id)
-        for r in ev.select("user_id").distinct().collect()
-        if r.user_id % 5 == 0
-    ]
+    # the erasure subject set stays a DataFrame end to end: at 100 TB
+    # "every distinct user through the driver" is the anti-pattern —
+    # erase_keys anti-joins the subject relation executor-side
+    subjects = (
+        ev.filter(F.col("user_id") % 5 == 0).select("user_id").distinct()
+    )
     base = tempfile.mkdtemp(prefix="dvs_eraseq_")
     try:
         merge_batch(
@@ -276,7 +278,8 @@ def user_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_upsert_table(spark, f"{base}/table").select(
             "user_id", "event_id"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        # detach from the tempdir without a driver roundtrip
+        return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -352,6 +355,7 @@ def streaming_upsert_moved_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_upsert_table(spark, table).select(
             "user_id", "event_id", "day"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        # detach from the tempdir without a driver roundtrip
+        return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -279,13 +279,19 @@ def erase_keys(
     spark: SparkSession,
     path: str,
     key_col: str,
-    values: list,
+    values: "list | DataFrame",
     partition_col: str | None = None,
 ) -> None:
     """Right-to-be-forgotten over the versioned keyed table: delete
     every row whose ``key_col`` is in ``values`` and publish the new
     version atomically (same pointer flip as the upsert merge, so
     readers see either the pre- or post-erasure table, never a mix).
+
+    ``values`` is either a small in-memory list (an ad-hoc GDPR ticket)
+    or a single-column DataFrame of subject keys — the scale path:
+    the subject relation never passes through the driver; deletion is
+    a distributed anti-join (null keys survive either way: a null
+    never equi-matches a subject row).
 
     With a ``partition_col`` only partitions that actually contain the
     targeted keys are rewritten; untouched partitions carry into the
@@ -307,21 +313,43 @@ def erase_keys(
     shutil.rmtree(new_dir, ignore_errors=True)
 
     existing = spark.read.parquet(prev_dir)
-    # NOT IN is null-hostile: a null key must survive the erasure, not
-    # vanish with the targets
-    keep = ~F.col(key_col).isin(values) | F.col(key_col).isNull()
-    if partition_col is None:
-        existing.filter(keep).write.mode("overwrite").parquet(new_dir)
+    if isinstance(values, DataFrame):
+        subjects = values.select(F.col(values.columns[0]).alias(key_col))
+
+        def _kept(df):
+            # left_anti keeps non-matches; a NULL key never equi-
+            # matches, so null-keyed rows survive — same semantics as
+            # the list path's explicit isNull() escape
+            return df.join(subjects, key_col, "left_anti")
+
+        def _targeted(df):
+            return df.join(subjects, key_col, "left_semi")
+
     else:
+        # NOT IN is null-hostile: a null key must survive the erasure,
+        # not vanish with the targets
+        keep = ~F.col(key_col).isin(values) | F.col(key_col).isNull()
+
+        def _kept(df):
+            return df.filter(keep)
+
+        def _targeted(df):
+            return df.filter(F.col(key_col).isin(values))
+
+    if partition_col is None:
+        _kept(existing).write.mode("overwrite").parquet(new_dir)
+    else:
+        # partition values touched by the subjects: bounded by the
+        # partition count (days), never by the subject count
         touched = [
             r[0]
-            for r in existing.filter(F.col(key_col).isin(values))
+            for r in _targeted(existing)
             .select(partition_col)
             .distinct()
             .collect()
         ]
         (
-            existing.filter(_touched_predicate(partition_col, touched) & keep)
+            _kept(existing.filter(_touched_predicate(partition_col, touched)))
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(new_dir)

@@ -250,3 +250,51 @@ def test_empty_pointer_file_reads_as_unpublished(spark, tmp_path):
                 path, ["k"], "ts", "k")
     assert current_version(path) == 0
     assert [r.k for r in read_upsert_table(spark, path).collect()] == [1]
+
+
+def test_erase_keys_dataframe_subjects(spark, tmp_path):
+    """The scale path: subjects as a DataFrame never pass through the
+    driver — distributed anti-join, same semantics as the list path
+    (incl. null-key survival)."""
+    from divolte_collector_spark.streaming.upsert import erase_keys
+
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d1"),
+                    (3, 10, "c", "d2"), (None, 10, "n", "d2")]),
+        0, path, ["k"], "ts", "v",
+    )
+    subjects = spark.createDataFrame([(2,), (3,)], "subject long")
+    erase_keys(spark, path, "k", subjects)
+    out = sorted(
+        (r.k if r.k is not None else -1)
+        for r in read_upsert_table(spark, path).collect()
+    )
+    assert out == [-1, 1]  # null key survives, 2 and 3 erased
+    assert current_version(path) == 1
+
+
+def test_erase_keys_dataframe_subjects_partition_touch(spark, tmp_path):
+    from divolte_collector_spark.streaming.upsert import erase_keys
+    import os
+
+    path = str(tmp_path / "t")
+    merge_batch(
+        spark,
+        _df(spark, [(1, 10, "a", "d1"), (2, 10, "b", "d2"), (3, 10, "c", "d2")]),
+        0, path, ["k"], "ts", "k", partition_col="day",
+    )
+    v0d1 = os.path.join(path, "_v0", "day=d1")
+    d1_inodes = {
+        f: os.stat(os.path.join(v0d1, f)).st_ino
+        for f in os.listdir(v0d1) if f.endswith(".parquet")
+    }
+    subjects = spark.createDataFrame([(2,)], "subject long")
+    # subject lives only in d2: d1 must still carry by hardlink
+    erase_keys(spark, path, "k", subjects, partition_col="day")
+    v1d1 = os.path.join(path, "_v1", "day=d1")
+    for f, ino in d1_inodes.items():
+        assert os.stat(os.path.join(v1d1, f)).st_ino == ino
+    out = {r.k: r.day for r in read_upsert_table(spark, path).collect()}
+    assert out == {1: "d1", 3: "d2"}

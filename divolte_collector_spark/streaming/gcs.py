@@ -1,0 +1,248 @@
+"""K2: the GCS compose-append sink lifecycle against an injectable
+object store.
+
+The reference cannot append to a GCS object, so it emulates appends
+with the JSON API's ``compose`` operation
+(GoogleCloudStorageFileManager.java:161-290):
+
+- **create**: upload the Avro container HEADER as the inflight object.
+- **append**: buffer records in memory (bounded by the sync interval).
+- **sync**: upload the buffered records as ONE ``.part`` object (an
+  Avro block under the header's sync marker), then
+  ``compose([inflight, inflight.part]) -> inflight`` — the composed
+  object is byte-concatenation, which is a valid Avro container
+  because blocks are concatenation-appendable after the header.
+  An empty buffer composes ``[inflight] -> destination`` (no-op self
+  compose, used to copy to a new destination).
+- **close-and-publish**: write the final part, compose to the PUBLISH
+  object name, then delete the inflight and ``.part`` objects.
+- **discard**: delete the inflight (and ``.part`` if one was written).
+
+The store itself is injected (``upload/compose/delete/get/exists``):
+the sandbox has no GCS credentials or SDK, so tests drive
+:class:`FilesystemObjectStore` — a directory-backed store whose
+``compose`` is file concatenation, the same byte semantics GCS
+guarantees. A production store implements the same five calls against
+the JSON API (upload ``POST .../o?uploadType=media``, compose
+``POST .../o/<dest>/compose``, delete ``DELETE .../o/<name>``) with
+retry, exactly as the reference's ``googlePost``/``googleDelete`` do.
+
+Scale shape: one file object per (roll bucket, partition), the same
+layout as the K1 HDFS sink — each executor partition streams its own
+compose chain; nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from divolte_collector_spark.functions.avro_codec import (
+    container_block,
+    container_header,
+    default_sync_marker,
+)
+
+PART_CLASSIFIER = ".part"
+
+
+class FilesystemObjectStore:
+    """Directory-backed object store with GCS-compose byte semantics
+    (compose = concatenation of source objects, replacing the
+    destination). The in-sandbox stand-in for the JSON-API store;
+    object names may contain '/' (encoded into the file name, since a
+    GCS bucket is flat)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name.replace("/", "%2F"))
+
+    def upload(self, name: str, data: bytes) -> None:
+        tmp = self._path(name) + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, self._path(name))
+
+    def compose(self, sources: list[str], dest: str) -> None:
+        # GCS compose is atomic object creation from up to 32 sources
+        buf = b"".join(self.get(s) for s in sources)
+        self.upload(dest, buf)
+
+    def delete(self, name: str) -> None:
+        try:
+            os.unlink(self._path(name))
+        except FileNotFoundError:
+            pass  # best-effort, like the reference's googleDelete
+
+    def get(self, name: str) -> bytes:
+        with open(self._path(name), "rb") as fh:
+            return fh.read()
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    def list(self) -> list[str]:
+        return sorted(
+            n.replace("%2F", "/")
+            for n in os.listdir(self.root)
+            if not n.endswith(".tmp")
+        )
+
+
+class GcsAvroFile:
+    """One inflight Avro container under the compose-append lifecycle
+    (mirrors GoogleCloudStorageDivolteFile)."""
+
+    def __init__(
+        self,
+        store,
+        schema: dict,
+        inflight_dir: str,
+        publish_dir: str,
+        name: str,
+    ):
+        self.store = store
+        self.schema = schema
+        self.sync = default_sync_marker(schema)
+        self.inflight_name = f"{inflight_dir}/{name}"
+        self.part_name = self.inflight_name + PART_CLASSIFIER
+        self.publish_name = f"{publish_dir}/{name}"
+        self.buffer: list[dict] = []
+        self.part_written = False
+        self.record_count = 0
+        # the writer uploads the header immediately on create
+        store.upload(self.inflight_name, container_header(schema, self.sync))
+
+    def append(self, record: dict) -> None:
+        self.buffer.append(record)
+        self.record_count += 1
+
+    def _write_buffer_and_compose(self, dest: str) -> None:
+        if self.buffer:
+            self.store.upload(
+                self.part_name,
+                container_block(self.schema, self.buffer, self.sync),
+            )
+            self.buffer = []
+            self.part_written = True
+            sources = [self.inflight_name, self.part_name]
+        else:
+            # nothing buffered: compose with itself, potentially to a
+            # new destination
+            sources = [self.inflight_name]
+        self.store.compose(sources, dest)
+
+    def sync_file(self) -> None:
+        self._write_buffer_and_compose(self.inflight_name)
+
+    def close_and_publish(self) -> None:
+        self._write_buffer_and_compose(self.publish_name)
+        self.store.delete(self.part_name)
+        self.store.delete(self.inflight_name)
+
+    def discard(self) -> None:
+        if self.part_written:
+            self.store.delete(self.part_name)
+        self.store.delete(self.inflight_name)
+
+
+def gcs_write_avro_files(
+    batch_df: DataFrame,
+    schema: dict,
+    store_factory: Callable[[], object],
+    batch_tag: str,
+    inflight_dir: str = "inflight",
+    publish_dir: str = "published",
+    roll_column: str = "client_time",
+    host_string: str = "spark",
+    sync_every: int = 1000,
+) -> list[tuple[str, int]]:
+    """Distributed K2 write: one compose-chained container per
+    (roll bucket, partition), reference naming, empties discarded —
+    the GCS twin of ``write_avro_files``. The store factory runs once
+    per executor partition (HTTP clients don't serialize)."""
+    columns = [f["name"] for f in schema["fields"]]
+    out_schema = T.StructType(
+        [T.StructField("file", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    bucketed = batch_df.withColumn(
+        "_roll", F.date_format(F.col(roll_column), "yyyyMMddHHmmss")
+    )
+
+    def write_partition(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from divolte_collector_spark.streaming.sinks import _record
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        store = store_factory()
+        files: dict[str, GcsAvroFile] = {}
+        try:
+            for pdf in iterator:
+                for roll, group in pdf.groupby("_roll", sort=False):
+                    if roll not in files:
+                        name = (
+                            f"{roll}-divolte-tracking-{host_string}"
+                            f"-{batch_tag}-{pid}.avro"
+                        )
+                        files[roll] = GcsAvroFile(
+                            store, schema, inflight_dir, publish_dir, name
+                        )
+                    f = files[roll]
+                    for row in group.to_dict("records"):
+                        f.append(_record(row, columns))
+                        if len(f.buffer) >= sync_every:
+                            f.sync_file()
+            names, counts = [], []
+            for f in files.values():
+                if f.record_count:
+                    f.close_and_publish()
+                    names.append(f.publish_name)
+                    counts.append(f.record_count)
+                else:
+                    f.discard()  # empties are never published
+        except Exception:
+            for f in files.values():
+                f.discard()
+            raise
+        yield pd.DataFrame({"file": names, "n": counts})
+
+    manifest = (
+        bucketed.repartition("_roll")
+        .mapInPandas(write_partition, out_schema)
+        .collect()
+    )
+    return [(r["file"], r["n"]) for r in manifest]
+
+
+def gcs_avro_sink(
+    df: DataFrame,
+    schema: dict,
+    store_factory: Callable[[], object],
+    checkpoint: str,
+    roll_column: str = "client_time",
+    sync_every: int = 1000,
+):
+    """K2 as a streaming writer: foreachBatch over
+    :func:`gcs_write_avro_files`."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gcs_write_avro_files(
+            batch_df, schema, store_factory, batch_tag=str(batch_id),
+            roll_column=roll_column, sync_every=sync_every,
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -1,0 +1,141 @@
+"""K2 GCS compose-append lifecycle (streaming/gcs.py) against the
+filesystem object store: header-first create, part upload + compose on
+sync, compose-to-publish + inflight cleanup on close, discard path,
+and the distributed streaming sink end to end
+(GoogleCloudStorageFileManager.java:161-290)."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from divolte_collector_spark.functions.avro_codec import (
+    container_header,
+    default_sync_marker,
+    read_container,
+)
+from divolte_collector_spark.streaming.gcs import (
+    FilesystemObjectStore,
+    GcsAvroFile,
+    gcs_avro_sink,
+    gcs_write_avro_files,
+)
+
+# store factories close over tmp paths and ride into executor workers
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+_SCHEMA = {
+    "type": "record",
+    "name": "MappedEvent",
+    "fields": [
+        {"name": "party_id", "type": "string"},
+        {"name": "event_id", "type": "string"},
+        {"name": "client_ms", "type": "long"},
+    ],
+}
+
+
+def _rec(i):
+    return {"party_id": f"0:p{i}", "event_id": f"e{i}", "client_ms": i * 1000}
+
+
+def test_lifecycle_create_sync_publish(tmp_path):
+    store = FilesystemObjectStore(str(tmp_path / "bucket"))
+    f = GcsAvroFile(store, _SCHEMA, "inflight", "published", "a.avro")
+    # create uploads the bare header immediately
+    assert store.get("inflight/a.avro") == container_header(
+        _SCHEMA, default_sync_marker(_SCHEMA)
+    )
+    f.append(_rec(1))
+    f.append(_rec(2))
+    f.sync_file()  # part upload + compose back onto the inflight object
+    assert store.exists("inflight/a.avro.part")
+    schema_read, recs = read_container(store.get("inflight/a.avro"))
+    assert [r["event_id"] for r in recs] == ["e1", "e2"]
+    f.append(_rec(3))
+    f.close_and_publish()
+    # published object carries all records; inflight + part are deleted
+    _, recs = read_container(store.get("published/a.avro"))
+    assert [r["event_id"] for r in recs] == ["e1", "e2", "e3"]
+    assert store.list() == ["published/a.avro"]
+
+
+def test_lifecycle_empty_sync_composes_self(tmp_path):
+    store = FilesystemObjectStore(str(tmp_path / "bucket"))
+    f = GcsAvroFile(store, _SCHEMA, "inflight", "published", "a.avro")
+    f.sync_file()  # nothing buffered: self-compose, no part object
+    assert not store.exists("inflight/a.avro.part")
+    _, recs = read_container(store.get("inflight/a.avro"))
+    assert recs == []
+
+
+def test_lifecycle_discard(tmp_path):
+    store = FilesystemObjectStore(str(tmp_path / "bucket"))
+    f = GcsAvroFile(store, _SCHEMA, "inflight", "published", "a.avro")
+    f.append(_rec(1))
+    f.sync_file()
+    f.discard()
+    assert store.list() == []
+
+
+def _events(spark, n=25):
+    return spark.range(n).select(
+        F.concat(F.lit("0:p"), (F.col("id") % 3).cast("string")).alias(
+            "party_id"
+        ),
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("event_id"),
+        (F.col("id") * 1000).alias("client_ms"),
+        F.timestamp_millis(F.lit(1500000000000) + F.col("id")).alias(
+            "client_time"
+        ),
+    )
+
+
+def test_batch_write_publishes_composed_containers(spark, tmp_path):
+    root = str(tmp_path / "bucket")
+    manifest = gcs_write_avro_files(
+        _events(spark), _SCHEMA,
+        store_factory=lambda r=root: FilesystemObjectStore(r),
+        batch_tag="0", sync_every=10,
+    )
+    store = FilesystemObjectStore(root)
+    published = [n for n in store.list() if n.startswith("published/")]
+    assert published and all(n.endswith(".avro") for n in published)
+    # no inflight or part residue after publish
+    assert all(not n.startswith("inflight/") for n in store.list())
+    seen = []
+    for name, n in manifest:
+        _, recs = read_container(store.get(name))
+        assert len(recs) == n
+        seen.extend(r["event_id"] for r in recs)
+    assert sorted(seen, key=lambda e: int(e[1:])) == [f"e{i}" for i in range(25)]
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    root = str(tmp_path / "bucket")
+    src = str(tmp_path / "src")
+    _events(spark).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(
+        "party_id string, event_id string, client_ms long, client_time timestamp"
+    ).json(src)
+    q = (
+        gcs_avro_sink(
+            stream, _SCHEMA,
+            store_factory=lambda r=root: FilesystemObjectStore(r),
+            checkpoint=str(tmp_path / "ckpt"),
+            sync_every=7,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "gcs sink timed out"
+    store = FilesystemObjectStore(root)
+    eids = []
+    for name in store.list():
+        assert name.startswith("published/")
+        _, recs = read_container(store.get(name))
+        eids.extend(r["event_id"] for r in recs)
+    assert sorted(eids, key=lambda e: int(e[1:])) == [f"e{i}" for i in range(25)]

@@ -33,7 +33,14 @@ CURVE_QUERIES = [
     "user_scd2_history",         # gaps-and-islands, one user shuffle
     "url_canonical_dedup",       # narrow canonicalization map + agg
     "reorder_depth_stats",       # running-max window per user
+    "span_dedup_crossdoc",       # window-hash shuffle + sliver verify
 ]
+# NOTE on span_dedup_crossdoc under replication: scale_data replicates
+# document TEXT verbatim, so at K>1 every window is cross-doc
+# duplicated and the string-verify sliver is the whole window relation
+# — the worst case for this plan (maximum verify traffic). Output stays
+# one row per document, so the curve still measures plan growth, just
+# at the adversarial end.
 # semantic_dedup_kmeans is deliberately NOT on the curve: scale_data
 # replicates embedding VECTORS verbatim (only vec_id offsets), so every
 # replica is an exact near-duplicate of every other and the true pair

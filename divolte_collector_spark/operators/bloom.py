@@ -110,27 +110,28 @@ def probe_bloom(
         )
         return word, mask
 
-    populated = buckets * wpb
-    if populated <= max_literal_words:
+    # plan selection is CAPACITY-driven (buckets * words-per-bucket),
+    # not population-driven: capacity bounds both the collect() and the
+    # literal expression size without executing the build twice, at the
+    # cost of sending a sparse-but-huge-m filter down the join path
+    # (where it still works, just without the literal-map fast plan)
+    if buckets * wpb <= max_literal_words:
         entries: list = []
         for r in blooms.collect():
             entries.append(F.lit(int(r["bkt"]) * wpb + int(r["word"])))
             entries.append(F.lit(int(r["bits"])))
         if not entries:
             return df.withColumn("maybe_member", F.lit(False))
-        if len(entries) // 2 <= max_literal_words:
-            lookup = F.create_map(*entries)
-            hits = []
-            for s in seeds:
-                word, mask = _word_mask(s)
-                bits = F.element_at(lookup, bkt * wpb + word)
-                hits.append(
-                    bits.isNotNull() & (bits.bitwiseAND(mask) == mask)
-                )
-            maybe = hits[0]
-            for h in hits[1:]:
-                maybe = maybe & h
-            return df.withColumn("maybe_member", maybe)
+        lookup = F.create_map(*entries)
+        hits = []
+        for s in seeds:
+            word, mask = _word_mask(s)
+            bits = F.element_at(lookup, bkt * wpb + word)
+            hits.append(bits.isNotNull() & (bits.bitwiseAND(mask) == mask))
+        maybe = hits[0]
+        for h in hits[1:]:
+            maybe = maybe & h
+        return df.withColumn("maybe_member", maybe)
 
     # large-filter path: k broadcast hash joins on (bucket, word)
     probe = df.withColumn("_bb", bkt)

@@ -41,6 +41,13 @@ def _external_master() -> str | None:
     m = re.search(r"--master[\s=]+(\S+)", os.environ.get("PYSPARK_SUBMIT_ARGS", ""))
     if m:
         return m.group(1)
+    # a spark-submit-launched SCRIPT gets neither PYSPARK_SUBMIT_ARGS
+    # nor a live Python-side context — PythonRunner hands it an
+    # already-configured JVM gateway instead; its presence means the
+    # master is decided out there, so report it (or a sentinel) rather
+    # than letting the builder override it with local[N]
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return "external-jvm-gateway"
     from pyspark import SparkContext
 
     active = SparkContext._active_spark_context

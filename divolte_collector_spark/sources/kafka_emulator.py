@@ -17,24 +17,28 @@ Broker semantics emulated faithfully:
   of one party land in one partition, which is the ordering contract
   the reference's flusher relies on (KafkaFlusher.java:53-101 keys
   every record by party id for exactly this affinity).
-- **Offsets**: per-partition, dense, monotonic across produce batches
-  (a ``_meta`` file carries the next offset per partition).
-- **Idempotent replay**: ``foreachBatch`` may redeliver a batch after
-  a failure; a batch id at-or-below the applied watermark is dropped,
-  so the log never double-appends (the same discipline as the upsert
-  sink's pointer).
-- **Atomic segment publish**: segments are written to a staging dir
-  and renamed into the data dir file by file, so a concurrent
-  streaming reader never sees a partial segment.
+- **Offsets**: per-partition, dense, monotonic across produce batches.
+  Bases are derived from a column-pruned scan of the committed log's
+  (partition, offset) columns — always consistent with what a reader
+  can see, even after a crash (a real broker holds this watermark in
+  memory; the scan is the crash-safe file-backed equivalent).
+- **Atomic batch commit**: a batch's segment files are staged and then
+  committed with ONE directory rename, so a concurrent streaming
+  reader and the offset derivation never observe a partial batch.
+- **Replay within a producer run**: ``foreachBatch`` may redeliver a
+  batch after a failure; the committed directory is named by
+  (producer epoch, batch id), so a redelivered batch id that already
+  committed is dropped. ACROSS producer restarts the epoch changes
+  and an uncommitted-then-redelivered batch appends again — Kafka's
+  own at-least-once semantics for a non-idempotent producer; dedup
+  belongs downstream (C6), exactly as with a real broker.
 
-This is harness infrastructure — per-batch coordination (the meta
-file, the offset bases) is driver-side but bounded by the partition
-count, never by the data.
+This is harness infrastructure — the per-batch offset-base derivation
+is driver-side but reads only two int columns of the log.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
@@ -94,24 +98,34 @@ def partition_for_key(key: bytes, n_partitions: int) -> int:
     return (murmur2(key) & 0x7FFFFFFF) % n_partitions
 
 
-def _paths(log_dir: str, topic: str) -> tuple[str, str]:
-    base = os.path.join(log_dir, topic)
-    return os.path.join(base, "data"), os.path.join(base, "_meta")
+def _data_dir(log_dir: str, topic: str) -> str:
+    return os.path.join(log_dir, topic, "data")
 
 
-def _read_meta(meta_path: str) -> dict:
-    try:
-        with open(meta_path) as fh:
-            return json.load(fh)
-    except (FileNotFoundError, json.JSONDecodeError):
-        return {"applied": -1, "next": {}}
-
-
-def _write_meta(meta_path: str, meta: dict) -> None:
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, meta_path)
+def _offset_bases(
+    spark: SparkSession, data_dir: str, n_partitions: int
+) -> dict[int, int]:
+    """Next offset per partition, from the committed log itself
+    (column-pruned (partition, offset) scan) — crash-consistent by
+    construction: an uncommitted batch is invisible to both readers
+    and this derivation."""
+    bases = {p: 0 for p in range(n_partitions)}
+    if any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(data_dir)
+        for f in fs
+    ):
+        rows = (
+            spark.read.schema(KAFKA_SCAN_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(data_dir)
+            .groupBy("partition")
+            .agg((F.max("offset") + 1).alias("n"))
+            .collect()
+        )
+        for r in rows:
+            bases[int(r["partition"])] = int(r["n"])
+    return bases
 
 
 def produce_batch(
@@ -121,18 +135,21 @@ def produce_batch(
     topic: str,
     batch_id: int,
     n_partitions: int = 4,
+    producer_epoch: str = "p0",
 ) -> None:
     """Append one batch of (key, value) frames to the topic log.
 
     Executor-side: partition assignment (murmur2 on the key bytes) and
-    the segment write. Driver-side: only the per-partition offset
-    bases and the applied-batch watermark (bounded by the partition
-    count). Replays of an applied batch id are dropped."""
-    data_dir, meta_path = _paths(log_dir, topic)
+    the segment write. Driver-side: the offset-base derivation and one
+    atomic directory rename. A (producer_epoch, batch_id) that already
+    committed is dropped — idempotent replay within a producer run."""
+    data_dir = _data_dir(log_dir, topic)
     os.makedirs(data_dir, exist_ok=True)
-    meta = _read_meta(meta_path)
-    if batch_id <= meta["applied"]:
-        return  # idempotent replay
+    commit_dir = os.path.join(data_dir, f"batch={producer_epoch}-{batch_id:010d}")
+    if os.path.exists(commit_dir):
+        return  # this batch already committed: replay, drop it
+
+    bases = _offset_bases(spark, data_dir, n_partitions)
 
     part_schema = T.StructType(
         list(framed.select("key", "value").schema.fields)
@@ -154,12 +171,8 @@ def produce_batch(
     # deterministic in-batch order (a Spark batch has no producer send
     # order): sort by frame bytes within each partition
     w = Window.partitionBy("partition").orderBy("key", "value")
-    bases = F.create_map(
-        *[
-            x
-            for p in range(n_partitions)
-            for x in (F.lit(p), F.lit(int(meta["next"].get(str(p), 0))))
-        ]
+    base_map = F.create_map(
+        *[x for p, n in bases.items() for x in (F.lit(p), F.lit(n))]
     )
     segment = assigned.select(
         "key",
@@ -167,7 +180,7 @@ def produce_batch(
         F.lit(topic).alias("topic"),
         "partition",
         (
-            F.element_at(bases, F.col("partition"))
+            F.element_at(base_map, F.col("partition"))
             + F.row_number().over(w)
             - 1
         ).cast("long").alias("offset"),
@@ -176,30 +189,17 @@ def produce_batch(
     )
     staging = os.path.join(log_dir, topic, f"_staging_{uuid.uuid4().hex}")
     segment.write.mode("overwrite").parquet(staging)
-    # atomic-enough publish for a local stream reader: rename each part
-    # file into the data dir under a batch-unique name
-    moved = []
-    for fname in sorted(os.listdir(staging)):
-        if fname.endswith(".parquet"):
-            dest = os.path.join(data_dir, f"b{batch_id:010d}_{fname}")
-            os.replace(os.path.join(staging, fname), dest)
-            moved.append(dest)
-    shutil.rmtree(staging, ignore_errors=True)
-
-    # advance offsets from THIS segment only (cost tracks batch size,
-    # not log size)
-    if moved:
-        produced = (
-            spark.read.parquet(*moved)
-            .groupBy("partition")
-            .agg((F.max("offset") + 1).alias("n"))
-            .collect()
-        )
-        meta["next"].update(
-            {str(r["partition"]): int(r["n"]) for r in produced}
-        )
-    meta["applied"] = batch_id
-    _write_meta(meta_path, meta)
+    for extra in ("_SUCCESS",):
+        try:
+            os.unlink(os.path.join(staging, extra))
+        except FileNotFoundError:
+            pass
+    # the ONE commit point: everything before it is invisible
+    try:
+        os.rename(staging, commit_dir)
+    except OSError:
+        # lost a commit race (another attempt of the same batch)
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def emulated_kafka_sink(
@@ -214,8 +214,12 @@ def emulated_kafka_sink(
 ):
     """K3 write side against the emulator: the byte-exact framing from
     ``kafka_frame`` (key = party id) produced into the topic log —
-    mirrors ``kafka_sink_writer`` with the broker swapped out."""
+    mirrors ``kafka_sink_writer`` with the broker swapped out. One
+    producer epoch per writer instance (see module docstring for the
+    replay semantics)."""
     from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    epoch = uuid.uuid4().hex[:8]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         framed = kafka_frame(
@@ -223,7 +227,7 @@ def emulated_kafka_sink(
         )
         produce_batch(
             batch_df.sparkSession, framed, log_dir, topic, batch_id,
-            n_partitions=n_partitions,
+            n_partitions=n_partitions, producer_epoch=epoch,
         )
 
     return (
@@ -241,9 +245,11 @@ def emulated_kafka_stream(
 ) -> DataFrame:
     """Drop-in for ``kafka_stream``: a streaming scan over the topic
     log yielding the exact kafka source schema."""
-    data_dir, _ = _paths(log_dir, topic)
+    data_dir = _data_dir(log_dir, topic)
     os.makedirs(data_dir, exist_ok=True)
-    reader = spark.readStream.schema(KAFKA_SCAN_SCHEMA)
+    reader = spark.readStream.schema(KAFKA_SCAN_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(data_dir)
@@ -251,5 +257,9 @@ def emulated_kafka_stream(
 
 def read_topic(spark: SparkSession, log_dir: str, topic: str) -> DataFrame:
     """Batch view of the topic log (assertions, replays)."""
-    data_dir, _ = _paths(log_dir, topic)
-    return spark.read.schema(KAFKA_SCAN_SCHEMA).parquet(data_dir)
+    data_dir = _data_dir(log_dir, topic)
+    return (
+        spark.read.schema(KAFKA_SCAN_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )

@@ -109,11 +109,17 @@ class GcsAvroFile:
         inflight_dir: str,
         publish_dir: str,
         name: str,
+        inflight_suffix: str = "",
     ):
         self.store = store
         self.schema = schema
         self.sync = default_sync_marker(schema)
-        self.inflight_name = f"{inflight_dir}/{name}"
+        # inflight_suffix makes the compose CHAIN attempt-unique: with
+        # speculative execution two attempts of one task would
+        # otherwise interleave header/part uploads on the same object
+        # and corrupt the chain; the PUBLISH name stays stable, so the
+        # last attempt to publish wins with a complete object
+        self.inflight_name = f"{inflight_dir}/{name}{inflight_suffix}"
         self.part_name = self.inflight_name + PART_CLASSIFIER
         self.publish_name = f"{publish_dir}/{name}"
         self.buffer: list[dict] = []
@@ -181,21 +187,24 @@ def gcs_write_avro_files(
     def write_partition(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        from divolte_collector_spark.streaming.sinks import _record
+        from divolte_collector_spark.streaming.sinks import (
+            _record,
+            roll_file_name,
+        )
 
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = f".a{ctx.taskAttemptId()}" if ctx else ""
         store = store_factory()
         files: dict[str, GcsAvroFile] = {}
         try:
             for pdf in iterator:
                 for roll, group in pdf.groupby("_roll", sort=False):
                     if roll not in files:
-                        name = (
-                            f"{roll}-divolte-tracking-{host_string}"
-                            f"-{batch_tag}-{pid}.avro"
-                        )
+                        name = roll_file_name(roll, host_string, batch_tag, pid)
                         files[roll] = GcsAvroFile(
-                            store, schema, inflight_dir, publish_dir, name
+                            store, schema, inflight_dir, publish_dir, name,
+                            inflight_suffix=attempt,
                         )
                     f = files[roll]
                     for row in group.to_dict("records"):

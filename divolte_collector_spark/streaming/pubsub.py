@@ -66,31 +66,42 @@ def flush_messages(
     transient failure (ApiException.isRetryable()), anything else is
     permanent/unknown → abandoned (TopicFlusher never lets one poison
     message wedge the queue).
+
+    The first pass STREAMS the iterator — publish as rows arrive, hold
+    only retryable failures — so executor memory is bounded by the
+    pending set, not the partition (the reference flusher likewise
+    keeps only ``pendingMessages``).
     """
-    pending = list(messages)
     published = 0
     abandoned = 0
+    pending: list[dict] = []
+
+    def _try(msg: dict) -> str | None:
+        """publish one message; returns 'pending' on retryable."""
+        nonlocal published, abandoned
+        try:
+            client.publish(msg["data"], msg["attributes"])
+            published += 1
+        except Exception as exc:  # noqa: BLE001 — outcome-classified
+            if getattr(exc, "retryable", False):
+                return "pending"
+            abandoned += 1
+        return None
+
+    for msg in messages:
+        if _try(msg) == "pending":
+            pending.append(msg)
+
     attempt = 0
     while pending:
-        remaining: list[dict] = []
-        for msg in pending:
-            try:
-                client.publish(msg["data"], msg["attributes"])
-                published += 1
-            except Exception as exc:  # noqa: BLE001 — outcome-classified
-                if getattr(exc, "retryable", False):
-                    remaining.append(msg)
-                else:
-                    abandoned += 1
-        if remaining:
-            attempt += 1
-            if attempt >= max_attempts:
-                raise RuntimeError(
-                    f"pub/sub flush: {len(remaining)} message(s) still "
-                    f"pending after {max_attempts} attempts"
-                )
-            sleep(backoff_s * (2 ** (attempt - 1)))
-        pending = remaining
+        attempt += 1
+        if attempt >= max_attempts:
+            raise RuntimeError(
+                f"pub/sub flush: {len(pending)} message(s) still "
+                f"pending after {max_attempts} attempts"
+            )
+        sleep(backoff_s * (2 ** (attempt - 1)))
+        pending = [msg for msg in pending if _try(msg) == "pending"]
     return published, abandoned
 
 

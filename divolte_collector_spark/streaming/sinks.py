@@ -91,6 +91,18 @@ def file_sink(
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
 
 
+def roll_file_name(
+    roll: str, host_string: str, batch_tag: str, pid: int
+) -> str:
+    """The reference's container file naming —
+    ``<yyyyLLddHHmmss>-divolte-tracking-<host>-<instance>.avro``
+    (FileFlusher.java:54,262) — with the roll bucket as the date part
+    and (batch tag, partition id) as the instance. Shared by the K1
+    local/HDFS writer and the K2 GCS writer so the contract cannot
+    silently diverge."""
+    return f"{roll}-divolte-tracking-{host_string}-{batch_tag}-{pid}.avro"
+
+
 def write_avro_files(
     batch_df: DataFrame,
     schema: dict,
@@ -150,9 +162,8 @@ def write_avro_files(
                     if not records:
                         continue
                     if roll not in open_files:
-                        name = (
-                            f"{roll}-divolte-tracking-{host_string}"
-                            f"-{batch_tag}-{pid}.avro"
+                        name = roll_file_name(
+                            roll, host_string, batch_tag, pid
                         )
                         fh = open(os.path.join(path, name + ".partial"), "wb")
                         fh.write(container_header(schema, sync))

@@ -174,3 +174,33 @@ def test_streaming_sink_to_streaming_scan_end_to_end(spark, tmp_path):
     for r in out:
         assert r.party_id == src[r.event_id].party_id
         assert r.client_ms == src[r.event_id].client_ms
+
+
+def test_new_producer_epoch_appends_despite_restarting_batch_ids(
+    spark, tmp_path
+):
+    """A second producer run (fresh checkpoint) restarts foreachBatch
+    ids at 0; with the epoch in the commit-dir name its batches APPEND
+    instead of being mistaken for replays — Kafka's at-least-once for a
+    non-idempotent producer — and offsets continue densely because
+    bases derive from the committed log, not writer state."""
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    ev = _mapped_events(spark, 30)
+    framed = kafka_frame(ev, _SCHEMA)
+    produce_batch(
+        spark, framed, log, "t", batch_id=0, n_partitions=3,
+        producer_epoch="run1",
+    )
+    produce_batch(  # same id, NEW epoch: must append, not drop
+        spark, framed, log, "t", batch_id=0, n_partitions=3,
+        producer_epoch="run2",
+    )
+    rows = read_topic(spark, log, "t").collect()
+    assert len(rows) == 60
+    by_partition = {}
+    for r in rows:
+        by_partition.setdefault(r.partition, []).append(r.offset)
+    for p, offsets in by_partition.items():
+        assert sorted(offsets) == list(range(len(offsets)))

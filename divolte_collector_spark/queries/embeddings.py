@@ -1276,3 +1276,192 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("best.cos"), 4).alias("cosine_sim"),
         )
     )
+
+
+# --- IVF-PQ with exact rerank (the FAISS-style composite) -------------------
+# The deployment-shaped ANN pipeline: coarse list probe (IVF) prunes
+# candidates, PQ asymmetric-distance computation scores them from
+# 8-byte codes without touching the full vectors, and only the
+# shortlist's full vectors are fetched for the exact rerank — memory
+# per candidate is M code bytes, full vectors are read R-per-query.
+
+R_SHORTLIST = 20
+
+_IVF_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+js AS (SELECT unnest(range({PQ_M})) AS j),
+sub AS (
+    SELECT vec_id, label, j, emb[j*{PQ_D}+1 : j*{PQ_D}+{PQ_D}] AS sv
+    FROM e CROSS JOIN js
+),
+cb AS (SELECT j, vec_id AS code_id, sv AS cw FROM sub WHERE vec_id < {PQ_K}),
+codes AS (
+    SELECT vec_id, label, j, code_id FROM (
+        SELECT s.vec_id, s.label, s.j, c.code_id,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.j
+                   ORDER BY list_reduce(
+                       list_transform(range({PQ_D}),
+                                      i -> (s.sv[i+1] - c.cw[i+1]) ** 2),
+                       (a, b) -> a + b), c.code_id
+               ) AS rn
+        FROM sub s JOIN cb c ON c.j = s.j) x
+    WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
+      FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+qsub AS (
+    SELECT query_id, j, q_emb[j*{PQ_D}+1 : j*{PQ_D}+{PQ_D}] AS sv
+    FROM q CROSS JOIN js
+),
+qdist AS (
+    SELECT query_id, qs.j, c.code_id,
+           list_reduce(
+               list_transform(range({PQ_D}),
+                              i -> (qs.sv[i+1] - c.cw[i+1]) ** 2),
+               (a, b) -> a + b) AS d
+    FROM qsub qs JOIN cb c ON c.j = qs.j
+),
+adc AS (
+    SELECT q.query_id, co.vec_id AS neighbor_id,
+           list_reduce(list(qd.d ORDER BY co.j), (a, b) -> a + b)
+               AS approx_d2
+    FROM q
+    JOIN codes co ON co.label = q.q_label AND co.vec_id <> q.query_id
+    JOIN qdist qd ON qd.query_id = q.query_id AND qd.j = co.j
+                 AND qd.code_id = co.code_id
+    GROUP BY q.query_id, co.vec_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d2, neighbor_id) AS srn
+        FROM adc) x
+    WHERE srn <= {R_SHORTLIST}
+),
+rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_cosine_similarity(q.q_emb, c.emb) AS cos
+    FROM short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN e c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM rer) z
+WHERE rnk <= {TOP_K}
+"""
+
+
+@query("vector_ivf_pq_rerank", oracle=_IVF_PQ_ORACLE)
+def q_vector_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with exact rerank, end to end in DataFrame ops.
+
+    Scale shape: the ADC phase joins the (query, j, code) distance
+    table — Q x M x K rows, broadcast — against the candidates' codes,
+    so per-candidate cost is M small rows through a broadcast join and
+    one per-(query, candidate) ordered fold; full vectors are fetched
+    ONLY for the R-per-query shortlist (the rerank join), exactly the
+    IVF-PQ memory/IO contract. All folds are ordered (subspace index)
+    so both engines add the same doubles in the same order."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
+    subvec = F.slice("emb", F.col("j") * PQ_D + 1, PQ_D)
+    sub = e.select("vec_id", "label", "emb", js).select(
+        "vec_id", "label", "j", subvec.alias("sv")
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        "j", F.col("vec_id").alias("code_id"), F.col("sv").alias("cw")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy("d2", "code_id")
+    codes = (
+        sub.join(F.broadcast(cb), "j")
+        .select("vec_id", "label", "j", "code_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "j", "code_id")
+    )
+    en = e.withColumn("nrm", norm(F.col("emb")))
+    qn = en.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qsubvec = F.slice("q_emb", F.col("j") * PQ_D + 1, PQ_D)
+    qsub = qn.select("query_id", "q_emb", js).select(
+        "query_id", "j", qsubvec.alias("sv")
+    )
+    qd2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qdist = qsub.join(F.broadcast(cb), "j").select(
+        "query_id", "j", "code_id", qd2.alias("d")
+    )
+    pairs = codes.join(
+        F.broadcast(qn.select("query_id", "q_label")),
+        (F.col("label") == F.col("q_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "j", "code_id")
+    adc = (
+        pairs.join(F.broadcast(qdist), ["query_id", "j", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            # ordered fold over the subspace index: both engines add
+            # the same doubles in the same order
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "d"))),
+                    lambda s: s["d"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("approx_d2")
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= R_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    rer = (
+        short.join(F.broadcast(qn), "query_id")
+        .join(en, short.neighbor_id == en.vec_id)
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 4).alias("cosine_sim"),
+            "rnk",
+        )
+    )

@@ -1465,3 +1465,143 @@ def q_vector_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --- margin-based bitext mining ---------------------------------------------
+# The Artetxe-&-Schwenk margin criterion for mining aligned pairs
+# across two embedding spaces: raw cosine over-fires in dense hubs, so
+# a candidate pair (x, y) is scored by its cosine RELATIVE to each
+# side's neighborhood density — margin = 2*cos(x,y) /
+# (avgNN_k(x) + avgNN_k(y)) — and mined pairs are the per-source
+# argmax above a ratio threshold. Sides here are the deterministic
+# vec_id parity split; candidates are restricted to the coarse label
+# bucket (the same IVF-style pruning the ANN family uses), so the
+# pair relation is per-bucket bounded, never corpus-wide.
+
+MARGIN_K = 4
+MARGIN_THRESHOLD = 1.0
+
+_MARGIN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+src AS (SELECT vec_id AS src_id, label, emb FROM e WHERE vec_id % 2 = 0),
+tgt AS (SELECT vec_id AS tgt_id, label, emb FROM e WHERE vec_id % 2 = 1),
+pairs AS (
+    SELECT s.src_id, t.tgt_id, s.label,
+           list_cosine_similarity(s.emb, t.emb) AS cos
+    FROM src s JOIN tgt t ON t.label = s.label
+),
+fwd AS (
+    SELECT src_id, tgt_id, cos,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY cos DESC, tgt_id) AS rn
+    FROM pairs
+),
+avg_src AS (
+    SELECT src_id,
+           list_reduce(list(cos ORDER BY rn), (a, b) -> a + b)
+               / count(*) AS nn_avg
+    FROM fwd WHERE rn <= {MARGIN_K} GROUP BY src_id
+),
+bwd AS (
+    SELECT src_id, tgt_id, cos,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY cos DESC, src_id) AS rn
+    FROM pairs
+),
+avg_tgt AS (
+    SELECT tgt_id,
+           list_reduce(list(cos ORDER BY rn), (a, b) -> a + b)
+               / count(*) AS nn_avg
+    FROM bwd WHERE rn <= {MARGIN_K} GROUP BY tgt_id
+),
+margins AS (
+    SELECT f.src_id, f.tgt_id,
+           2 * f.cos / (a.nn_avg + b.nn_avg) AS margin
+    FROM fwd f
+    JOIN avg_src a ON a.src_id = f.src_id
+    JOIN avg_tgt b ON b.tgt_id = f.tgt_id
+    WHERE f.rn <= {MARGIN_K}
+),
+best AS (
+    SELECT src_id, tgt_id, margin,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY margin DESC, tgt_id) AS mrn
+    FROM margins
+)
+SELECT src_id, tgt_id, round(margin, 6) AS margin
+FROM best WHERE mrn = 1 AND margin > {MARGIN_THRESHOLD}
+"""
+
+
+@query("vector_margin_bitext", oracle=_MARGIN_ORACLE)
+def q_vector_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining: per source vector, the best
+    margin-scored target above the ratio threshold.
+
+    Scale shape: the pair relation is restricted to the coarse label
+    bucket before any scoring (per-bucket bounded, the IVF pruning
+    discipline); cosines are computed ONCE per pair and reused by both
+    neighborhood averages; the averages fold in neighbor-rank order so
+    both engines add the same doubles in the same sequence."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
+    src = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), "label",
+        F.col("emb").alias("s_emb"), F.col("nrm").alias("s_nrm"),
+    )
+    tgt = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "label",
+        F.col("emb").alias("t_emb"), F.col("nrm").alias("t_nrm"),
+    )
+    pairs = src.join(tgt, "label").select(
+        "src_id", "tgt_id",
+        cosine_pre(
+            F.col("s_emb"), F.col("t_emb"), F.col("s_nrm"), F.col("t_nrm")
+        ).alias("cos"),
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cos").desc(), F.col("tgt_id")
+    )
+    fwd = pairs.withColumn("rn", F.row_number().over(wf)).filter(
+        F.col("rn") <= MARGIN_K
+    )
+    # rank-ordered fold, then divide by the actual neighbor count
+    # (short buckets have < K neighbors)
+    ordered_avg = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "cos"))),
+            lambda s: s["cos"],
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.count(F.lit(1))
+    avg_src = fwd.groupBy("src_id").agg(ordered_avg.alias("s_nn_avg"))
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos").desc(), F.col("src_id")
+    )
+    bwd = pairs.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") <= MARGIN_K
+    )
+    avg_tgt = bwd.groupBy("tgt_id").agg(ordered_avg.alias("t_nn_avg"))
+    margins = (
+        fwd.join(avg_src, "src_id")
+        .join(avg_tgt, "tgt_id")
+        .select(
+            "src_id", "tgt_id",
+            (2 * F.col("cos") / (F.col("s_nn_avg") + F.col("t_nn_avg"))).alias(
+                "margin"
+            ),
+        )
+    )
+    wm = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    return (
+        margins.withColumn("mrn", F.row_number().over(wm))
+        .filter((F.col("mrn") == 1) & (F.col("margin") > MARGIN_THRESHOLD))
+        .select("src_id", "tgt_id", F.round("margin", 6).alias("margin"))
+    )

@@ -2359,3 +2359,149 @@ def q_span_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+# --- DSIR-style importance resampling ---------------------------------------
+# Data Selection via Importance Resampling (Xie et al.): score every
+# raw document by the log-likelihood ratio of a TARGET-domain hashed
+# n-gram LM to the RAW-corpus LM, then keep the top of the ranking.
+# Features are md5-hashed BIGRAM buckets (B=256) — the hashed-feature
+# trick is what makes the estimator corpus-size-independent: both LMs
+# are B-bounded count tables no matter how big the corpus is. The
+# target domain here is the deterministic lang='en' slice.
+
+_DSIR_B = 256
+_DSIR_TOP = 150
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, i AS pos, t[i] || ' ' || t[i+1] AS bg
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+          FROM documents),
+         LATERAL unnest(range(1, len(t))) AS r(i)
+),
+feats AS (
+    SELECT doc_id, lang, pos,
+           ('0x' || substr(md5(bg), 1, 15))::UBIGINT % {_DSIR_B} AS b
+    FROM toks
+),
+tc AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+tt AS (SELECT count(*) AS nt FROM feats WHERE lang = 'en'),
+rc AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+rt AS (SELECT count(*) AS nr FROM feats),
+lw AS (
+    SELECT rc.b,
+           round(ln((coalesce(tc.ct, 0) + 1)::DOUBLE
+                    / (tt.nt + {_DSIR_B})), 8)
+         - round(ln((rc.cr + 1)::DOUBLE / (rt.nr + {_DSIR_B})), 8) AS w
+    FROM rc LEFT JOIN tc USING (b), tt, rt
+),
+scored AS (
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           list_reduce(list(lw.w ORDER BY f.pos), (a, b) -> a + b) AS imp
+    FROM feats f JOIN lw USING (b)
+    GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, round(imp, 6) AS importance, CAST(rnk AS INT) AS rnk
+FROM (SELECT doc_id, n_feats, imp,
+             row_number() OVER (ORDER BY round(imp, 6) DESC, doc_id) AS rnk
+      FROM scored) z
+WHERE rnk <= {_DSIR_TOP}
+"""
+
+
+@query("sample_dsir_importance", oracle=_DSIR_ORACLE)
+def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance ranking of raw documents toward a target
+    domain.
+
+    Scale shape: both LMs are B-bounded (256-row) count tables — the
+    ONLY per-bucket state regardless of corpus size — broadcast back
+    over the feature stream; the per-doc score folds in feature-
+    position order (cross-engine float discipline), ln is rounded to
+    8 digits per side before subtraction (libm vs JVM ulp drift), the
+    md5 bucket hash is integer arithmetic identical in both engines,
+    and the top-K is TakeOrdered (orderBy+limit), never a global
+    single-task window."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    arr = F.split("text", " ")
+    bgs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id", "lang", F.posexplode(bgs).alias("pos0", "bg")
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    tgt = feats.filter(F.col("lang") == "en")
+    tc = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tt = tgt.agg(F.count(F.lit(1)).alias("nt"))
+    rc = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    rt = feats.agg(F.count(F.lit(1)).alias("nr"))
+    lw = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("nt") + _DSIR_B)
+                    ),
+                    8,
+                )
+                - F.round(
+                    F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("nr") + _DSIR_B)
+                    ),
+                    8,
+                )
+            ).alias("w"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("imp"),
+        )
+    )
+    top = scored.orderBy(
+        F.round("imp", 6).desc(), "doc_id"
+    ).limit(_DSIR_TOP)
+    w = Window.orderBy(F.round("imp", 6).desc(), "doc_id")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round("imp", 6).alias("importance"),
+            "rnk",
+        )
+    )

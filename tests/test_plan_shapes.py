@@ -205,6 +205,8 @@ def test_every_gated_query_scale_discipline(spark):
         "temperature_source_mix",
         # one-row broadcast of the corpus token count
         "token_unigram_logprob",
+        # one-row broadcasts of the target/raw feature totals
+        "sample_dsir_importance",
         # one-row broadcast of the global max timestamp
         "user_rfm_segments",
         # one-row broadcast of the integer clip bounds

@@ -359,3 +359,157 @@ def streaming_upsert_moved_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- K3 via the topic emulator, under the exact-hash gate -------------------
+
+_KAFKA_RT_ORACLE = """
+SELECT event_id, CAST(user_id AS VARCHAR) AS party_id,
+       event_type AS et, epoch_ms(ts) AS client_ms,
+       CAST(42 AS BIGINT) AS schema_id
+FROM events
+"""
+
+
+@query("streaming_kafka_emulated_roundtrip", oracle=_KAFKA_RT_ORACLE)
+def streaming_kafka_emulated_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full K3 transport under the oracle gate: mapped events →
+    Confluent-framed (key, value) bytes → murmur2-partitioned produce
+    into the file-backed topic log → kafka-scan-schema read →
+    ``decode_kafka_events`` — every field must survive byte-exactly
+    and carry the registry id. The emulator is a drop-in for the
+    broker (sources/kafka_emulator.py); the framing/decode under test
+    is the production path (KafkaFlusher.java:53-101,
+    Confluent wire format)."""
+    from divolte_collector_spark.sources.kafka_emulator import (
+        produce_batch,
+        read_topic,
+    )
+    from divolte_collector_spark.sources.kafka_source import (
+        decode_kafka_events,
+    )
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    schema = {
+        "type": "record",
+        "name": "DivolteEvent",
+        "fields": [
+            {"name": "party_id", "type": "string"},
+            {"name": "event_id", "type": "long"},
+            {"name": "et", "type": ["null", "string"], "default": None},
+            {"name": "client_ms", "type": "long"},
+        ],
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("party_id"),
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.unix_millis(F.col("ts")).alias("client_ms"),
+    )
+    base = tempfile.mkdtemp(prefix="dvs_kafkart_")
+    try:
+        framed = kafka_frame(ev, schema, mode="confluent", confluent_id=42)
+        produce_batch(spark, framed, base, "events", batch_id=0)
+        decoded = decode_kafka_events(
+            read_topic(spark, base, "events"), schema, mode="confluent"
+        )
+        out = decoded.select(
+            "event_id",
+            "party_id",
+            "et",
+            "client_ms",
+            F.col("_schema_id").alias("schema_id"),
+        )
+        # detach from the tempdir without a driver roundtrip
+        return detach_result(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --- K2 via the compose-append store, under the exact-hash gate -------------
+
+_GCS_RT_ORACLE = """
+SELECT event_id, event_type AS et, epoch_ms(ts) AS client_ms,
+       CAST(user_id AS VARCHAR) AS party
+FROM events
+"""
+
+
+@query("streaming_gcs_compose_roundtrip", oracle=_GCS_RT_ORACLE)
+def streaming_gcs_compose_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full K2 lifecycle under the oracle gate: mapped events →
+    per-(roll, partition) compose-append chains into the filesystem
+    object store (header upload, part + compose per sync interval,
+    compose-to-publish) → the published objects parsed back through
+    the container reader, DISTRIBUTED over the manifest (the driver
+    holds object names only). Any defect in the compose framing, sync
+    blocks, or record codec breaks the hash
+    (GoogleCloudStorageFileManager.java:161-290)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from divolte_collector_spark.functions.avro_codec import read_container
+    from divolte_collector_spark.streaming.gcs import (
+        FilesystemObjectStore,
+        gcs_write_avro_files,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "DivolteEvent",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "et", "type": ["null", "string"], "default": None},
+            {"name": "client_ms", "type": "long"},
+            {"name": "party", "type": "string"},
+        ],
+    }
+    cols = [f["name"] for f in schema["fields"]]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.unix_millis(F.col("ts")).alias("client_ms"),
+        F.col("user_id").cast("string").alias("party"),
+        # day-truncated roll keeps the object count bounded by the
+        # date span, not the event count
+        F.date_trunc("day", F.col("ts")).alias("client_time"),
+    )
+    base = tempfile.mkdtemp(prefix="dvs_gcsrt_")
+    try:
+        manifest = gcs_write_avro_files(
+            ev, schema,
+            store_factory=lambda root=base: FilesystemObjectStore(root),
+            batch_tag="0",
+        )
+        names = spark.createDataFrame(
+            [(n,) for n, _ in manifest], "obj string"
+        ).repartition(8)
+
+        out_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("et", T.StringType()),
+                T.StructField("client_ms", T.LongType()),
+                T.StructField("party", T.StringType()),
+            ]
+        )
+
+        def parse(it):
+            store = FilesystemObjectStore(base)
+            for pdf in it:
+                rows = []
+                for obj in pdf["obj"]:
+                    _, recs = read_container(store.get(obj))
+                    rows.extend(recs)
+                yield pd.DataFrame(rows, columns=cols)
+
+        out = names.mapInPandas(parse, out_schema)
+        # detach from the tempdir without a driver roundtrip
+        return detach_result(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

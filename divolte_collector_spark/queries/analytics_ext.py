@@ -831,3 +831,175 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- per-user journey Markov transition matrix ------------------------------
+
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+edges AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+totals AS (
+    SELECT from_type, sum(n) AS total FROM edges GROUP BY from_type
+)
+SELECT e.from_type, e.to_type, e.n,
+       round(CAST(e.n AS DOUBLE) / t.total, 6) AS p
+FROM edges e JOIN totals t USING (from_type)
+"""
+
+
+@query("session_transition_matrix", oracle=_TRANSITION_ORACLE)
+def q_session_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys: P(next event type | event type) from lead() pairs.
+
+    Scale shape: ONE shuffle on user_id for the per-user lead window
+    (the same partitioning sessionization uses — on a party-clustered
+    layout it is exchange-free), then an edge aggregation whose output
+    is bounded by |event types|^2; probabilities are exact integer
+    ratios divided once, so no summation-order drift exists."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return edges.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt), 6
+        ).alias("p"),
+    )
+
+
+# --- PageRank over the co-purchase item graph (2 unrolled iterations) -------
+# The iterative-algorithm family member next to connected components
+# and the BPE/Lloyd loops: each PageRank iteration is ONE edge join +
+# ONE grouped fold; two iterations are unrolled so the loop shape is
+# proven under the oracle, not just the first step. The graph is the
+# per-basket co-purchase relation — the self-join is per-order
+# bounded (the recsys_covisitation discipline), never corpus-wide.
+
+_PAGERANK_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nn AS (SELECT count(DISTINCT src) AS n FROM pairs),
+deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+    FROM pairs GROUP BY src
+),
+c0 AS (SELECT d.src, (1.0 / nn.n) / d.outdeg AS c FROM deg d, nn),
+pr1 AS (
+    SELECT p.dst AS id,
+           0.15 / nn.n
+           + 0.85 * list_reduce(list(c0.c ORDER BY p.src),
+                                (a, b) -> a + b) AS pr
+    FROM pairs p JOIN c0 ON c0.src = p.src, nn
+    GROUP BY p.dst, nn.n
+),
+c1 AS (
+    SELECT pr1.id AS src, pr1.pr / d.outdeg AS c
+    FROM pr1 JOIN deg d ON d.src = pr1.id
+),
+pr2 AS (
+    SELECT p.dst AS id,
+           0.15 / nn.n
+           + 0.85 * list_reduce(list(c1.c ORDER BY p.src),
+                                (a, b) -> a + b) AS pr
+    FROM pairs p JOIN c1 ON c1.src = p.src, nn
+    GROUP BY p.dst, nn.n
+)
+SELECT pr2.id AS part_id, d.outdeg, round(pr2.pr, 8) AS pagerank
+FROM pr2 JOIN deg d ON d.src = pr2.id
+"""
+
+
+@query("recsys_item_pagerank", oracle=_PAGERANK_ORACLE)
+def q_recsys_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations (d=0.85) over the undirected
+    co-purchase item graph.
+
+    Scale shape: edges come from the per-order self-join (bounded per
+    basket); every iteration is one equi-join of the edge relation
+    with the current rank vector plus one grouped fold; in-neighbor
+    contributions fold in source-id order so both engines add the
+    same doubles in the same sequence; the node count is a one-row
+    broadcast (scalar-subquery shape). The symmetric edge set has no
+    dangling nodes, so no teleport-mass correction term is needed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nn = pairs.agg(F.count_distinct("src").alias("n"))
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    def fold_contribs(df):
+        """one PageRank step: join contributions, ordered-fold per dst"""
+        return (
+            pairs.join(df, "src")
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("src", "c"))),
+                        lambda s: s["c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("fold")
+            )
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("id"),
+                (0.15 / F.col("n") + 0.85 * F.col("fold")).alias("pr"),
+            )
+        )
+
+    c0 = deg.crossJoin(F.broadcast(nn)).select(
+        "src", ((F.lit(1.0) / F.col("n")) / F.col("outdeg")).alias("c")
+    )
+    pr1 = fold_contribs(c0)
+    c1 = pr1.join(deg, pr1.id == deg.src).select(
+        "src", (F.col("pr") / F.col("outdeg")).alias("c")
+    )
+    pr2 = fold_contribs(c1)
+    return pr2.join(deg, pr2.id == deg.src).select(
+        F.col("id").alias("part_id"),
+        "outdeg",
+        F.round("pr", 8).alias("pagerank"),
+    )

@@ -207,6 +207,8 @@ def test_every_gated_query_scale_discipline(spark):
         "token_unigram_logprob",
         # one-row broadcasts of the target/raw feature totals
         "sample_dsir_importance",
+        # one-row broadcast of the graph node count (scalar-subquery)
+        "recsys_item_pagerank",
         # one-row broadcast of the global max timestamp
         "user_rfm_segments",
         # one-row broadcast of the integer clip bounds

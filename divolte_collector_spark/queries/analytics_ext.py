@@ -1003,3 +1003,54 @@ def q_recsys_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outdeg",
         F.round("pr", 8).alias("pagerank"),
     )
+
+
+# --- top journey paths (order-3 n-grams over per-user event streams) --------
+
+_TOP_PATHS_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+           lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t3
+    FROM events
+),
+paths AS (
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE t3 IS NOT NULL
+    GROUP BY 1
+)
+SELECT path, n, CAST(rnk AS INT) AS rnk
+FROM (SELECT path, n,
+             row_number() OVER (ORDER BY n DESC, path) AS rnk
+      FROM paths) z
+WHERE rnk <= 20
+"""
+
+
+@query("session_top_paths", oracle=_TOP_PATHS_ORACLE)
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most common 3-step journey patterns. One user-partitioned
+    window (two leads share it), a path aggregate bounded by
+    |event types|^3, and TakeOrdered for the top-k — the global rank
+    window runs over only the 20 survivors."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = paths.orderBy(F.desc("n"), "path").limit(20)
+    wr = Window.orderBy(F.desc("n"), "path")
+    return top.withColumn("rnk", F.row_number().over(wr).cast("int"))

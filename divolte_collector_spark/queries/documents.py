@@ -2505,3 +2505,73 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --- cluster representative selection ---------------------------------------
+# The decision step after clustering: per near-dup component, KEEP the
+# best document (longest; ties to the smallest id) and count the
+# drops. This is the output an actual dedup run feeds downstream —
+# components alone don't say which row survives.
+
+_CLUSTER_REP_ORACLE = f"""
+WITH cc AS ({_CC_ORACLE}),
+planted AS ({_PLANTED_SQL}),
+sized AS (
+    SELECT c.component, c.doc_id,
+           len(string_split(p.text, ' ')) AS n_tokens
+    FROM cc c JOIN planted p ON p.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT component, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_tokens DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY component) AS csize
+    FROM sized
+)
+SELECT component, doc_id AS kept_doc,
+       CAST(n_tokens AS BIGINT) AS kept_tokens,
+       CAST(csize - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("select_cluster_representatives", oracle=_CLUSTER_REP_ORACLE)
+def q_select_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per near-dup component: keep the longest document (ties to the
+    smallest id), report its size and the drop count. One component-
+    partitioned window over the (small) clustered relation — the
+    corpus itself never re-shuffles for the selection."""
+    from pyspark.sql import Window
+
+    from divolte_collector_spark.operators.graph import connected_components
+
+    edges = minhash_verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    cc = connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    sized = cc.join(
+        with_planted_dups(_docs(spark, sf_dir)).select(
+            "doc_id", F.size(tokens_col()).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("component")
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .withColumn("csize", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_tokens").cast("long").alias("kept_tokens"),
+            (F.col("csize") - 1).cast("long").alias("n_dropped"),
+        )
+    )

@@ -95,13 +95,28 @@ def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None
     return builder.getOrCreate()
 
 
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
     Nanosecond-precision timestamp columns (read as long via
     ``nanosAsLong``) are rescaled to TimestampType at microsecond
     precision — matching DuckDB's ns->us truncation on fetch.
+
+    The resolved DataFrame is cached per (session, dir, table): the
+    reader resolution (file listing + footer schema read + the
+    timestamp normalization analysis) costs ~100 ms per call on the
+    driver, and a bench/sweep process calls this hundreds of times for
+    the same ten immutable tables — the cache is the local stand-in
+    for a real deployment's catalog of resolved relations. Keyed by
+    the application id so a fresh session never sees a stale plan.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # nanosAsLong is a *runtime* SQL conf: set it here (not only at
     # builder time in get_spark) so load_table works on ANY SparkSession,
     # including an external harness's bare session. Without it, reading
@@ -130,4 +145,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df

@@ -513,3 +513,140 @@ def streaming_gcs_compose_roundtrip(
         return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- K4 publisher loop under the exact-hash gate ----------------------------
+
+
+class _JsonlStoreClient:
+    """Sandbox Pub/Sub stand-in: publishes land as JSON lines in a
+    shared directory (one file per client instance = per partition) —
+    the same injectable five-line surface a real Publisher wrapper
+    implements. Product-side because the gated roundtrip needs a
+    concrete client; tests use their own recording stubs."""
+
+    def __init__(self, out_dir: str):
+        import os
+        import uuid as _uuid
+
+        os.makedirs(out_dir, exist_ok=True)
+        self._path = f"{out_dir}/c{_uuid.uuid4().hex}.jsonl"
+
+    def publish(self, data: bytes, attributes: dict) -> str:
+        import json as _json
+
+        with open(self._path, "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {"data": data.hex(), "attributes": attributes}
+                )
+                + "\n"
+            )
+        return "ok"
+
+
+def _pubsub_fingerprint(schema: dict) -> str:
+    import base64
+
+    from divolte_collector_spark.functions.avro_codec import (
+        schema_fingerprint_sha256,
+    )
+
+    return base64.urlsafe_b64encode(
+        schema_fingerprint_sha256(schema)
+    ).decode("ascii")
+
+
+_PUBSUB_SCHEMA = {
+    "type": "record",
+    "name": "DivolteEvent",
+    "fields": [
+        {"name": "party_id", "type": "string"},
+        {"name": "event_id", "type": "string"},
+        {"name": "et", "type": ["null", "string"], "default": None},
+    ],
+}
+
+_PUBSUB_RT_ORACLE = f"""
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       CAST(user_id AS VARCHAR) AS party_id,
+       event_type AS et,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS msg_ts,
+       '{{fp}}' AS fingerprint,
+       '0x2a' AS confluent_id
+FROM events
+""".replace("{fp}", _pubsub_fingerprint(_PUBSUB_SCHEMA))
+
+
+@query("streaming_pubsub_emulated_roundtrip", oracle=_PUBSUB_RT_ORACLE)
+def streaming_pubsub_emulated_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full K4 path under the oracle gate: mapped events → message
+    construction (binary-Avro data + the flusher's exact attribute
+    map) → the executor-distributed publisher loop against the
+    injectable client → published messages read back, Avro-decoded,
+    and verified field-exact INCLUDING the ISO timestamp, base64url
+    SHA-256 schema fingerprint, and 0x-hex registry id
+    (GoogleCloudPubSubFlusher.java:45-91)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from divolte_collector_spark.functions.avro_codec import decode_record
+    from divolte_collector_spark.streaming.pubsub import publish_messages
+    from divolte_collector_spark.streaming.sinks import pubsub_messages
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("party_id"),
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_type").alias("et"),
+        F.col("ts").alias("client_time"),
+    )
+    base = tempfile.mkdtemp(prefix="dvs_pubsubrt_")
+    try:
+        msgs = pubsub_messages(ev, _PUBSUB_SCHEMA, confluent_id=0x2A)
+        publish_messages(
+            msgs, client_factory=lambda out=base: _JsonlStoreClient(out)
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("event_id", T.StringType()),
+                T.StructField("party_id", T.StringType()),
+                T.StructField("et", T.StringType()),
+                T.StructField("msg_ts", T.StringType()),
+                T.StructField("fingerprint", T.StringType()),
+                T.StructField("confluent_id", T.StringType()),
+            ]
+        )
+
+        published = spark.read.json(base)
+
+        def decode(it):
+            for pdf in it:
+                rows = []
+                for _, r in pdf.iterrows():
+                    rec = decode_record(
+                        _PUBSUB_SCHEMA, bytes.fromhex(r["data"])
+                    )
+                    att = r["attributes"]
+                    rows.append(
+                        {
+                            "event_id": rec["event_id"],
+                            "party_id": rec["party_id"],
+                            "et": rec["et"],
+                            "msg_ts": att["timestamp"],
+                            "fingerprint": att["schemaFingerprint"],
+                            "confluent_id": att["schemaConfluentId"],
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in out_schema.fields]
+                )
+
+        out = published.mapInPandas(decode, out_schema)
+        # detach from the tempdir without a driver roundtrip
+        return detach_result(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

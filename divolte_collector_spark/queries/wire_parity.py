@@ -772,3 +772,72 @@ def q_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_path_auto(F.col("_doc"), "$.items[0].price").alias("first_price"),
         json_path_auto(F.col("_doc"), "$.k").alias("k"),
     )
+
+
+# --- wirelog data source roundtrip ------------------------------------------
+
+_WIRELOG_ORACLE = """
+SELECT event_id,
+       epoch_ms(ts) AS request_ms,
+       'h' || CAST(user_id % 256 AS VARCHAR) AS remote_host,
+       'e=' || CAST(event_id AS VARCHAR) || '&t=' || event_type AS qs,
+       'Agent/' || CAST(user_id % 7 AS VARCHAR) AS ua
+FROM events
+"""
+
+
+@query("wirelog_source_roundtrip", oracle=_WIRELOG_ORACLE)
+def q_wirelog_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom access-log data source under the oracle gate: events
+    are rendered as reference-shaped log lines (ISO timestamp, host,
+    request line, user agent), written as text files, read back
+    through ``divolte-wirelog`` (sources/wirelog.py — one partition
+    per file, garbage-tolerant), and every parsed field must match the
+    oracle's prediction from the raw columns. Planted garbage lines
+    must parse as raw-only rows and be filterable without poisoning
+    the batch."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from divolte_collector_spark.queries._persist import detach_result
+    from divolte_collector_spark.sources.wirelog import WireLogDataSource
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit(" h"),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(' "GET /csc-event?e='),
+        F.col("event_id").cast("string"),
+        F.lit("&t="),
+        F.col("event_type"),
+        F.lit(' HTTP/1.1" "Agent/'),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit('"'),
+    )
+    base = _tempfile.mkdtemp(prefix="dvs_wirelogrt_")
+    try:
+        lines = ev.select(line.alias("value")).repartition(8)
+        garbage = spark.createDataFrame(
+            [("this is not a log line",), ('... "GET truncated',)],
+            "value string",
+        )
+        lines.unionByName(garbage).write.mode("overwrite").text(base)
+
+        spark.dataSource.register(WireLogDataSource)
+        raw = spark.read.format("divolte-wirelog").load(base)
+        out = raw.filter(F.col("path") == "/csc-event").select(
+            F.regexp_extract("query_string", r"e=(\d+)&", 1)
+            .cast("long")
+            .alias("event_id"),
+            F.unix_millis("request_time").alias("request_ms"),
+            "remote_host",
+            F.col("query_string").alias("qs"),
+            F.col("user_agent").alias("ua"),
+        )
+        # detach from the tempdir without a driver roundtrip
+        return detach_result(spark, out)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -841,7 +841,7 @@ WITH ordered AS (
            lead(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
            ) AS next_type
-    FROM events
+    FROM events WHERE event_type IS NOT NULL
 ),
 edges AS (
     SELECT event_type AS from_type, next_type AS to_type,
@@ -870,7 +870,12 @@ def q_session_transition_matrix(
     layout it is exchange-free), then an edge aggregation whose output
     is bounded by |event types|^2; probabilities are exact integer
     ratios divided once, so no summation-order drift exists."""
-    ev = load_table(spark, sf_dir, "events")
+    # event_type is nullable by schema; the null-vs-concat semantics of
+    # the two engines differ (|| propagates NULL, concat_ws skips it),
+    # so both sides drop null-typed events identically
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
         ev.select(
@@ -959,14 +964,20 @@ def q_recsys_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
     )
+    # the distinct self-join is the dominant cost and feeds SIX
+    # consumers (nn, deg, both fold steps' joins, and deg's reuse in
+    # c1 + the final join) — persist so it executes once (the repo's
+    # multi-consumer convention; without it the whole subtree re-ran
+    # per consumer: 22 s -> ~5 s at sf0.1)
     pairs = (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .persist()
     )
     nn = pairs.agg(F.count_distinct("src").alias("n"))
-    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
 
     def fold_contribs(df):
         """one PageRank step: join contributions, ordered-fold per dst"""
@@ -1014,7 +1025,7 @@ WITH ordered AS (
                PARTITION BY user_id ORDER BY ts, event_id) AS t2,
            lead(event_type, 2) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS t3
-    FROM events
+    FROM events WHERE event_type IS NOT NULL
 ),
 paths AS (
     SELECT event_type || '>' || t2 || '>' || t3 AS path,
@@ -1036,7 +1047,10 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (two leads share it), a path aggregate bounded by
     |event types|^3, and TakeOrdered for the top-k — the global rank
     window runs over only the 20 survivors."""
-    ev = load_table(spark, sf_dir, "events")
+    # null event types dropped on both sides (see transition matrix)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     paths = (
         ev.select(

@@ -331,6 +331,21 @@ FROM reach GROUP BY node
 """
 
 
+def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup clustering both gated consumers share: LSH pairs at
+    the 0.5 Jaccard threshold -> connected components -> (doc_id,
+    component) longs. One definition so dedup_cluster_components and
+    select_cluster_representatives can never silently cluster over
+    different pair sets."""
+    from divolte_collector_spark.operators.graph import connected_components
+
+    edges = minhash_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    return connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 @query("dedup_cluster_components", oracle=_CC_ORACLE)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from LSH pairs (the step an actual dedup run
@@ -339,14 +354,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per round — see operators/graph.py.  Component id = min
     doc_id, i.e. the kept representative.  Oracle = DuckDB recursive
     CTE over the identical pair set."""
-    from divolte_collector_spark.operators.graph import connected_components
-
-    edges = minhash_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
-    cc = connected_components(edges, src="doc_a", dst="doc_b")
-    return cc.select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("component"),
-    )
+    return _clustered_components(spark, sf_dir)
 
 
 # --- text quality scoring ---------------------------------------------------
@@ -2403,7 +2411,7 @@ scored AS (
     FROM feats f JOIN lw USING (b)
     GROUP BY f.doc_id
 )
-SELECT doc_id, n_feats, round(imp, 6) AS importance, CAST(rnk AS INT) AS rnk
+SELECT doc_id, n_feats, round(imp, 6) + 0.0 AS importance, CAST(rnk AS INT) AS rnk
 FROM (SELECT doc_id, n_feats, imp,
              row_number() OVER (ORDER BY round(imp, 6) DESC, doc_id) AS rnk
       FROM scored) z
@@ -2448,21 +2456,26 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("b"),
     )
-    tgt = feats.filter(F.col("lang") == "en")
-    tc = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    tt = tgt.agg(F.count(F.lit(1)).alias("nt"))
-    rc = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    rt = feats.agg(F.count(F.lit(1)).alias("nr"))
+    # ONE corpus pass builds BOTH LMs (raw count + conditional target
+    # count per bucket); the totals are integer sums of the 256-row
+    # table, so they derive from it, not from another corpus scan —
+    # 5 passes over the exploded bigram stream reduced to 2 (this one
+    # and the scoring join), bit-identical output
+    lm = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    totals = lm.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
     lw = (
-        rc.join(tc, "b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(rt))
+        lm.crossJoin(F.broadcast(totals))
         .select(
             "b",
             (
                 F.round(
                     F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        (F.col("ct") + 1).cast("double")
                         / (F.col("nt") + _DSIR_B)
                     ),
                     8,
@@ -2545,15 +2558,7 @@ def q_select_cluster_representatives(
     corpus itself never re-shuffles for the selection."""
     from pyspark.sql import Window
 
-    from divolte_collector_spark.operators.graph import connected_components
-
-    edges = minhash_verified_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= 0.5
-    )
-    cc = connected_components(edges, src="doc_a", dst="doc_b").select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("component"),
-    )
+    cc = _clustered_components(spark, sf_dir)
     sized = cc.join(
         with_planted_dups(_docs(spark, sf_dir)).select(
             "doc_id", F.size(tokens_col()).alias("n_tokens")

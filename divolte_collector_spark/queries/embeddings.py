@@ -74,7 +74,7 @@ ranked AS (
                               ORDER BY cos DESC, neighbor_id) AS rnk
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {TOP_K}
 """
 
@@ -129,7 +129,7 @@ ranked AS (
                               ORDER BY cos DESC, neighbor_id) AS rnk
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {TOP_K}
 """
 
@@ -185,7 +185,7 @@ pairs AS (
            list_cosine_similarity(a.emb, b.emb) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, round(cos, 4) AS cosine_sim
+SELECT vec_a, vec_b, round(cos, 4) + 0.0 AS cosine_sim
 FROM pairs WHERE cos >= 0.4
 """
 
@@ -282,7 +282,7 @@ ranked AS (
                               ORDER BY cos DESC, neighbor_id) AS rnk
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {TOP_K}
 """
 
@@ -452,7 +452,7 @@ ranked AS (
                               ORDER BY cos DESC, neighbor_id) AS rnk
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {TOP_K}
 """
 
@@ -1217,7 +1217,7 @@ ranked AS (
     FROM pairs WHERE cos >= {SEMDEDUP_THRESHOLD}
 )
 SELECT removed AS removed_id, kept AS kept_id, cid,
-       round(cos, 4) AS cosine_sim
+       round(cos, 4) + 0.0 AS cosine_sim
 FROM ranked WHERE rn = 1
 """
 
@@ -1348,7 +1348,7 @@ rer AS (
     JOIN q ON q.query_id = s.query_id
     JOIN e c ON c.vec_id = s.neighbor_id
 )
-SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim,
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine_sim,
        CAST(rnk AS INT) AS rnk
 FROM (SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id

@@ -521,21 +521,30 @@ def streaming_gcs_compose_roundtrip(
 class _JsonlStoreClient:
     """Sandbox Pub/Sub stand-in: publishes land as JSON lines in a
     shared directory (one file per client instance = per partition) —
-    the same injectable five-line surface a real Publisher wrapper
-    implements. Product-side because the gated roundtrip needs a
-    concrete client; tests use their own recording stubs."""
+    the same injectable surface a real Publisher wrapper implements.
+    Product-side because the gated roundtrip needs a concrete client;
+    tests use their own recording stubs.
+
+    Commit protocol: messages append to an underscore-prefixed
+    staging file (Spark's readers ignore ``_``-prefixed paths), and
+    ``commit()`` — called by ``publish_messages`` after the partition
+    flush succeeds — renames it visible. A task retry or speculative
+    attempt that dies mid-partition therefore leaves no readable
+    partial output (the same attempt-safety discipline as the kafka
+    emulator's dir-rename commit and the GCS attempt-unique chains)."""
 
     def __init__(self, out_dir: str):
         import os
         import uuid as _uuid
 
         os.makedirs(out_dir, exist_ok=True)
-        self._path = f"{out_dir}/c{_uuid.uuid4().hex}.jsonl"
+        self._final = f"{out_dir}/c{_uuid.uuid4().hex}.jsonl"
+        self._staging = f"{out_dir}/_c{_uuid.uuid4().hex}.jsonl.partial"
 
     def publish(self, data: bytes, attributes: dict) -> str:
         import json as _json
 
-        with open(self._path, "a") as fh:
+        with open(self._staging, "a") as fh:
             fh.write(
                 _json.dumps(
                     {"data": data.hex(), "attributes": attributes}
@@ -543,6 +552,12 @@ class _JsonlStoreClient:
                 + "\n"
             )
         return "ok"
+
+    def commit(self) -> None:
+        import os
+
+        if os.path.exists(self._staging):
+            os.replace(self._staging, self._final)
 
 
 def _pubsub_fingerprint(schema: dict) -> str:

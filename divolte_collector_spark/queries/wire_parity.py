@@ -782,7 +782,7 @@ SELECT event_id,
        'h' || CAST(user_id % 256 AS VARCHAR) AS remote_host,
        'e=' || CAST(event_id AS VARCHAR) || '&t=' || event_type AS qs,
        'Agent/' || CAST(user_id % 7 AS VARCHAR) AS ua
-FROM events
+FROM events WHERE event_type IS NOT NULL
 """
 
 
@@ -804,7 +804,11 @@ def q_wirelog_source_roundtrip(
     from divolte_collector_spark.queries._persist import detach_result
     from divolte_collector_spark.sources.wirelog import WireLogDataSource
 
-    ev = load_table(spark, sf_dir, "events")
+    # a NULL event_type would null the whole rendered line (and the
+    # single-column text writer rejects nulls); drop them on both sides
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     line = F.concat(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
         F.lit(" h"),

@@ -113,19 +113,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     for a real deployment's catalog of resolved relations. Keyed by
     the application id so a fresh session never sees a stale plan.
     """
+    # conf pinning runs on EVERY call, cache hit or miss: the pins are
+    # load_table's documented guarantee to external bare sessions, and
+    # a harness that changed the session timezone between calls must
+    # get it re-pinned even when the resolved reader is cached (the
+    # timestamp casts evaluate lazily, under whatever conf holds at
+    # action time).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    # nanosAsLong is a *runtime* SQL conf: set it here (not only at
-    # builder time in get_spark) so load_table works on ANY SparkSession,
-    # including an external harness's bare session. Without it, reading
-    # events.parquet (TIMESTAMP(NANOS)) raises PARQUET_TYPE_ILLEGAL.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Wire-param maps rely on LAST_WIN dedup (see get_spark comment);
-    # also runtime-settable, so pin it for external sessions too.
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (nanosAsLong in particular is required BEFORE the read below:
+    # events.parquet carries TIMESTAMP(NANOS) and raises
+    # PARQUET_TYPE_ILLEGAL without it)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -134,6 +134,15 @@ def publish_messages(
             max_attempts=max_attempts,
             backoff_s=backoff_s,
         )
+        # transactional clients expose a commit: a buffering/staging
+        # client publishes durably only here, so a task retry or
+        # speculative attempt that died mid-partition leaves no
+        # visible partial output (a real Pub/Sub publisher is
+        # fire-per-message and needs no commit — the method is
+        # optional by design)
+        commit = getattr(client, "commit", None)
+        if commit is not None:
+            commit()
 
     messages_df.foreachPartition(publish_partition)
 

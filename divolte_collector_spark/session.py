@@ -98,6 +98,29 @@ def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None
 _TABLE_CACHE: dict = {}
 
 
+def _path_signature(path: str) -> tuple:
+    """Cheap cache-buster for a parquet file-or-directory: (mtime_ns,
+    size) of the path plus, for a directory, the sorted entry list —
+    a harness that regenerates a table at the same path (new files,
+    deleted files, rewritten file) changes the signature, so the cached
+    plan's stale file index is never served. One or two stat calls;
+    missing paths sign as None and fail naturally at read time."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    sig: tuple = (st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        sig += (tuple(sorted(os.listdir(path))),)
+    return sig
+
+
+def invalidate_table_cache() -> None:
+    """Drop every cached resolved reader (explicit hook for harnesses
+    that mutate testdata in place without an mtime change)."""
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
@@ -122,14 +145,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    path = f"{sf_dir}/{name}.parquet"
+    key = (app_id, sf_dir, name, _path_signature(path))
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict entries from other (stopped) applications and stale
+    # signatures of this same table so the cache stays bounded by the
+    # live session's table set
+    for k in [k for k in _TABLE_CACHE
+              if k[0] != app_id or (k[1], k[2]) == (sf_dir, name)]:
+        del _TABLE_CACHE[k]
     # (nanosAsLong in particular is required BEFORE the read below:
     # events.parquet carries TIMESTAMP(NANOS) and raises
     # PARQUET_TYPE_ILLEGAL without it)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -18,10 +18,26 @@ Broker semantics emulated faithfully:
   the reference's flusher relies on (KafkaFlusher.java:53-101 keys
   every record by party id for exactly this affinity).
 - **Offsets**: per-partition, dense, monotonic across produce batches.
-  Bases are derived from a column-pruned scan of the committed log's
-  (partition, offset) columns — always consistent with what a reader
-  can see, even after a crash (a real broker holds this watermark in
-  memory; the scan is the crash-safe file-backed equivalent).
+  Every committed batch dir carries a ``_watermark.json`` sidecar
+  (written into the staging dir, so the SAME atomic rename commits
+  data and watermark together) holding the post-batch next offsets.
+  A producer derives its bases once per process — elementwise max
+  over the sidecars, falling back to a column-pruned (partition,
+  offset) scan for legacy dirs without one — then tracks the
+  watermark in memory, so produce cost is O(batch) regardless of
+  topic history (a real broker holds this watermark in memory; the
+  sidecar is the crash-safe file-backed equivalent).
+- **Single active producer per topic**: offsets are assigned
+  producer-side with no inter-process coordination, so two CONCURRENT
+  producer processes appending the same topic could mint overlapping
+  offsets. ``emulated_kafka_sink`` enforces this with epoch fencing:
+  each writer claims the topic (atomic ``_producer.claim`` replace);
+  a newer claim fences the older writer, whose next batch fails
+  loudly instead of corrupting offsets — the same
+  newest-producer-wins semantics as Kafka's idempotent-producer
+  epoch bump. Bare ``produce_batch`` callers inherit the constraint
+  but not the fence; sequential producers (restart after crash) are
+  always safe.
 - **Atomic batch commit**: a batch's segment files are staged and then
   committed with ONE directory rename, so a concurrent streaming
   reader and the offset derivation never observe a partial batch.
@@ -39,12 +55,14 @@ is driver-side but reads only two int columns of the log.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 from typing import Iterator
 
 import pandas as pd
+import pyarrow.dataset as pads
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -102,13 +120,20 @@ def _data_dir(log_dir: str, topic: str) -> str:
     return os.path.join(log_dir, topic, "data")
 
 
-def _offset_bases(
+WATERMARK_FILE = "_watermark.json"
+
+# per-process next-offset watermark, keyed by data dir: derived from
+# the committed log once, then advanced in memory on every commit —
+# the emulator's stand-in for the broker's in-memory log end offset
+_WATERMARK_CACHE: dict[str, dict[int, int]] = {}
+
+
+def _offset_bases_scan(
     spark: SparkSession, data_dir: str, n_partitions: int
 ) -> dict[int, int]:
-    """Next offset per partition, from the committed log itself
-    (column-pruned (partition, offset) scan) — crash-consistent by
-    construction: an uncommitted batch is invisible to both readers
-    and this derivation."""
+    """Legacy full derivation: column-pruned (partition, offset) scan
+    of every committed segment. Only reached for logs written before
+    watermark sidecars existed."""
     bases = {p: 0 for p in range(n_partitions)}
     if any(
         f.endswith(".parquet")
@@ -125,6 +150,42 @@ def _offset_bases(
         )
         for r in rows:
             bases[int(r["partition"])] = int(r["n"])
+    return bases
+
+
+def _offset_bases(
+    spark: SparkSession, data_dir: str, n_partitions: int
+) -> dict[int, int]:
+    """Next offset per partition — crash-consistent by construction:
+    an uncommitted batch is invisible to readers, to the sidecars,
+    and to this derivation.
+
+    Order of preference: the in-process watermark (O(1)); elementwise
+    max over the committed dirs' ``_watermark.json`` sidecars (one
+    tiny json read per batch dir, no Spark job — order-free, so it
+    needs no cross-epoch commit ordering); full segment scan if any
+    committed dir predates sidecars."""
+    cached = _WATERMARK_CACHE.get(data_dir)
+    if cached is not None and len(cached) >= n_partitions:
+        return dict(cached)
+    bases = {p: 0 for p in range(n_partitions)}
+    need_scan = False
+    for entry in sorted(os.listdir(data_dir)):
+        path = os.path.join(data_dir, entry)
+        if not (entry.startswith("batch=") and os.path.isdir(path)):
+            continue
+        try:
+            with open(os.path.join(path, WATERMARK_FILE)) as fh:
+                wm = json.load(fh)
+        except OSError:
+            need_scan = True
+            break
+        for p_str, nxt in wm.items():
+            p = int(p_str)
+            bases[p] = max(bases.get(p, 0), int(nxt))
+    if need_scan:
+        bases = _offset_bases_scan(spark, data_dir, n_partitions)
+    _WATERMARK_CACHE[data_dir] = dict(bases)
     return bases
 
 
@@ -194,12 +255,61 @@ def produce_batch(
             os.unlink(os.path.join(staging, extra))
         except FileNotFoundError:
             pass
+    # post-batch watermark, derived from the staged segment itself
+    # (driver-side pyarrow read of two int columns of ONE batch — no
+    # Spark job, O(batch)); written INTO staging so the rename below
+    # commits data + watermark atomically
+    staged = pads.dataset(staging, format="parquet").to_table(
+        columns=["partition", "offset"]
+    )
+    new_bases = dict(bases)
+    if staged.num_rows:
+        per_part = (
+            staged.to_pandas().groupby("partition")["offset"].max()
+        )
+        for p, max_off in per_part.items():
+            new_bases[int(p)] = max(
+                new_bases.get(int(p), 0), int(max_off) + 1
+            )
+    with open(os.path.join(staging, WATERMARK_FILE), "w") as fh:
+        json.dump({str(p): n for p, n in new_bases.items()}, fh)
     # the ONE commit point: everything before it is invisible
     try:
         os.rename(staging, commit_dir)
+        _WATERMARK_CACHE[data_dir] = dict(new_bases)
     except OSError:
-        # lost a commit race (another attempt of the same batch)
+        # lost a commit race (another attempt of the same batch);
+        # drop the in-process watermark — re-derive from the sidecars
         shutil.rmtree(staging, ignore_errors=True)
+        _WATERMARK_CACHE.pop(data_dir, None)
+
+
+def claim_topic(log_dir: str, topic: str, epoch: str) -> None:
+    """Epoch-fence claim: atomically record ``epoch`` as the topic's
+    active producer (last claim wins, like Kafka's producer epoch
+    bump). Underscore-prefixed, so invisible to readers."""
+    topic_dir = os.path.join(log_dir, topic)
+    os.makedirs(topic_dir, exist_ok=True)
+    tmp = os.path.join(topic_dir, f"_claim_{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(epoch)
+    os.replace(tmp, os.path.join(topic_dir, "_producer.claim"))
+
+
+def check_claim(log_dir: str, topic: str, epoch: str) -> None:
+    """Raise if a newer producer has claimed the topic — a fenced
+    writer must fail loudly rather than mint overlapping offsets."""
+    try:
+        with open(os.path.join(log_dir, topic, "_producer.claim")) as fh:
+            current = fh.read()
+    except OSError:
+        return  # unclaimed (bare produce_batch producers) — allowed
+    if current != epoch:
+        raise RuntimeError(
+            f"kafka emulator: topic '{topic}' was claimed by producer "
+            f"epoch {current!r}; this writer (epoch {epoch!r}) is "
+            "fenced — only one active producer per topic"
+        )
 
 
 def emulated_kafka_sink(
@@ -216,12 +326,15 @@ def emulated_kafka_sink(
     ``kafka_frame`` (key = party id) produced into the topic log —
     mirrors ``kafka_sink_writer`` with the broker swapped out. One
     producer epoch per writer instance (see module docstring for the
-    replay semantics)."""
+    replay semantics); the writer claims the topic at construction
+    and is fenced if a newer writer claims it later."""
     from divolte_collector_spark.streaming.sinks import kafka_frame
 
     epoch = uuid.uuid4().hex[:8]
+    claim_topic(log_dir, topic, epoch)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        check_claim(log_dir, topic, epoch)
         framed = kafka_frame(
             batch_df, schema, mode=mode, confluent_id=confluent_id
         )

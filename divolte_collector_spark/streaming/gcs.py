@@ -161,6 +161,35 @@ class GcsAvroFile:
         self.store.delete(self.inflight_name)
 
 
+def sweep_inflight(
+    store, batch_tag: str, inflight_dir: str = "inflight"
+) -> list[str]:
+    """Janitor for orphaned inflight objects: an executor that dies
+    without running the Python except handler (hard kill, OOM) leaves
+    its attempt-unique ``.a<taskAttemptId>`` inflight/.part chain
+    behind, and no later attempt ever reuses those names. After a
+    batch COMPLETES, every object still under the inflight prefix
+    bearing this batch's tag is by construction an orphan — surviving
+    attempts already published and deleted theirs — so delete them.
+
+    Needs a listing call; a store without one (``list`` is not part of
+    the minimal 5-call surface) skips the sweep, in which case a
+    bucket lifecycle rule on the inflight prefix (age > max batch
+    duration) is the production substitute. Returns deleted names."""
+    lister = getattr(store, "list", None)
+    if lister is None:
+        return []
+    tag = f"-{batch_tag}-"  # the (batch tag, pid) instance segment
+    orphans = [
+        name
+        for name in lister()
+        if name.startswith(f"{inflight_dir}/") and tag in name
+    ]
+    for name in orphans:
+        store.delete(name)
+    return orphans
+
+
 def gcs_write_avro_files(
     batch_df: DataFrame,
     schema: dict,
@@ -230,6 +259,9 @@ def gcs_write_avro_files(
         .mapInPandas(write_partition, out_schema)
         .collect()
     )
+    # batch is complete: sweep inflight chains abandoned by
+    # hard-killed attempts (driver-side, one listing call)
+    sweep_inflight(store_factory(), batch_tag, inflight_dir)
     return [(r["file"], r["n"]) for r in manifest]
 
 

@@ -32,12 +32,15 @@ partition — clients don't serialize); tests drive a recording stub.
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame
 
 from divolte_collector_spark.streaming.sinks import pubsub_messages
+
+_LOG = logging.getLogger(__name__)
 
 ATTRIBUTE_FIELDS = (
     "partyIdentifier",
@@ -58,8 +61,10 @@ def flush_messages(
     """The TopicFlusher loop over one partition's messages: publish
     everything, re-flush the retriable remainder with exponential
     backoff, abandon fatal failures. Returns ``(published,
-    abandoned)``; raises after ``max_attempts`` with messages still
-    pending (task failure → Spark retry → batch redelivery).
+    abandoned)``; ``max_attempts`` bounds the number of *retry rounds*
+    after the streaming pass — if that many rounds still leave
+    messages pending, raises (task failure → Spark retry → batch
+    redelivery).
 
     A message is a ``{"data": bytes, "attributes": {str: str}}`` dict;
     an exception with a truthy ``retryable`` attribute marks a
@@ -86,6 +91,13 @@ def flush_messages(
             if getattr(exc, "retryable", False):
                 return "pending"
             abandoned += 1
+            # reference: "Permanent error ... abandoning" — data loss
+            # must be visible, never silent
+            _LOG.warning(
+                "pub/sub flush: abandoning message on permanent error "
+                "(event=%s): %s",
+                msg["attributes"].get("eventIdentifier"), exc,
+            )
         return None
 
     for msg in messages:
@@ -95,13 +107,14 @@ def flush_messages(
     attempt = 0
     while pending:
         attempt += 1
-        if attempt >= max_attempts:
-            raise RuntimeError(
-                f"pub/sub flush: {len(pending)} message(s) still "
-                f"pending after {max_attempts} attempts"
-            )
         sleep(backoff_s * (2 ** (attempt - 1)))
         pending = [msg for msg in pending if _try(msg) == "pending"]
+        if pending and attempt >= max_attempts:
+            raise RuntimeError(
+                f"pub/sub flush: {len(pending)} message(s) still "
+                f"pending after the streaming pass plus "
+                f"{max_attempts} retry round(s)"
+            )
     return published, abandoned
 
 
@@ -128,12 +141,18 @@ def publish_messages(
 
     def publish_partition(rows: Iterator) -> None:
         client = client_factory()
-        flush_messages(
+        published, abandoned = flush_messages(
             (_row_message(r) for r in rows),
             client,
             max_attempts=max_attempts,
             backoff_s=backoff_s,
         )
+        if abandoned:
+            _LOG.warning(
+                "pub/sub flush: partition abandoned %d of %d message(s) "
+                "on permanent errors",
+                abandoned, published + abandoned,
+            )
         # transactional clients expose a commit: a buffering/staging
         # client publishes durably only here, so a task retry or
         # speculative attempt that died mid-partition leaves no

@@ -139,3 +139,41 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
         _, recs = read_container(store.get(name))
         eids.extend(r["event_id"] for r in recs)
     assert sorted(eids, key=lambda e: int(e[1:])) == [f"e{i}" for i in range(25)]
+
+
+def test_sweep_inflight_removes_orphaned_attempt_chains(spark, tmp_path):
+    """A hard-killed attempt leaves its attempt-unique inflight/.part
+    chain behind (no except handler ran); the post-batch janitor must
+    delete exactly this batch's orphans — other batches' inflight
+    objects and published output stay untouched."""
+    from divolte_collector_spark.streaming.gcs import sweep_inflight
+
+    root = str(tmp_path / "bucket")
+    store = FilesystemObjectStore(root)
+    # orphans from a dead attempt of batch 7
+    orphan = "inflight/x-divolte-tracking-spark-7-3.avro.a12"
+    store.upload(orphan, b"hdr")
+    store.upload(orphan + ".part", b"blk")
+    # a DIFFERENT batch's live inflight object must survive
+    other = "inflight/x-divolte-tracking-spark-8-0.avro.a13"
+    store.upload(other, b"hdr")
+
+    manifest = gcs_write_avro_files(
+        _events(spark), _SCHEMA,
+        store_factory=lambda r=root: FilesystemObjectStore(r),
+        batch_tag="7", sync_every=10,
+    )
+    names = store.list()
+    assert orphan not in names and orphan + ".part" not in names
+    assert other in names
+    assert all(n for n, _ in manifest)
+
+
+def test_sweep_inflight_skips_stores_without_listing():
+    from divolte_collector_spark.streaming.gcs import sweep_inflight
+
+    class _NoList:  # minimal 5-call store: no list()
+        def delete(self, name):  # pragma: no cover — must not be hit
+            raise AssertionError("delete without listing")
+
+    assert sweep_inflight(_NoList(), "0") == []

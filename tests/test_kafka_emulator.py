@@ -204,3 +204,81 @@ def test_new_producer_epoch_appends_despite_restarting_batch_ids(
         by_partition.setdefault(r.partition, []).append(r.offset)
     for p, offsets in by_partition.items():
         assert sorted(offsets) == list(range(len(offsets)))
+
+
+def test_offset_bases_o_batch_after_warmup(spark, tmp_path, monkeypatch):
+    """Producing to a many-segment topic must NOT re-scan the committed
+    log per batch: the first derivation reads the watermark sidecars
+    (no Spark scan when every dir has one), and subsequent produces in
+    the same process use the in-memory watermark — O(batch) regardless
+    of topic history."""
+    import divolte_collector_spark.sources.kafka_emulator as ke
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    ev = _mapped_events(spark, 20)
+    framed = kafka_frame(ev, _SCHEMA)
+    for b in range(5):  # build a multi-segment history
+        produce_batch(spark, framed, log, "t", batch_id=b, n_partitions=3)
+
+    # fresh process simulation: drop the in-memory watermark, then
+    # forbid the legacy full scan — sidecars alone must suffice
+    ke._WATERMARK_CACHE.clear()
+    def _no_scan(*a, **k):
+        raise AssertionError("legacy full-log scan must not run")
+    monkeypatch.setattr(ke, "_offset_bases_scan", _no_scan)
+    produce_batch(spark, framed, log, "t", batch_id=5, n_partitions=3)
+    produce_batch(spark, framed, log, "t", batch_id=6, n_partitions=3)
+
+    rows = read_topic(spark, log, "t").collect()
+    assert len(rows) == 140
+    by_partition = {}
+    for r in rows:
+        by_partition.setdefault(r.partition, []).append(r.offset)
+    for p, offsets in by_partition.items():
+        assert sorted(offsets) == list(range(len(offsets))), (
+            f"partition {p} offsets not dense/monotonic"
+        )
+
+
+def test_offset_bases_legacy_dir_falls_back_to_scan(spark, tmp_path):
+    """A committed dir without a watermark sidecar (pre-sidecar log)
+    forces the full-scan fallback — offsets stay dense either way."""
+    import os
+
+    import divolte_collector_spark.sources.kafka_emulator as ke
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    ev = _mapped_events(spark, 20)
+    framed = kafka_frame(ev, _SCHEMA)
+    produce_batch(spark, framed, log, "t", batch_id=0, n_partitions=3)
+    # strip the sidecar: simulates a legacy log
+    data_dir = ke._data_dir(log, "t")
+    [batch_dir] = [d for d in os.listdir(data_dir) if d.startswith("batch=")]
+    os.unlink(os.path.join(data_dir, batch_dir, ke.WATERMARK_FILE))
+    ke._WATERMARK_CACHE.clear()
+
+    produce_batch(spark, framed, log, "t", batch_id=1, n_partitions=3)
+    rows = read_topic(spark, log, "t").collect()
+    assert len(rows) == 40
+    by_partition = {}
+    for r in rows:
+        by_partition.setdefault(r.partition, []).append(r.offset)
+    for p, offsets in by_partition.items():
+        assert sorted(offsets) == list(range(len(offsets)))
+
+
+def test_second_concurrent_producer_fences_the_first(spark, tmp_path):
+    """Epoch fencing: a newer writer's claim fences the older writer,
+    whose next batch fails loudly instead of minting overlapping
+    offsets (single-active-producer-per-topic invariant)."""
+    import divolte_collector_spark.sources.kafka_emulator as ke
+
+    log = str(tmp_path / "log")
+    ke.claim_topic(log, "t", "writer-A")
+    ke.check_claim(log, "t", "writer-A")  # own claim passes
+    ke.claim_topic(log, "t", "writer-B")  # newer producer takes over
+    with pytest.raises(RuntimeError, match="fenced"):
+        ke.check_claim(log, "t", "writer-A")
+    ke.check_claim(log, "t", "writer-B")  # the new producer proceeds

@@ -109,6 +109,36 @@ def test_flush_raises_after_exhaustion():
         flush_messages([_msg(0)], stub, max_attempts=3, sleep=lambda s: None)
 
 
+def test_flush_max_attempts_counts_retry_rounds_exactly():
+    # max_attempts=N means N full retry rounds AFTER the streaming
+    # pass: a message that fails the streaming pass plus the first
+    # N-1 retry rounds and succeeds on round N must be published
+    stub = _MemStub(fail_plan={"e0": [_retryable() for _ in range(3)]})
+    published, abandoned = flush_messages(
+        [_msg(0)], stub, max_attempts=3, sleep=lambda s: None
+    )
+    assert (published, abandoned) == (1, 0)
+    # and max_attempts=1 performs one real retry round (not zero)
+    stub = _MemStub(fail_plan={"e0": [_retryable()]})
+    published, abandoned = flush_messages(
+        [_msg(0)], stub, max_attempts=1, sleep=lambda s: None
+    )
+    assert (published, abandoned) == (1, 0)
+
+
+def test_flush_abandon_emits_warning(caplog):
+    stub = _MemStub(fail_plan={"e1": [RuntimeError("permanent boom")]})
+    with caplog.at_level("WARNING", "divolte_collector_spark.streaming.pubsub"):
+        published, abandoned = flush_messages(
+            [_msg(i) for i in range(3)], stub
+        )
+    assert (published, abandoned) == (2, 1)
+    assert any(
+        "abandoning" in rec.message and "e1" in rec.getMessage()
+        for rec in caplog.records
+    )
+
+
 class _FileStub:
     """Executor-side recording client: foreachPartition runs in Python
     worker processes, so the record goes through the filesystem — one

@@ -236,7 +236,7 @@ FROM events GROUP BY event_type
 """
 
 
-@query("event_type_stats", oracle=_TYPE_STATS_ORACLE)
+@query("stats_event_type", oracle=_TYPE_STATS_ORACLE)
 def q_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)

@@ -135,7 +135,7 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+@query("text_dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism
@@ -758,7 +758,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundaries); it stays a narrow map over the scan — no shuffle.
 
 
-@query("document_chunks_udtf", oracle=_CHUNK_ORACLE)
+@query("udtf_document_chunks", oracle=_CHUNK_ORACLE)
 def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 

@@ -190,7 +190,7 @@ FROM pairs WHERE cos >= 0.4
 """
 
 
-@query("embedding_near_dup", oracle=_NEAR_DUP_ORACLE)
+@query("vector_near_dup_exact", oracle=_NEAR_DUP_ORACLE)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs.  All-pairs at test SF; the
     documented scale path is the bucketed variant (ann_ivf_bucketed)

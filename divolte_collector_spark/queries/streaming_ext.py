@@ -371,7 +371,7 @@ FROM events
 """
 
 
-@query("streaming_kafka_emulated_roundtrip", oracle=_KAFKA_RT_ORACLE)
+@query("e2e_kafka_roundtrip", oracle=_KAFKA_RT_ORACLE)
 def streaming_kafka_emulated_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -437,7 +437,7 @@ FROM events
 """
 
 
-@query("streaming_gcs_compose_roundtrip", oracle=_GCS_RT_ORACLE)
+@query("e2e_gcs_compose_roundtrip", oracle=_GCS_RT_ORACLE)
 def streaming_gcs_compose_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -593,7 +593,7 @@ FROM events
 """.replace("{fp}", _pubsub_fingerprint(_PUBSUB_SCHEMA))
 
 
-@query("streaming_pubsub_emulated_roundtrip", oracle=_PUBSUB_RT_ORACLE)
+@query("e2e_pubsub_roundtrip", oracle=_PUBSUB_RT_ORACLE)
 def streaming_pubsub_emulated_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -741,7 +741,7 @@ FROM events
 """
 
 
-@query("event_params_jsonpath_filter", oracle=_JSONPATH_ORACLE)
+@query("wire_params_jsonpath", oracle=_JSONPATH_ORACLE)
 def q_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-JsonPath parity (event-param-jsonpath-mapping.groovy;
     DslRecordMapping.java:587-593 compiles jayway paths incl.
@@ -786,7 +786,7 @@ FROM events WHERE event_type IS NOT NULL
 """
 
 
-@query("wirelog_source_roundtrip", oracle=_WIRELOG_ORACLE)
+@query("e2e_wirelog_roundtrip", oracle=_WIRELOG_ORACLE)
 def q_wirelog_source_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -95,7 +95,7 @@ def test_jsonpath_filter_single_python_stage(spark):
     # the three indefinite paths evaluate in ONE ArrowEvalPython node
     # (common json parse amortized per batch); definite paths stay on
     # the JVM as get_json_object
-    a = _audit(spark, "event_params_jsonpath_filter")
+    a = _audit(spark, "wire_params_jsonpath")
     assert a.n_python_eval_nodes <= 1
     assert a.n_exchanges == 0  # narrow map over the scan, no shuffle
 
@@ -192,7 +192,7 @@ def test_every_gated_query_scale_discipline(spark):
         "q11_important_parts",
         "q22_idle_customers",
         "knn_bruteforce_cosine",
-        "embedding_near_dup",
+        "vector_near_dup_exact",
         # one-row broadcast of the bin totals (scalar-subquery shape)
         "snapshot_drift_psi",
         # one-row estimate x one-row exact (scalar-subquery shape)

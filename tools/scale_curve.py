@@ -34,6 +34,7 @@ CURVE_QUERIES = [
     "url_canonical_dedup",       # narrow canonicalization map + agg
     "reorder_depth_stats",       # running-max window per user
     "span_dedup_crossdoc",       # window-hash shuffle + sliver verify
+    "pack_sequences_ffd",        # salted-bucket window + closed-form pack
 ]
 # NOTE on span_dedup_crossdoc under replication: scale_data replicates
 # document TEXT verbatim, so at K>1 every window is cross-doc

@@ -132,9 +132,16 @@ def parse_browser_events(
     # default EXCEPTION policy on any externally-built session. Keeping
     # entry i only when no earlier entry shares its key makes
     # map_from_entries duplicate-free under ANY policy.
+    # a key that fails URL decoding ('a%zz=1') is null after
+    # try_url_decode: drop the entry — the param is simply absent, as
+    # in qs_multimap — or map_from_entries raises NULL_MAP_KEY and ONE
+    # garbage request kills the whole batch (found by the adversarial
+    # wire fuzz; the reference's parser likewise never fails the
+    # request stream on an undecodable param).
     dedup = F.filter(
         F.col("_entries"),
-        lambda e, i: ~F.exists(
+        lambda e, i: e.key.isNotNull()
+        & ~F.exists(
             F.slice(F.col("_entries"), F.lit(1), i),
             lambda prev: prev.key.eqNullSafe(e.key),
         ),

@@ -164,3 +164,208 @@ def test_duplicate_wire_param_survives_any_dedup_policy(spark):
         spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
     assert len(out) == 1
     assert out[0].event_type == "first"  # first occurrence wins
+
+
+# --- adversarial wire fuzz (S1) ---------------------------------------------
+# The reference pins its checksum/decoder against a corpus of real
+# requests (RequestChecksumTest.java); this is the generative version:
+# random param orderings, duplicate keys, truncated base36, invalid
+# percent-escapes, and post-checksum tampering, asserting that
+# decode(encode(x)) == x for every identity field, that the corruption
+# verdict is exactly "checksum covers what was sent", and that NO
+# generated input crashes the decoder (a single garbage request must
+# never fail the batch — this suite found the NULL_MAP_KEY crash on
+# undecodable param keys).
+
+from urllib.parse import quote, unquote_plus
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+from divolte_collector_spark.functions.murmur import murmur3_32_signed
+
+_B36_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _b36(n: int) -> str:
+    if n < 0:
+        return "-" + _b36(-n)
+    if n == 0:
+        return "0"
+    out = []
+    while n:
+        out.append(_B36_DIGITS[n % 36])
+        n //= 36
+    return "".join(reversed(out))
+
+
+def _canonical(pairs):
+    """buildNormalizedChecksumString over DECODED params: sort by key
+    (stable for multi-values), drop 'x', values ','-terminated, groups
+    ';'-closed (ClientSideCookieEventHandler.java:206-261)."""
+    kept = sorted(
+        [(k, v) for k, v in pairs if k != "x"], key=lambda kv: kv[0]
+    )
+    out, last = [], None
+    for k, v in kept:
+        if k != last:
+            if last is not None:
+                out.append(";")
+            out.append(k)
+            out.append("=")
+            last = k
+        out.append(v)
+        out.append(",")
+    if last is not None:
+        out.append(";")
+    return "".join(out)
+
+
+def _sign(pairs) -> str:
+    return _b36(murmur3_32_signed(_canonical(pairs).encode("utf-8")))
+
+
+def _render(pairs) -> str:
+    return "&".join(f"{quote(k, safe='')}={quote(v, safe='')}" for k, v in pairs)
+
+
+_VAL = hst.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " :/.~!()*-_@,;=?+%",
+    min_size=1,
+    max_size=20,
+)
+_ID_SUFFIX = hst.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-_", min_size=1, max_size=10
+)
+
+_CASE_KINDS = (
+    "ok", "dup", "rawescape", "tamper_t", "bad_x", "no_x",
+    "incomplete", "garbage",
+)
+
+
+@hst.composite
+def _wire_case(draw):
+    kind = draw(hst.sampled_from(_CASE_KINDS))
+    if kind == "garbage":
+        qs = draw(
+            hst.sampled_from(
+                ["", "&", "&&&", "=v", "%", "a%zz=1", "p", "x=", "%=%", "=&=="]
+            )
+        )
+        return {"kind": kind, "qs": qs}
+    ms = draw(hst.integers(min_value=0, max_value=2**41))
+    party = f"0:{_b36(ms)}:{draw(_ID_SUFFIX)}"
+    session = f"0:{_b36(ms)}:{draw(_ID_SUFFIX)}"
+    pv, ev = draw(_ID_SUFFIX), draw(_ID_SUFFIX)
+    et = draw(_VAL)
+    w = draw(hst.integers(min_value=0, max_value=8192))
+    pairs = [
+        ("p", party), ("s", session), ("v", pv), ("e", ev),
+        ("c", _b36(ms)), ("n", draw(hst.sampled_from("tf"))),
+        ("f", draw(hst.sampled_from("tf"))), ("t", et),
+        ("l", draw(_VAL)), ("w", _b36(w)),
+    ]
+    if kind == "incomplete":
+        breakage = draw(
+            hst.sampled_from(["drop_p", "drop_c", "bad_p", "bad_c", "drop_n"])
+        )
+        if breakage == "drop_p":
+            pairs = [kv for kv in pairs if kv[0] != "p"]
+        elif breakage == "drop_c":
+            pairs = [kv for kv in pairs if kv[0] != "c"]
+        elif breakage == "drop_n":
+            pairs = [kv for kv in pairs if kv[0] != "n"]
+        elif breakage == "bad_p":
+            pairs = [
+                ("p", "not-an-identifier") if kv[0] == "p" else kv
+                for kv in pairs
+            ]
+        else:
+            pairs = [("c", "!!") if kv[0] == "c" else kv for kv in pairs]
+    pairs = draw(hst.permutations(pairs))
+    if kind == "dup":
+        # duplicates BEFORE checksumming (the client sent them), and
+        # AFTER the originals in wire order: the verdict stays correct
+        # and the decoder must read the FIRST occurrence of each key
+        for key in draw(
+            hst.lists(hst.sampled_from("psvetlw"), min_size=1, max_size=3)
+        ):
+            pairs.append((key, draw(_VAL)))
+    wire = [(quote(k, safe=""), quote(v, safe="")) for k, v in pairs]
+    raw_l = None
+    if kind == "rawescape":
+        # an invalid percent-escape in the RAW location value: the
+        # strict decoder nulls the field; the checksum client hashed
+        # the lenient form (unquote_plus leaves bad escapes alone)
+        raw_l = draw(hst.sampled_from(["ab%zz", "trail%", "%a", "x%gg%1"]))
+        wire = [(k, raw_l if k == "l" else v) for k, v in wire]
+        decoded_for_sum = [
+            (unquote_plus(k), unquote_plus(v)) for k, v in wire
+        ]
+        x = _sign(decoded_for_sum)
+    else:
+        x = _sign(pairs)
+    if kind != "no_x":
+        wire.append(("x", "!!" if kind == "bad_x" else x))
+    qs = "&".join(f"{k}={v}" for k, v in wire)
+    if kind == "tamper_t":
+        qs = qs.replace("t=" + quote(dict(pairs)["t"], safe=""),
+                        "t=" + quote(dict(pairs)["t"], safe="") + "z", 1)
+    first = {}
+    for k, v in pairs:
+        first.setdefault(k, v)
+    return {
+        "kind": kind, "qs": qs, "first": first, "ms": ms,
+        "w": w, "raw_l": raw_l,
+    }
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(hst.lists(_wire_case(), min_size=20, max_size=40))
+def test_wire_decoder_fuzz(spark, cases):
+    df = spark.createDataFrame(
+        [(i, c["qs"]) for i, c in enumerate(cases)],
+        "row_id long, query_string string",
+    )
+    out = {
+        r.row_id: r
+        for r in parse_browser_events(df, keep_incomplete=True).collect()
+    }
+    assert len(out) == len(cases)  # nothing crashed, nothing vanished
+    for i, c in enumerate(cases):
+        r = out[i]
+        kind = c["kind"]
+        if kind in ("garbage", "incomplete"):
+            assert r.incomplete_request is True, (kind, c["qs"])
+            continue
+        assert r.incomplete_request is False, (kind, c["qs"])
+        first = c["first"]
+        assert r.party_id == first["p"]
+        assert r.session_id == first["s"]
+        assert r.event_id == first["e"]
+        got_ms = int(
+            r.client_time.replace(tzinfo=dt.timezone.utc).timestamp() * 1000
+            + 0.5
+        )
+        assert got_ms == c["ms"], (kind, c["qs"])
+        assert r.browser.page_view_id == first["v"]
+        if kind == "tamper_t":
+            assert r.event_type == first["t"] + "z"
+            assert r.corrupt_event is True, c["qs"]
+        elif kind in ("bad_x", "no_x"):
+            assert r.corrupt_event is True, c["qs"]
+        else:
+            assert r.event_type == first["t"]
+            assert r.corrupt_event is False, (kind, c["qs"])
+        if kind == "rawescape":
+            assert r.browser.location is None  # strict decode nulls it
+        elif "l" in first and kind != "tamper_t":
+            assert r.browser.location == first["l"]
+        if kind != "tamper_t":
+            assert r.browser.viewport_pixel_width == c["w"]

@@ -37,6 +37,15 @@ _BODY_SCHEMA = T.StructType(
 
 _IDENTIFIER_RE = r"^0:[0-9a-z]+:.+$"
 
+# ISO_OFFSET_DATE_TIME shape (JsonEventHandler parses the field with
+# java.time's strict ISO offset format): date + 'T' + time + mandatory
+# offset ('Z' or +-HH:MM). Without this guard Spark's lenient
+# try_to_timestamp accepts bare digits like "12345" as YEAR 12345 — a
+# timestamp that overflows client datetimes downstream.
+_ISO_OFFSET_RE = (
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:\d{2})$"
+)
+
 
 def parse_json_events(
     requests: DataFrame,
@@ -51,7 +60,10 @@ def parse_json_events(
     parsed = F.from_json(body, _BODY_SCHEMA)
     # ISO-8601 offset datetime, e.g. 2024-01-02T03:04:05.678+02:00;
     # try_to_timestamp: bad input => null => request dropped (400).
-    client_time = F.try_to_timestamp(parsed.client_timestamp_iso)
+    client_time = F.when(
+        parsed.client_timestamp_iso.rlike(_ISO_OFFSET_RE),
+        F.try_to_timestamp(parsed.client_timestamp_iso),
+    )
     party_ok = F.col(party_id_col).rlike(_IDENTIFIER_RE)
     session_ok = parsed.session_id.rlike(_IDENTIFIER_RE)
 
@@ -76,7 +88,14 @@ def parse_json_events(
         parsed.is_new_party.alias("new_party_id"),
         parsed.is_new_session.alias("first_in_session"),
         client_time.alias("client_time"),
-        F.get_json_object(body, "$.parameters").alias("event_parameters"),
+        # NOT get_json_object: that unquotes string leaves ("x" -> x),
+        # yielding non-JSON text for scalar parameters. The reference
+        # keeps parameters as an arbitrary JsonNode re-serialized as
+        # valid JSON (EventContainer, JsonEventHandler.java:162-183);
+        # variant_get -> to_json preserves that for every JSON type.
+        F.to_json(
+            F.variant_get(F.try_parse_json(body), "$.parameters", "variant")
+        ).alias("event_parameters"),
         # null-safe: octet_length(NULL)/rlike(NULL) propagate NULL, and
         # a NULL _complete row would vanish from BOTH filter(col) and
         # filter(~col) — an unparseable request is simply incomplete

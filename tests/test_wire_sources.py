@@ -369,3 +369,123 @@ def test_wire_decoder_fuzz(spark, cases):
             assert r.browser.location == first["l"]
         if kind != "tamper_t":
             assert r.browser.viewport_pixel_width == c["w"]
+
+
+# --- adversarial JSON source fuzz (S2) --------------------------------------
+# Same generative treatment for the POST body path: malformed JSON,
+# wrong field types, missing requireds, bad identifiers, oversized
+# bodies, and exotic-but-valid payloads must decode exactly or drop
+# cleanly — never crash the batch.
+
+
+@hst.composite
+def _json_case(draw):
+    kind = draw(
+        hst.sampled_from(
+            [
+                "ok", "ok", "ok",  # weight toward valid payloads
+                "malformed", "missing_required", "bad_session",
+                "bad_party", "wrong_type", "bad_ts", "oversized",
+            ]
+        )
+    )
+    import json as _json
+
+    ms = draw(hst.integers(min_value=0, max_value=2**41)) // 1000 * 1000
+    offset_min = draw(hst.sampled_from([0, 60, -120, 330, 765]))
+    base = dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc)
+    local = base.astimezone(dt.timezone(dt.timedelta(minutes=offset_min)))
+    iso = local.isoformat(timespec="milliseconds")
+    party = f"0:{_b36(ms)}:{draw(_ID_SUFFIX)}"
+    body = {
+        "event_type": draw(_VAL),
+        "session_id": f"0:{_b36(ms)}:{draw(_ID_SUFFIX)}",
+        "event_id": draw(_ID_SUFFIX),
+        "is_new_party": draw(hst.booleans()),
+        "is_new_session": draw(hst.booleans()),
+        "client_timestamp_iso": iso,
+        "parameters": draw(
+            hst.sampled_from(
+                [
+                    {"k": 1}, {"nested": {"a": [1, 2, {"b": "x"}]}},
+                    [1, "two"], "scalar", 42, None,
+                ]
+            )
+        ),
+    }
+    if kind == "missing_required":
+        del body[
+            draw(
+                hst.sampled_from(
+                    [
+                        "session_id", "event_id", "is_new_party",
+                        "is_new_session", "client_timestamp_iso",
+                    ]
+                )
+            )
+        ]
+    elif kind == "bad_session":
+        body["session_id"] = draw(hst.sampled_from(["nope", "1:a:b", "0::", ""]))
+    elif kind == "wrong_type":
+        body[draw(hst.sampled_from(["is_new_party", "is_new_session"]))] = (
+            draw(hst.sampled_from(["yes", 1, [True]]))
+        )
+    elif kind == "bad_ts":
+        body["client_timestamp_iso"] = draw(
+            hst.sampled_from(["not-a-time", "2024-13-45T99:99:99Z", "12345", ""])
+        )
+    raw = _json.dumps(body)
+    if kind == "malformed":
+        raw = draw(
+            hst.sampled_from(
+                ['{"a":', "not json", "", "[1,2", '{"session_id" 4}', "\x00"]
+            )
+        )
+    elif kind == "oversized":
+        body["parameters"] = {"pad": "x" * 5000}
+        raw = _json.dumps(body)
+    if kind == "bad_party":
+        party = draw(hst.sampled_from(["", "zzz", "0:!:x", "1:abc:d"]))
+    return {"kind": kind, "body": raw, "party": party, "ms": ms,
+            "payload": body}
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(hst.lists(_json_case(), min_size=20, max_size=40))
+def test_json_decoder_fuzz(spark, cases):
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(i, c["body"], c["party"]) for i, c in enumerate(cases)],
+        "row_id long, body string, party_id_param string",
+    )
+    out = {
+        r.row_id: r
+        for r in parse_json_events(df, keep_incomplete=True).collect()
+    }
+    assert len(out) == len(cases)  # no crash, no vanished rows
+    for i, c in enumerate(cases):
+        r = out[i]
+        if c["kind"] == "ok":
+            assert r.incomplete_request is False, c["body"]
+            p = c["payload"]
+            assert r.party_id == c["party"]
+            assert r.session_id == p["session_id"]
+            assert r.event_id == p["event_id"]
+            assert r.event_type == p["event_type"]
+            assert r.new_party_id is p["is_new_party"]
+            assert r.first_in_session is p["is_new_session"]
+            assert r.corrupt_event is False  # hardcoded (DivolteEvent.java:183)
+            got_ms = int(
+                r.client_time.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1000 + 0.5
+            )
+            assert got_ms == c["ms"], c["body"]
+            if p["parameters"] is not None:
+                assert _json.loads(r.event_parameters) == p["parameters"]
+        else:
+            assert r.incomplete_request is True, (c["kind"], c["body"])

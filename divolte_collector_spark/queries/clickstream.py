@@ -1070,3 +1070,79 @@ def q_reorder_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("depth_us").alias("max_depth_us"),
         F.sum("depth_us").alias("total_late_us"),
     )
+
+
+# --- domain-blocklist URL filtering ------------------------------------------
+# Crawl pipelines drop documents whose host falls under a blocked
+# domain SUFFIX (the public-suffix semantics of every URL blocklist:
+# "shop1.example.com" blocks itself and any subdomain, but NOT
+# "notshop1.example.com" — substring/LIKE matching is the classic bug
+# this operator exists to avoid). Host identity reuses the §2.6 URI
+# surface conventions (functions/urlcanon.py).
+#
+# 100 TB shape: the host explodes into its O(#labels) suffix chain
+# (www.a.example.com -> [www.a.example.com, a.example.com, example.com,
+# com] — bounded by ~5), which turns suffix matching into an EQUI-join
+# against the blocklist. With a literal-sized blocklist the whole
+# predicate folds to arrays_overlap against a broadcast literal array
+# (pure codegen narrow map, no join at all — the same literal-map fast
+# path as operators/bloom.py); past that, explode + broadcast hash
+# semi-join on the suffix key, still no shuffle of the fact side.
+
+_BLOCKED_SUFFIXES = [
+    "shop1.example.com",       # blocks the www. subdomain via the chain
+    "shop4.example.com",
+    "www.shop2.example.com",   # exact-host entry
+]
+
+_URL_BLOCKLIST_ORACLE = """
+WITH ev AS (
+    SELECT event_id,
+           'www.shop' || CAST(user_id % 5 AS VARCHAR) || '.example.com'
+               AS host
+    FROM events
+),
+kept AS (
+    SELECT event_id, host FROM ev
+    WHERE NOT (host = 'shop1.example.com'
+               OR host LIKE '%.shop1.example.com'
+               OR host = 'shop4.example.com'
+               OR host LIKE '%.shop4.example.com'
+               OR host = 'www.shop2.example.com'
+               OR host LIKE '%.www.shop2.example.com')
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event
+FROM kept GROUP BY host
+"""
+
+
+def domain_suffix_chain(host):
+    """array<string>: the host and every parent domain suffix
+    (www.a.example.com -> [www.a.example.com, a.example.com,
+    example.com, com]). Bounded by the label count; narrow."""
+    parts = F.split(host, "\\.")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(
+            F.slice(parts, i + 1, F.size(parts) - i), "."
+        ),
+    )
+
+
+@query("url_blocklist_filter", oracle=_URL_BLOCKLIST_ORACLE)
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("www.shop"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com"),
+    )
+    blocked_lit = F.array(*[F.lit(s) for s in _BLOCKED_SUFFIXES])
+    kept = (
+        ev.select("event_id", host.alias("host"))
+        .filter(~F.arrays_overlap(domain_suffix_chain(F.col("host")), blocked_lit))
+    )
+    return kept.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )

@@ -2695,3 +2695,282 @@ def q_select_cluster_representatives(
             (F.col("csize") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+# --- corpus-wide exact line dedup (C4 / RefinedWeb style) --------------------
+# The other exact-dedup granularity production corpora need: not whole
+# documents (dedup_exact) and not K-token windows (span_dedup_crossdoc)
+# but *lines* — boilerplate sentences repeated across pages are removed
+# corpus-wide, keeping only the FIRST occurrence (by doc_id, then
+# position), and every document is reassembled from its surviving
+# lines. C4 dropped any line seen more than once across the crawl;
+# this is that operator with keep-first semantics.
+#
+# The synthetic corpus has no newline structure, so the segmentation
+# is pluggable and here fixed at 10-word windows; with real text you
+# substitute split-on-newline for the segmenter and the rest of the
+# plan is unchanged.
+#
+# 100 TB shape — the trick is that NO join-back is needed: after
+# grouping lines by text, min(struct(doc_id, line_no)) per line IS the
+# surviving occurrence, so the keeper relation alone reconstructs the
+# deduped corpus. Two aggregation shuffles total (line -> keeper,
+# doc_id -> reassembly), both with map-side partial aggregation, so a
+# line duplicated a billion times collapses to one row per map
+# partition before the exchange — no skewed window, no all-pairs, and
+# the corpus text crosses the wire once per distinct line.
+
+_LINE_W = 10
+
+_LINE_DEDUP_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+lines AS (
+    SELECT doc_id, CAST(u.line_no AS INT) AS line_no, u.line
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(ws) / {_LINE_W}.0) AS BIGINT)),
+                   i -> {{'line_no': i,
+                          'line': array_to_string(
+                              ws[i * {_LINE_W} + 1 : i * {_LINE_W} + {_LINE_W}],
+                              ' ')}})) AS u
+        FROM words)
+),
+kept AS (
+    SELECT doc_id, line_no, line
+    FROM lines
+    QUALIFY row_number() OVER (
+        PARTITION BY line ORDER BY doc_id, line_no) = 1
+),
+reassembled AS (
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY line_no) AS text_deduped,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text_deduped, '') AS text_deduped,
+       coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM documents d LEFT JOIN reassembled r USING (doc_id)
+"""
+
+
+def segment_lines(docs: DataFrame, line_words: int = _LINE_W) -> DataFrame:
+    """(doc_id, line_no, line): fixed ``line_words``-word segmentation
+    of each document — the pluggable segmenter for line-level dedup
+    (swap for split-on-newline with real text). Narrow map + explode;
+    partitions follow the scan."""
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size("ws") / F.lit(float(line_words))).cast("int")
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("line_no"),
+                        F.array_join(
+                            F.slice(
+                                F.col("ws"),
+                                i * line_words + 1,
+                                F.lit(line_words),
+                            ),
+                            " ",
+                        ).alias("line"),
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select("doc_id", "l.line_no", "l.line")
+    )
+
+
+@query("text_line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lines = segment_lines(docs)
+    # min(struct) per distinct line == the keep-first occurrence; the
+    # keeper relation alone IS the deduped corpus (no join-back).
+    kept = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.line_no").alias("line_no"), "line")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return docs.select("doc_id").join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
+# --- BPE apply / encode (the inference half of tokenizer_bpe_merge) ---------
+# tokenizer_bpe_merge demonstrates LEARNING merges (pair count -> argmax
+# -> merge, iterated); this is the other half a pipeline tokenizing
+# 100 TB actually runs: ENCODE every document with a fixed, rank-
+# ordered merge list (the merges.txt artifact of BPE training).
+#
+# Applying one merge (x, y) -> xy is a global left-to-right
+# non-overlapping replace over the symbol sequence — exactly what
+# replace() implements in both engines — with each symbol wrapped in a
+# marker pair so a merge can never match across symbol boundaries
+# (pattern "␟x␟␟y␟" only matches symbol x followed by symbol y; the
+# tail of a longer symbol like "bx" is "x␟" with no opening marker).
+# "a a a a" under merge (a,a) becomes "(aa) (aa)" — BPE's scan order.
+#
+# 100 TB shape: encoding is per word TYPE, not per occurrence — one
+# vocabulary aggregation shuffle (map-side combined), then the merge
+# chain is a narrow map over the tiny distinct-word relation. The
+# corpus itself is never rewritten until a final broadcast-join of the
+# (word -> encoding) table back onto tokens, which this query leaves
+# to the consumer. The merge list is driver-held config, like k-means
+# centroids.
+
+_BPE_MARK2 = "␟"  # SYMBOL FOR UNIT SEPARATOR; never in corpus text
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "t"), ("e", "r"),
+    ("i", "n"), ("o", "r"), ("d", "a"), ("da", "ta"),
+]
+
+
+def _bpe_apply_sql_chain() -> str:
+    """Nested DuckDB replace() calls applying _BPE_MERGES in rank order."""
+    m = _BPE_MARK2
+    expr = f"regexp_replace(word, '(.)', '{m}\\1{m}', 'g')"
+    for x, y in _BPE_MERGES:
+        expr = f"replace({expr}, '{m}{x}{m}{m}{y}{m}', '{m}{x}{y}{m}')"
+    return expr
+
+
+_BPE_APPLY_ORACLE = f"""
+WITH vocab AS (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+),
+enc AS (
+    SELECT word, n_occurrences, {_bpe_apply_sql_chain()} AS s FROM vocab
+)
+SELECT word, n_occurrences,
+       trim(replace(s, '{_BPE_MARK2}{_BPE_MARK2}', ' '), '{_BPE_MARK2}')
+           AS encoded,
+       CAST((length(s) - length(replace(s, '{_BPE_MARK2}', ''))) / 2 AS INT)
+           AS n_symbols
+FROM enc
+"""
+
+
+def bpe_encode_expr(word, merges=None):
+    """Column: ``word`` encoded by the rank-ordered ``merges`` list,
+    as a marker-wrapped symbol string (see module comment). Pure JVM
+    string expressions — codegen'd, no Python in the hot path."""
+    m = _BPE_MARK2
+    merges = _BPE_MERGES if merges is None else merges
+    enc = F.regexp_replace(word, "(.)", f"{m}$1{m}")
+    for x, y in merges:
+        enc = F.replace(enc, F.lit(f"{m}{x}{m}{m}{y}{m}"), F.lit(f"{m}{x}{y}{m}"))
+    return enc
+
+
+@query("tokenizer_bpe_apply", oracle=_BPE_APPLY_ORACLE)
+def q_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _BPE_MARK2
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    enc = bpe_encode_expr(F.col("word"))
+    return vocab.select(
+        "word",
+        "n_occurrences",
+        F.btrim(F.replace(enc, F.lit(m + m), F.lit(" ")), F.lit(m)).alias(
+            "encoded"
+        ),
+        (
+            (F.length(enc) - F.length(F.replace(enc, F.lit(m), F.lit(""))))
+            / 2
+        ).cast("int").alias("n_symbols"),
+    )
+
+
+# --- hashed-linear quality classifier (fastText-style gate) ------------------
+# CCNet/fastText-style quality gating scores a document with a linear
+# model over hashed bag-of-token features. The model here is a fixed
+# 16-bucket weight table (the trained artifact is driver-held config,
+# like the BPE merge list); the feature hash is deliberately trivial
+# ((31 * len + first-codepoint) mod 16) so both engines compute it as
+# plain column arithmetic.
+#
+# The score stays in EXACT integer space end to end: weights are
+# integer milli-units, the per-document sum is integer, and the
+# threshold gate total/(1000*n) > 0.02 is compared as total > 20*n —
+# both sides BIGINT, so there is no float rounding ANYWHERE (a rounded
+# double score can land on an exact half at the last kept digit, where
+# engines' round() legitimately disagree — observed at sf0.1:
+# -5035/80000 = -0.0629375). Fully narrow (F.aggregate over the token
+# array: no explode, no shuffle, no Python); at 100 TB this is a pure
+# map over the scan, the cheapest possible corpus gate.
+
+_QL_WEIGHTS = [
+    320, -145, 210, 55, -400, 130, -75, 260,
+    -190, 85, 305, -220, 160, -35, 115, -280,
+]
+#: keep iff mean milli-weight per token > _QL_THRESHOLD_MILLI / 1000
+#: (i.e. weight_sum_milli > 20 * n_tokens, exact integer compare)
+_QL_THRESHOLD_MILLI = 20
+
+_QUALITY_LINEAR_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           list_reduce(
+               list_transform(string_split(text, ' '),
+                   t -> CAST(([{', '.join(str(w) for w in _QL_WEIGHTS)}])[
+                       (length(t) * 31 + ascii(t)) % 16 + 1] AS BIGINT)),
+               (a, b) -> a + b) AS weight_sum_milli
+    FROM documents
+)
+SELECT doc_id, n_tokens, weight_sum_milli,
+       weight_sum_milli > {_QL_THRESHOLD_MILLI} * n_tokens AS keep
+FROM scored
+"""
+
+
+@query("text_quality_linear", oracle=_QUALITY_LINEAR_ORACLE)
+def q_text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = F.array(*[F.lit(w) for w in _QL_WEIGHTS])
+    toks = F.split(F.col("text"), " ")
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(weights, (F.length(t) * 31 + F.ascii(t)) % 16 + 1)
+        .cast("long"),
+    )
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        total.alias("weight_sum_milli"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("weight_sum_milli")
+            > _QL_THRESHOLD_MILLI * F.col("n_tokens")
+        ).alias("keep"),
+    )

@@ -1146,3 +1146,135 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event"),
     )
+
+
+# --- wide-to-long unpivot (melt) ---------------------------------------------
+# The §2.15 relational surface has pivot (pivot_event_type_daily);
+# this is its inverse — unpivot/melt a wide per-day metrics relation
+# back to long (day, metric, n) rows, the shape feature stores and
+# plotting layers consume. Spark-first: DataFrame.unpivot (Catalyst
+# Expand — one pass, no join, no shuffle beyond the initial daily
+# aggregation); the oracle is the UNION ALL expansion it replaces.
+
+_UNPIVOT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS views,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases
+    FROM events GROUP BY 1
+)
+SELECT day, 'views' AS metric, views AS n FROM daily
+UNION ALL
+SELECT day, 'clicks' AS metric, clicks AS n FROM daily
+UNION ALL
+SELECT day, 'purchases' AS metric, purchases AS n FROM daily
+"""
+
+
+@query("unpivot_event_metrics", oracle=_UNPIVOT_ORACLE)
+def q_unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+    )
+    return daily.unpivot(
+        ["day"], ["views", "clicks", "purchases"], "metric", "n"
+    )
+
+
+# --- time-series gap fill (dense per-user day spine) -------------------------
+# Activity tables are sparse (rows only on active days); training-
+# curve features, churn models, and dashboards need the DENSE series
+# with explicit zeros and a recency feature. The spine is generated
+# per user between their first and last active day (sequence +
+# explode — narrow, no driver loop), left-joined with the daily
+# aggregate, and "days since last activity" is a running max of the
+# active day over the user's ordered spine — one window, one shuffle
+# on user_id which the daily aggregate already required.
+#
+# 100 TB shape: spine size is sum-of-user-spans rows, generated
+# executor-side; the join is an equi-join on (user_id, day) between
+# two relations already partitioned by user_id; no all-days cross
+# join against the user dimension (the naive formulation).
+
+_GAP_FILL_ORACLE = """
+WITH act AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, min(day) AS a, max(day) AS b FROM act GROUP BY 1
+),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(a, b, INTERVAL 1 DAY)) AS DATE)
+               AS day
+    FROM bounds
+),
+j AS (
+    SELECT s.user_id, s.day,
+           coalesce(act.n_events, CAST(0 AS BIGINT)) AS n_events
+    FROM spine s LEFT JOIN act ON act.user_id = s.user_id
+                             AND act.day = s.day
+),
+f AS (
+    SELECT user_id, day, n_events,
+           max(CASE WHEN n_events > 0 THEN day END) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS last_active
+    FROM j
+)
+SELECT user_id, day, n_events,
+       CAST(date_diff('day', last_active, day) AS INT) AS days_since_active
+FROM f
+"""
+
+
+@query("timeseries_gap_fill", oracle=_GAP_FILL_ORACLE)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    act = ev.groupBy(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        act.groupBy("user_id")
+        .agg(F.min("day").alias("a"), F.max("day").alias("b"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("a"), F.col("b"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(act, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_active = F.max(
+        F.when(F.col("n_events") > 0, F.col("day"))
+    ).over(w)
+    return j.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.datediff(F.col("day"), last_active).cast("int").alias(
+            "days_since_active"
+        ),
+    )

@@ -196,3 +196,36 @@ def test_suffix_chain_contents(spark):
         domain_suffix_chain(F.col("host")).alias("c")
     ).collect()[0]["c"]
     assert chain == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+# --- gap fill ------------------------------------------------------------------
+
+
+def test_gap_fill_shapes(spark, tmp_path):
+    """A user active on days 1 and 4 gets a 4-row dense spine with
+    zeros on days 2-3 and a monotone days_since_active recency."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 7, "view", 1.0, None),
+        (2, dt.datetime(2024, 1, 4, 11), 7, "click", 2.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from divolte_collector_spark.queries.clickstream import (
+        q_timeseries_gap_fill,
+    )
+
+    out = {
+        (r["day"].isoformat()): (r["n_events"], r["days_since_active"])
+        for r in q_timeseries_gap_fill(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "2024-01-01": (1, 0),
+        "2024-01-02": (0, 1),
+        "2024-01-03": (0, 2),
+        "2024-01-04": (1, 0),
+    }

@@ -7,7 +7,9 @@ shows sub-linear-to-linear growth here; a plan with a hidden
 all-pairs or single-task stage shows super-linear growth and fails
 the ratio gate below.
 
-Usage: python tools/scale_curve.py [K ...]   (default: 1 10 100)
+Usage: python tools/scale_curve.py [K ...] [--only q1,q2]
+(default Ks: 1 10 100; --only restricts to named curve queries, for
+re-measuring a changed plan without paying for the whole sweep)
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ CURVE_QUERIES = [
     "reorder_depth_stats",       # running-max window per user
     "span_dedup_crossdoc",       # window-hash shuffle + sliver verify
     "pack_sequences_ffd",        # salted-bucket window + closed-form pack
+    "text_line_dedup",           # keeper-relation line dedup, 2 shuffles
 ]
 # NOTE on span_dedup_crossdoc under replication: scale_data replicates
 # document TEXT verbatim, so at K>1 every window is cross-doc
@@ -49,7 +52,16 @@ CURVE_QUERIES = [
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+        unknown = only - set(CURVE_QUERIES)
+        if unknown:
+            raise SystemExit(f"not curve queries: {sorted(unknown)}")
+    ks = [int(a) for a in args] or [1, 10, 100]
 
     from divolte_collector_spark.queries import all_queries
     from divolte_collector_spark.session import get_spark
@@ -64,7 +76,7 @@ def main() -> None:
         if k != 1 and not os.path.exists(f"{sf_dir}/lineitem.parquet"):
             build(k, sf_dir)
         timings = {}
-        for name in CURVE_QUERIES:
+        for name in CURVE_QUERIES if only is None else sorted(only):
             fn = registry[name].fn
             best = None
             for attempt in range(3):  # first run warms, then min-of-2

@@ -88,11 +88,11 @@ def q_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
         k,
     )
     with_url = ev.select("event_id", url.alias("url"))
-    qs = F.parse_url(F.col("url"), F.lit("QUERY"))
+    qs = F.try_parse_url(F.col("url"), F.lit("QUERY"))
     m = qs_multimap(qs)
     return with_url.select(
         "event_id",
-        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.try_parse_url(F.col("url"), F.lit("PATH")).alias("path"),
         qs_value(m, "uid").alias("uid_first"),
         F.size(qs_value_list(m, "v")).cast("int").alias("v_count"),
         F.element_at(qs_value_list(m, "v"), 1).alias("v_first"),

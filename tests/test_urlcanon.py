@@ -147,3 +147,126 @@ def test_custom_tracking_prefix(spark):
         canonical_url(F.col("url"), tracking_prefix="ref_").alias("c")
     ).collect()
     assert out[0].c == "https://e.com/p?a=1"
+
+
+# --- property: fast path == parity path on generated standard URLs ----------
+# The fixture matrix pins known shapes; this generates thousands more.
+# Constraint: the fast decomposition is only CLAIMED for the standard
+# scheme://host[:port]/path[?query][#fragment] shape (no userinfo, no
+# IPv6 literal) — the strategy stays inside that contract and the
+# property is byte-identical output across both decompositions, all
+# checked in ONE Spark action per example batch (hypothesis drives the
+# URL list, Spark evaluates the pair of expressions columnarly).
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+        min_size=1, max_size=8,
+    ).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+    # java.net.URI only exposes HOST for server-based authorities: the
+    # TOP label must start with a LETTER (RFC 2396 toplabel), else the
+    # authority is registry-based, getHost() is null, and the parity
+    # path goes absent (correctly) where the fast path still splits —
+    # so generated hosts stay inside the server-based contract.
+    _toplabel = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=4
+    )
+    # no bare '%': an invalid percent-escape makes java.net.URI reject
+    # the whole URI, where the parity path correctly goes absent while
+    # the fast path (whose contract is standard-SHAPED input) still
+    # decomposes — tested separately below. Valid escapes are included
+    # via an explicit '%2F' token.
+    _key = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-", min_size=1,
+        max_size=6,
+    ).flatmap(lambda s: st.sampled_from([s, s + "%2F"]))
+    _val = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-=", min_size=0,
+        max_size=8,
+    ).flatmap(lambda s: st.sampled_from([s, "%41" + s]))
+
+    @st.composite
+    def _standard_url(draw):
+        scheme = draw(st.sampled_from(["http", "https", "HTTP", "HtTpS"]))
+        host = ".".join(
+            draw(st.lists(_label, min_size=0, max_size=3))
+            + [draw(_toplabel)]
+        )
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":65535"]))
+        n_seg = draw(st.integers(0, 3))
+        path = "".join(
+            "/" + draw(_label) for _ in range(n_seg)
+        ) or draw(st.sampled_from(["", "/"]))
+        params = draw(st.lists(st.tuples(_key, _val), max_size=4))
+        q = "&".join(
+            k if draw(st.booleans()) and v == "" else f"{k}={v}"
+            for k, v in params
+        )
+        frag = draw(st.sampled_from(["", "#", "#x", "#a/b?c=1"]))
+        url = f"{scheme}://{host}{port}{path}"
+        if q:
+            url += "?" + q
+        return url + frag
+
+    @settings(
+        max_examples=30, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(_standard_url(), min_size=1, max_size=40))
+    def test_property_fast_equals_parity(spark, urls):
+        from divolte_collector_spark.functions.urlcanon import canonical_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            canonical_url(F.col("url"), fast=True).alias("fast"),
+            canonical_url(F.col("url"), fast=False).alias("parity"),
+            "url",
+        ).collect()
+        for r in rows:
+            assert r["fast"] == r["parity"], r["url"]
+
+
+def test_malformed_uri_is_absent_not_an_error(spark):
+    # REGRESSION (found by the property test): parse_url under ANSI
+    # mode THROWS on an invalid percent-escape, killing the whole
+    # batch on one bad URL. The reference's UriValueProducer swallows
+    # the parse failure into absent (DslRecordMapping.java:449-466) —
+    # try_parse_url restores that: every accessor and the parity-path
+    # canonical form are NULL, and the job survives.
+    from divolte_collector_spark.functions.uri import (
+        uri_host,
+        uri_port,
+        uri_raw_query,
+        uri_scheme,
+    )
+
+    df = spark.createDataFrame(
+        [("http://0?0=%",), ("https://ok.example.com/p?a=1",)],
+        "url string",
+    )
+    rows = (
+        df.select(
+            "url",
+            uri_scheme(F.col("url")).alias("scheme"),
+            uri_host(F.col("url")).alias("host"),
+            uri_port(F.col("url")).alias("port"),
+            uri_raw_query(F.col("url")).alias("q"),
+            canonical_url(F.col("url"), fast=False).alias("canon"),
+        )
+        .orderBy("url")
+        .collect()
+    )
+    bad, good = rows[0], rows[1]
+    assert (bad["scheme"], bad["host"], bad["port"], bad["q"]) == (
+        None, None, None, None,
+    )
+    assert bad["canon"] is None
+    assert good["canon"] == "https://ok.example.com/p?a=1"

@@ -2974,3 +2974,95 @@ def q_text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _QL_THRESHOLD_MILLI * F.col("n_tokens")
         ).alias("keep"),
     )
+
+
+# --- snapshot diff (corpus curation: what changed between crawls) ------------
+# Dataset curation compares two corpus snapshots and reports what was
+# ADDED, REMOVED, or CHANGED — the audit artifact behind every
+# training-set version bump (and the input to incremental dedup /
+# re-embedding, which only need the delta). The "new" snapshot is
+# synthesized deterministically from the base so the oracle predicts
+# the diff from raw columns: every 7th doc removed, every 5th
+# (surviving) doc's text mutated, every 10th≡3 doc re-added under a
+# shifted id.
+#
+# 100 TB shape: one full outer join on doc_id (both sides partition on
+# the key; with snapshots stored bucketed-by-doc_id it is shuffle-free
+# sort-merge). Equality is compared on md5(text) — 16 bytes per row
+# through the join instead of the document body — and both engines
+# compute identical md5 hex, so the gate stays exact. Unchanged docs
+# (the overwhelming bulk) are filtered before the projection.
+
+_SNAPSHOT_OFFSET = 2_000_000
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH new AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
+               AS text
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + {_SNAPSHOT_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 3
+),
+old AS (SELECT doc_id, text FROM documents),
+j AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           o.text AS old_text, n.text AS new_text
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_text IS NULL THEN 'added'
+            WHEN new_text IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(length(old_text) AS BIGINT) AS old_n_chars,
+       CAST(length(new_text) AS BIGINT) AS new_n_chars
+FROM j
+WHERE old_text IS NULL OR new_text IS NULL
+   OR md5(old_text) <> md5(new_text)
+"""
+
+
+@query("snapshot_diff_docs", oracle=_SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    surviving = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    readded = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + _SNAPSHOT_OFFSET).alias("doc_id"), "text"
+    )
+    new = surviving.unionByName(readded)
+    o = old.select(
+        F.col("doc_id"),
+        F.md5("text").alias("old_md5"),
+        F.length("text").cast("long").alias("old_n_chars"),
+    )
+    n = new.select(
+        F.col("doc_id").alias("n_doc_id"),
+        F.md5("text").alias("new_md5"),
+        F.length("text").cast("long").alias("new_n_chars"),
+    )
+    j = o.join(n, o["doc_id"] == n["n_doc_id"], "full_outer")
+    return (
+        j.filter(
+            F.col("old_md5").isNull()
+            | F.col("new_md5").isNull()
+            | (F.col("old_md5") != F.col("new_md5"))
+        )
+        .select(
+            F.coalesce("doc_id", "n_doc_id").alias("doc_id"),
+            F.when(F.col("old_md5").isNull(), "added")
+            .when(F.col("new_md5").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            "old_n_chars",
+            "new_n_chars",
+        )
+    )

@@ -310,3 +310,45 @@ def test_vector_index_probe_partition_pruning(spark, tmp_path):
         "PartitionFilters", 1
     )[1][:120]
     assert probe.count() == 26  # 13 rows in each of lists 1 and 3
+
+
+def test_line_dedup_two_agg_shuffles_no_skewed_window(spark):
+    # keeper-relation formulation: line agg + doc reassembly are the
+    # only wide steps; no window over the (skewable) line partition,
+    # no python, no cartesian
+    a = _audit(spark, "text_line_dedup")
+    assert a.n_exchanges == 2
+    assert not a.has_cartesian_product
+    assert a.n_python_eval_nodes == 0
+
+
+def test_quality_linear_is_pure_narrow_map(spark):
+    # the corpus gate is a map over the scan: NO exchange at all
+    a = _audit(spark, "text_quality_linear")
+    assert a.n_exchanges == 0
+    assert a.n_python_eval_nodes == 0
+
+
+def test_bpe_apply_single_vocab_shuffle(spark):
+    # one vocabulary aggregation; the merge chain is narrow over the
+    # distinct-word relation
+    a = _audit(spark, "tokenizer_bpe_apply")
+    assert a.n_exchanges == 1
+    assert a.n_python_eval_nodes == 0
+
+
+def test_blocklist_literal_map_no_join(spark):
+    # the literal-sized blocklist folds to arrays_overlap: no join
+    # operator of any kind in the plan, one count shuffle
+    a = _audit(spark, "url_blocklist_filter")
+    assert a.n_exchanges == 1
+    assert a.n_broadcast_hash_joins == 0
+    assert not a.has_nested_loop_join
+
+
+def test_snapshot_diff_joins_on_hashes_not_bodies(spark):
+    # full outer join shuffles both snapshots once each; equality
+    # travels as md5, so no document text in the join keys
+    a = _audit(spark, "snapshot_diff_docs")
+    assert a.n_exchanges == 2
+    assert not a.has_cartesian_product

@@ -2722,8 +2722,9 @@ def q_select_cluster_representatives(
 
 _LINE_W = 10
 
-_LINE_DEDUP_ORACLE = f"""
-WITH words AS (
+#: shared segmentation CTEs (words -> fixed 10-word lines), used by
+#: the full-corpus and the incremental line-dedup oracles
+_LINE_SEG_SQL = f"""words AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
 lines AS (
@@ -2737,7 +2738,10 @@ lines AS (
                               ws[i * {_LINE_W} + 1 : i * {_LINE_W} + {_LINE_W}],
                               ' ')}})) AS u
         FROM words)
-),
+)"""
+
+_LINE_DEDUP_ORACLE = f"""
+WITH {_LINE_SEG_SQL},
 kept AS (
     SELECT doc_id, line_no, line
     FROM lines
@@ -3064,5 +3068,96 @@ def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
             "old_n_chars",
             "new_n_chars",
+        )
+    )
+
+
+# --- incremental line dedup (daily batch vs persisted line index) ------------
+# The ingest-shaped variant of text_line_dedup, mirroring
+# dedup_incremental: the historical corpus's distinct-line registry is
+# an immutable persisted index; each incoming batch drops (a) lines
+# already registered by history and (b) later copies within the batch
+# itself, then reassembles its cleaned documents. Per-ingest cost is
+# O(batch lines) — the history is never re-segmented, which is the
+# point at 100 TB (the index is a bucketed-by-line-hash table, so the
+# anti-join co-locates without reshuffling history).
+#
+# Plan note: the anti-join leaves the batch partitioned BY LINE, so
+# the intra-batch keeper aggregation that follows is shuffle-free —
+# three exchanges total (history distinct, batch anti-join side, doc
+# reassembly).
+
+_LINE_INCR_SPLIT = 400  # doc_id < 400 -> history, rest -> batch
+
+_LINE_INCR_ORACLE = f"""
+WITH {_LINE_SEG_SQL},
+hist AS (
+    SELECT DISTINCT line FROM lines WHERE doc_id < {_LINE_INCR_SPLIT}
+),
+fresh AS (
+    SELECT b.doc_id, b.line_no, b.line
+    FROM lines b
+    WHERE b.doc_id >= {_LINE_INCR_SPLIT}
+      AND NOT EXISTS (SELECT 1 FROM hist x WHERE x.line = b.line)
+),
+kept AS (
+    SELECT doc_id, line_no, line FROM fresh
+    QUALIFY row_number() OVER (
+        PARTITION BY line ORDER BY doc_id, line_no) = 1
+),
+reassembled AS (
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY line_no) AS text_deduped,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text_deduped, '') AS text_deduped,
+       coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_LINE_INCR_SPLIT}) d
+LEFT JOIN reassembled r USING (doc_id)
+"""
+
+
+@query("text_line_dedup_incremental", oracle=_LINE_INCR_ORACLE)
+def q_text_line_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lines = segment_lines(docs)
+    hist = (
+        lines.filter(F.col("doc_id") < _LINE_INCR_SPLIT)
+        .select("line")
+        .distinct()
+    )
+    batch = lines.filter(F.col("doc_id") >= _LINE_INCR_SPLIT)
+    fresh = batch.join(hist, "line", "left_anti")
+    kept = (
+        fresh.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.line_no").alias("line_no"),
+            "line",
+        )
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.filter(F.col("doc_id") >= _LINE_INCR_SPLIT)
+        .select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )

@@ -136,3 +136,55 @@ def test_container_roundtrip():
     bad[-1] ^= 0xFF
     with _pytest.raises(ValueError):
         read_container(bytes(bad))
+
+
+# --- property fuzz: record + container roundtrips ----------------------------
+# The golden tests pin spec examples; these generate thousands of
+# records across the full type surface (extreme longs, unicode and
+# NUL-bearing strings, empty arrays/maps, null unions) and assert
+# decode(encode(r)) == r and read(container(rs)) == rs — the K1 sink's
+# byte path under adversarial values.
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _long = st.one_of(
+        st.integers(-(2**63), 2**63 - 1),
+        st.sampled_from([0, -1, 1, 2**62, -(2**63), 2**63 - 1]),
+    )
+    _string = st.text(max_size=20)  # any unicode, incl. '\x00' and surrogates-free astral
+    _record = st.fixed_dictionaries(
+        {
+            "b": st.booleans(),
+            "i": st.integers(-(2**31), 2**31 - 1),
+            "l": _long,
+            "s": _string,
+            "d": st.floats(allow_nan=False),  # NaN breaks == comparison, not the codec
+            "opt": st.one_of(st.none(), _string),
+            "arr": st.lists(_long, max_size=5),
+            "m": st.dictionaries(_string, _string, max_size=4),
+        }
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_record)
+    def test_property_record_roundtrip(rec):
+        assert decode_record(SCHEMA, encode_record(SCHEMA, rec)) == rec
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_record, max_size=8))
+    def test_property_container_roundtrip(recs):
+        from divolte_collector_spark.functions.avro_codec import (
+            container_bytes,
+            read_container,
+        )
+
+        schema, out = read_container(container_bytes(SCHEMA, recs))
+        assert out == recs
+        assert schema["name"] == "TestRecord"

@@ -38,6 +38,7 @@ CURVE_QUERIES = [
     "span_dedup_crossdoc",       # window-hash shuffle + sliver verify
     "pack_sequences_ffd",        # salted-bucket window + closed-form pack
     "text_line_dedup",           # keeper-relation line dedup, 2 shuffles
+    "snapshot_diff_docs",        # full outer join on md5, 2 shuffles
 ]
 # NOTE on span_dedup_crossdoc under replication: scale_data replicates
 # document TEXT verbatim, so at K>1 every window is cross-doc

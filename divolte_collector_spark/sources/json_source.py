@@ -37,13 +37,19 @@ _BODY_SCHEMA = T.StructType(
 
 _IDENTIFIER_RE = r"^0:[0-9a-z]+:.+$"
 
-# ISO_OFFSET_DATE_TIME shape (JsonEventHandler parses the field with
-# java.time's strict ISO offset format): date + 'T' + time + mandatory
-# offset ('Z' or +-HH:MM). Without this guard Spark's lenient
-# try_to_timestamp accepts bare digits like "12345" as YEAR 12345 — a
-# timestamp that overflows client datetimes downstream.
+# ISO_OFFSET_DATE_TIME shape (JsonEventHandler.java:148 parses the
+# field with java.time's ISO offset format). Grammar pinned against
+# java 17 empirically: case-INsensitive 'T'/'Z', seconds (and their
+# <=9-digit fraction) OPTIONAL, offset one of Z / +-HH / +-HH:MM /
+# +-HH:MM:SS — but NOT colon-less +-HHMM (java rejects it even though
+# Spark's lenient parser would accept it). Without this guard Spark's
+# try_to_timestamp also accepts bare digits like "12345" as YEAR
+# 12345 — a timestamp that overflows client datetimes downstream.
+# Deliberate divergence: java's expanded years (+12024-...) are
+# excluded too, same overflow rationale (README divergence table).
 _ISO_OFFSET_RE = (
-    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:\d{2})$"
+    r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?"
+    r"([Zz]|[+-]\d{2}(:\d{2}(:\d{2})?)?)$"
 )
 
 
@@ -59,10 +65,19 @@ def parse_json_events(
     body = F.col(body_col)
     parsed = F.from_json(body, _BODY_SCHEMA)
     # ISO-8601 offset datetime, e.g. 2024-01-02T03:04:05.678+02:00;
-    # try_to_timestamp: bad input => null => request dropped (400).
+    # bad input => null => request dropped (400). Two java-isms Spark's
+    # parser lacks are normalized first: lowercase 't'/'z' (those
+    # letters cannot occur elsewhere in the accepted grammar, so a
+    # blanket translate is safe) and minute-precision times, which get
+    # an explicit ':00' seconds leg spliced in before the offset.
+    iso_norm = F.regexp_replace(
+        F.translate(parsed.client_timestamp_iso, "tz", "TZ"),
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2})(?=Z|[+-])",
+        "$1:00",
+    )
     client_time = F.when(
         parsed.client_timestamp_iso.rlike(_ISO_OFFSET_RE),
-        F.try_to_timestamp(parsed.client_timestamp_iso),
+        F.try_to_timestamp(iso_norm),
     )
     party_ok = F.col(party_id_col).rlike(_IDENTIFIER_RE)
     session_ok = parsed.session_id.rlike(_IDENTIFIER_RE)

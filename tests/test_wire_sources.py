@@ -489,3 +489,63 @@ def test_json_decoder_fuzz(spark, cases):
                 assert _json.loads(r.event_parameters) == p["parameters"]
         else:
             assert r.incomplete_request is True, (c["kind"], c["body"])
+
+
+def test_json_iso_offset_java_parity_matrix(spark):
+    """client_timestamp_iso acceptance pinned against java 17's
+    DateTimeFormatter.ISO_OFFSET_DATE_TIME (JsonEventHandler.java:148),
+    probed empirically: minute-precision times, hour-only and
+    seconds-bearing offsets, and lowercase 't'/'z' are all VALID; the
+    colon-less +HHMM offset and missing offsets are NOT. Expanded
+    years (+12024-...) are a deliberate divergence (rejected here —
+    they overflow client datetimes downstream; README table).
+    REGRESSION: an earlier guard required exactly HH:MM:SS and
+    Z|+-HH:MM, silently dropping events the reference accepts."""
+    import json as _json
+
+    cases = [
+        ("2024-01-02T03:04:05.678+02:00", True),
+        ("2024-01-02T03:04Z", True),            # minute precision
+        ("2024-01-02T03:04:05+02:00:30", True),  # offset with seconds
+        ("2024-01-02T03:04:05z", True),          # lowercase z
+        ("2024-01-02t03:04:05Z", True),          # lowercase t
+        ("2024-01-02T03:04:05+02", True),        # hour-only offset
+        ("2024-01-02T03:04:05.123456789Z", True),
+        ("2024-01-02T03:04:05+0200", False),     # colon-less: java rejects
+        ("2024-01-02T03:04:05", False),          # offset mandatory
+        ("2024-01-02T03:04:05.1234567890Z", False),  # >9 fraction digits
+        ("12345", False),
+        ("+12024-01-02T03:04:05Z", False),       # documented divergence
+    ]
+    rows = []
+    for i, (iso, _) in enumerate(cases):
+        rows.append(
+            (
+                i,
+                _json.dumps(
+                    {
+                        "event_type": "e",
+                        "session_id": "0:abc:s1",
+                        "event_id": f"ev{i}",
+                        "is_new_party": True,
+                        "is_new_session": True,
+                        "client_timestamp_iso": iso,
+                    }
+                ),
+                "0:abc:p1",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "row_id long, body string, party_id_param string"
+    )
+    got = {
+        r.row_id: r
+        for r in parse_json_events(df, keep_incomplete=True).collect()
+    }
+    for i, (iso, ok) in enumerate(cases):
+        assert got[i].incomplete_request is (not ok), iso
+        if ok:
+            assert got[i].client_time is not None, iso
+    # the minute-precision normalization must not shift the instant
+    full = got[1].client_time
+    assert (full.minute, full.second, full.microsecond) == (4, 0, 0)

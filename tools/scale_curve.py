@@ -57,6 +57,8 @@ def main() -> None:
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            raise SystemExit("--only needs a comma-separated query list")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
         unknown = only - set(CURVE_QUERIES)

@@ -1,0 +1,65 @@
+"""load_table's resolved-reader cache: serve cached plans for an
+unchanged path, never serve a stale file index after the table is
+regenerated — including the hard case, an IN-PLACE part-file rewrite
+inside a directory table that leaves the directory stat unchanged."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from divolte_collector_spark.session import load_table
+
+
+def _write(spark, path: str, values) -> None:
+    spark.createDataFrame(
+        [(int(v),) for v in values], "doc_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_cache_hit_same_object(spark, tmp_path):
+    _write(spark, f"{tmp_path}/t.parquet", [1, 2])
+    a = load_table(spark, str(tmp_path), "t")
+    b = load_table(spark, str(tmp_path), "t")
+    assert a is b
+
+
+def test_regenerated_table_not_stale(spark, tmp_path):
+    _write(spark, f"{tmp_path}/t.parquet", [1, 2])
+    assert load_table(spark, str(tmp_path), "t").count() == 2
+    _write(spark, f"{tmp_path}/t.parquet", [1, 2, 3])
+    assert load_table(spark, str(tmp_path), "t").count() == 3
+
+
+def test_inplace_part_rewrite_not_stale(spark, tmp_path):
+    """Rewriting a part file's BYTES under the same filename leaves
+    the directory's own mtime/size/entry list unchanged — the
+    signature must come from per-entry stats or the cached plan reads
+    the old footer offsets."""
+    path = f"{tmp_path}/t.parquet"
+    _write(spark, path, [1, 2])
+    assert load_table(spark, str(tmp_path), "t").count() == 2
+    # regenerate elsewhere, then copy bytes over the existing part
+    # file names so the directory itself is untouched
+    _write(spark, f"{tmp_path}/fresh.parquet", [7, 8, 9])
+    parts_old = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    parts_new = sorted(
+        f
+        for f in os.listdir(f"{tmp_path}/fresh.parquet")
+        if f.endswith(".parquet")
+    )
+    assert len(parts_old) == len(parts_new) == 1
+    time.sleep(0.01)  # ensure the part's mtime_ns can differ
+    with open(f"{tmp_path}/fresh.parquet/{parts_new[0]}", "rb") as src:
+        data = src.read()
+    with open(f"{path}/{parts_old[0]}", "wb") as dst:
+        dst.write(data)
+    # drop Hadoop's local-FS .crc sidecars: they now mismatch the
+    # rewritten bytes (an artifact of RawLocalFileSystem only — object
+    # stores have no checksum sidecars)
+    for f in os.listdir(path):
+        if f.endswith(".crc"):
+            os.unlink(f"{path}/{f}")
+    assert load_table(spark, str(tmp_path), "t").count() == 3

@@ -17,27 +17,29 @@ Broker semantics emulated faithfully:
   of one party land in one partition, which is the ordering contract
   the reference's flusher relies on (KafkaFlusher.java:53-101 keys
   every record by party id for exactly this affinity).
-- **Offsets**: per-partition, dense, monotonic across produce batches.
-  Every committed batch dir carries a ``_watermark.json`` sidecar
-  (written into the staging dir, so the SAME atomic rename commits
-  data and watermark together) holding the post-batch next offsets.
-  A producer derives its bases once per process — elementwise max
-  over the sidecars, falling back to a column-pruned (partition,
-  offset) scan for legacy dirs without one — then tracks the
-  watermark in memory, so produce cost is O(batch) regardless of
-  topic history (a real broker holds this watermark in memory; the
-  sidecar is the crash-safe file-backed equivalent).
-- **Single active producer per topic**: offsets are assigned
-  producer-side with no inter-process coordination, so two CONCURRENT
-  producer processes appending the same topic could mint overlapping
-  offsets. ``emulated_kafka_sink`` enforces this with epoch fencing:
-  each writer claims the topic (atomic ``_producer.claim`` replace);
-  a newer claim fences the older writer, whose next batch fails
-  loudly instead of corrupting offsets — the same
-  newest-producer-wins semantics as Kafka's idempotent-producer
-  epoch bump. Bare ``produce_batch`` callers inherit the constraint
-  but not the fence; sequential producers (restart after crash) are
-  always safe.
+- **Offsets**: per-partition, dense, monotonic across produce batches
+  and across PROCESSES. The Spark job writes the staged segment with
+  RELATIVE per-partition offsets; absolute offsets are assigned at
+  commit time, under a per-topic commit lock (atomic ``mkdir``), by a
+  driver-side pyarrow rebase — so the window between "derive bases"
+  and "commit" that could interleave with another producer does not
+  exist. Every committed batch dir carries a ``_watermark.json``
+  sidecar (written into the staging dir, so the SAME atomic rename
+  commits data and watermark together) holding the post-batch next
+  offsets; base derivation is an elementwise max over the sidecars
+  (cached in-process, validated by the committed-dir count so another
+  process's append is always noticed), falling back to a
+  column-pruned (partition, offset) scan for legacy dirs without one.
+  Produce cost stays O(batch) regardless of topic history.
+- **Single active producer per topic — fenced at the commit point**:
+  ``emulated_kafka_sink`` claims the topic (atomic
+  ``_producer.claim`` replace); the claim is re-checked INSIDE the
+  commit lock immediately before the rename, so a writer fenced
+  mid-batch aborts instead of committing (newest-producer-wins, like
+  Kafka's idempotent-producer epoch bump). Bare ``produce_batch``
+  callers without a claim are still offset-safe thanks to the commit
+  lock — interleaved producers serialize; only zombie-writer
+  DUPLICATE-delivery semantics need the claim.
 - **Atomic batch commit**: a batch's segment files are staged and then
   committed with ONE directory rename, so a concurrent streaming
   reader and the offset derivation never observe a partial batch.
@@ -58,11 +60,16 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -122,10 +129,50 @@ def _data_dir(log_dir: str, topic: str) -> str:
 
 WATERMARK_FILE = "_watermark.json"
 
-# per-process next-offset watermark, keyed by data dir: derived from
-# the committed log once, then advanced in memory on every commit —
-# the emulator's stand-in for the broker's in-memory log end offset
-_WATERMARK_CACHE: dict[str, dict[int, int]] = {}
+# per-process next-offset watermark, keyed by data dir. Each entry is
+# (n_committed_dirs, bases): the committed-dir COUNT validates the
+# cache, so a batch appended by ANOTHER process (which this process's
+# in-memory watermark cannot see) forces a sidecar re-read — the log
+# is append-only, so any foreign commit changes the count. The
+# validating listdir happens under the commit lock in produce_batch.
+_WATERMARK_CACHE: dict[str, tuple[int, dict[int, int]]] = {}
+
+_COMMIT_LOCK_STALE_S = 60.0
+
+
+@contextmanager
+def _commit_lock(topic_dir: str, timeout: float = 120.0):
+    """Per-topic commit mutex via atomic ``mkdir`` — held only for the
+    driver-side commit tail (base derivation, offset rebase, rename),
+    never across the Spark job, so hold times are milliseconds and the
+    stale-lock breaker (crashed holder) can be aggressive."""
+    lock = os.path.join(topic_dir, "_commit.lock")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # holder released between exists and stat
+            if age > _COMMIT_LOCK_STALE_S:
+                try:  # break a lock orphaned by a crashed producer
+                    os.rmdir(lock)
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"kafka emulator commit lock busy: {lock}")
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
 
 
 def _offset_bases_scan(
@@ -153,27 +200,42 @@ def _offset_bases_scan(
     return bases
 
 
+def _committed_dirs(data_dir: str) -> list[str]:
+    return sorted(
+        e
+        for e in os.listdir(data_dir)
+        if e.startswith("batch=")
+        and os.path.isdir(os.path.join(data_dir, e))
+    )
+
+
 def _offset_bases(
     spark: SparkSession, data_dir: str, n_partitions: int
 ) -> dict[int, int]:
     """Next offset per partition — crash-consistent by construction:
     an uncommitted batch is invisible to readers, to the sidecars,
-    and to this derivation.
+    and to this derivation. MUST be called under the topic's commit
+    lock for producer use (produce_batch does).
 
-    Order of preference: the in-process watermark (O(1)); elementwise
-    max over the committed dirs' ``_watermark.json`` sidecars (one
+    The in-process watermark is trusted only while the committed-dir
+    COUNT matches the one it was recorded at — an append by another
+    process changes the count (the log is append-only), forcing an
+    elementwise-max re-read of the ``_watermark.json`` sidecars (one
     tiny json read per batch dir, no Spark job — order-free, so it
-    needs no cross-epoch commit ordering); full segment scan if any
-    committed dir predates sidecars."""
+    needs no cross-epoch commit ordering). Full segment scan only if
+    a committed dir predates sidecars."""
+    dirs = _committed_dirs(data_dir)
     cached = _WATERMARK_CACHE.get(data_dir)
-    if cached is not None and len(cached) >= n_partitions:
-        return dict(cached)
+    if (
+        cached is not None
+        and cached[0] == len(dirs)
+        and len(cached[1]) >= n_partitions
+    ):
+        return dict(cached[1])
     bases = {p: 0 for p in range(n_partitions)}
     need_scan = False
-    for entry in sorted(os.listdir(data_dir)):
+    for entry in dirs:
         path = os.path.join(data_dir, entry)
-        if not (entry.startswith("batch=") and os.path.isdir(path)):
-            continue
         try:
             with open(os.path.join(path, WATERMARK_FILE)) as fh:
                 wm = json.load(fh)
@@ -185,7 +247,7 @@ def _offset_bases(
             bases[p] = max(bases.get(p, 0), int(nxt))
     if need_scan:
         bases = _offset_bases_scan(spark, data_dir, n_partitions)
-    _WATERMARK_CACHE[data_dir] = dict(bases)
+    _WATERMARK_CACHE[data_dir] = (len(dirs), dict(bases))
     return bases
 
 
@@ -201,16 +263,18 @@ def produce_batch(
     """Append one batch of (key, value) frames to the topic log.
 
     Executor-side: partition assignment (murmur2 on the key bytes) and
-    the segment write. Driver-side: the offset-base derivation and one
-    atomic directory rename. A (producer_epoch, batch_id) that already
+    the segment write with RELATIVE per-partition offsets. Driver-side,
+    under the topic's commit lock: base derivation, a pyarrow rebase to
+    absolute offsets (O(batch)), the watermark sidecar, the fencing
+    re-check, and one atomic directory rename — so no other producer's
+    commit can interleave between "derive bases" and "commit", in this
+    process or any other. A (producer_epoch, batch_id) that already
     committed is dropped — idempotent replay within a producer run."""
     data_dir = _data_dir(log_dir, topic)
     os.makedirs(data_dir, exist_ok=True)
     commit_dir = os.path.join(data_dir, f"batch={producer_epoch}-{batch_id:010d}")
     if os.path.exists(commit_dir):
         return  # this batch already committed: replay, drop it
-
-    bases = _offset_bases(spark, data_dir, n_partitions)
 
     part_schema = T.StructType(
         list(framed.select("key", "value").schema.fields)
@@ -232,56 +296,89 @@ def produce_batch(
     # deterministic in-batch order (a Spark batch has no producer send
     # order): sort by frame bytes within each partition
     w = Window.partitionBy("partition").orderBy("key", "value")
-    base_map = F.create_map(
-        *[x for p, n in bases.items() for x in (F.lit(p), F.lit(n))]
-    )
     segment = assigned.select(
         "key",
         "value",
         F.lit(topic).alias("topic"),
         "partition",
-        (
-            F.element_at(base_map, F.col("partition"))
-            + F.row_number().over(w)
-            - 1
-        ).cast("long").alias("offset"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
         F.lit(None).cast("timestamp").alias("timestamp"),
         F.lit(-1).alias("timestampType"),  # NO_TIMESTAMP_TYPE
     )
     staging = os.path.join(log_dir, topic, f"_staging_{uuid.uuid4().hex}")
     segment.write.mode("overwrite").parquet(staging)
-    for extra in ("_SUCCESS",):
-        try:
-            os.unlink(os.path.join(staging, extra))
-        except FileNotFoundError:
-            pass
-    # post-batch watermark, derived from the staged segment itself
-    # (driver-side pyarrow read of two int columns of ONE batch — no
-    # Spark job, O(batch)); written INTO staging so the rename below
-    # commits data + watermark atomically
-    staged = pads.dataset(staging, format="parquet").to_table(
-        columns=["partition", "offset"]
-    )
-    new_bases = dict(bases)
-    if staged.num_rows:
-        per_part = (
-            staged.to_pandas().groupby("partition")["offset"].max()
-        )
-        for p, max_off in per_part.items():
-            new_bases[int(p)] = max(
-                new_bases.get(int(p), 0), int(max_off) + 1
-            )
-    with open(os.path.join(staging, WATERMARK_FILE), "w") as fh:
-        json.dump({str(p): n for p, n in new_bases.items()}, fh)
-    # the ONE commit point: everything before it is invisible
+    for extra in os.listdir(staging):
+        if extra == "_SUCCESS" or extra.endswith(".crc"):
+            try:
+                os.unlink(os.path.join(staging, extra))
+            except FileNotFoundError:
+                pass
     try:
-        os.rename(staging, commit_dir)
-        _WATERMARK_CACHE[data_dir] = dict(new_bases)
-    except OSError:
-        # lost a commit race (another attempt of the same batch);
-        # drop the in-process watermark — re-derive from the sidecars
+        with _commit_lock(os.path.join(log_dir, topic)):
+            if os.path.exists(commit_dir):  # replay raced us to commit
+                shutil.rmtree(staging, ignore_errors=True)
+                return
+            bases = _offset_bases(spark, data_dir, n_partitions)
+            new_bases = _rebase_staged_offsets(staging, bases)
+            with open(os.path.join(staging, WATERMARK_FILE), "w") as fh:
+                json.dump({str(p): n for p, n in new_bases.items()}, fh)
+            # fencing re-check at the commit point: a writer fenced
+            # MID-BATCH aborts here instead of committing
+            check_claim(log_dir, topic, producer_epoch)
+            # the ONE commit point: everything before it is invisible
+            os.rename(staging, commit_dir)
+            _WATERMARK_CACHE[data_dir] = (
+                len(_committed_dirs(data_dir)),
+                dict(new_bases),
+            )
+    except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         _WATERMARK_CACHE.pop(data_dir, None)
+        raise
+
+
+def _rebase_staged_offsets(
+    staging: str, bases: dict[int, int]
+) -> dict[int, int]:
+    """Rewrite the staged segment's RELATIVE offsets to absolute ones
+    (offset += bases[partition]) and return the post-batch watermark.
+    Driver-side pyarrow over ONE batch — no Spark job; the staged part
+    files are replaced by a single rebased file so the commit rename
+    publishes only consistent absolute offsets."""
+    parts = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    tbl = pads.dataset(staging, format="parquet").to_table()
+    new_bases = dict(bases)
+    if tbl.num_rows:
+        part_np = tbl.column("partition").to_numpy()
+        rel_np = tbl.column("offset").to_numpy()
+        lut = np.array(
+            [bases.get(p, 0) for p in range(int(part_np.max()) + 1)],
+            dtype="int64",
+        )
+        abs_np = rel_np + lut[part_np]
+        idx = tbl.schema.get_field_index("offset")
+        tbl = tbl.set_column(
+            idx, tbl.schema.field(idx), pa.array(abs_np, type=pa.int64())
+        )
+        # pin the timestamp column to UTC-adjusted micros: the arrow
+        # roundtrip drops Spark's isAdjustedToUTC annotation on the
+        # all-null column, and Spark would read the rewritten file as
+        # TIMESTAMP_NTZ — a scan-schema mismatch
+        tidx = tbl.schema.get_field_index("timestamp")
+        tbl = tbl.set_column(
+            tidx,
+            pa.field("timestamp", pa.timestamp("us", tz="UTC")),
+            tbl.column("timestamp").cast(pa.timestamp("us", tz="UTC")),
+        )
+        for p in np.unique(part_np):
+            sel = abs_np[part_np == p]
+            new_bases[int(p)] = max(
+                new_bases.get(int(p), 0), int(sel.max()) + 1
+            )
+        pq.write_table(tbl, os.path.join(staging, "segment-rebased.parquet"))
+        for f in parts:
+            os.unlink(os.path.join(staging, f))
+    return new_bases
 
 
 def claim_topic(log_dir: str, topic: str, epoch: str) -> None:

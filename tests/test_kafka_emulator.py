@@ -282,3 +282,83 @@ def test_second_concurrent_producer_fences_the_first(spark, tmp_path):
     with pytest.raises(RuntimeError, match="fenced"):
         ke.check_claim(log, "t", "writer-A")
     ke.check_claim(log, "t", "writer-B")  # the new producer proceeds
+
+
+def test_stale_watermark_cache_detects_foreign_commit(spark, tmp_path):
+    """REGRESSION: the in-process watermark must notice a batch
+    committed by ANOTHER process (simulated by restoring a stale cache
+    entry) — the committed-dir count validates the cache, so offsets
+    stay dense instead of overlapping."""
+    import divolte_collector_spark.sources.kafka_emulator as ke
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    framed = kafka_frame(_mapped_events(spark, 15), _SCHEMA)
+    produce_batch(spark, framed, log, "t", batch_id=0, n_partitions=3)
+    data_dir = ke._data_dir(log, "t")
+    stale = ke._WATERMARK_CACHE[data_dir]
+
+    # "another process" commits batch 1 (this process's cache happens
+    # to see it; the stale restore below undoes that knowledge)
+    produce_batch(spark, framed, log, "t", batch_id=1, n_partitions=3)
+    ke._WATERMARK_CACHE[data_dir] = stale  # poison: pre-batch-1 view
+
+    produce_batch(spark, framed, log, "t", batch_id=2, n_partitions=3)
+    rows = read_topic(spark, log, "t").collect()
+    assert len(rows) == 45
+    by_partition = {}
+    for r in rows:
+        by_partition.setdefault(r.partition, []).append(r.offset)
+    for p, offsets in by_partition.items():
+        assert sorted(offsets) == list(range(len(offsets))), (
+            f"partition {p} offsets overlap: stale cache served"
+        )
+
+
+def test_writer_fenced_mid_batch_does_not_commit(
+    spark, tmp_path, monkeypatch
+):
+    """REGRESSION (TOCTOU): a writer whose topic is claimed by a newer
+    producer WHILE its batch is in flight must abort at the commit
+    point, not publish overlapping offsets and fail only on the NEXT
+    batch. The newer claim lands during the commit-lock tail
+    (injected via the base derivation, which runs inside the lock
+    just before the fencing re-check)."""
+    import os
+
+    import pytest as _pytest
+
+    import divolte_collector_spark.sources.kafka_emulator as ke
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    framed = kafka_frame(_mapped_events(spark, 10), _SCHEMA)
+    ke.claim_topic(log, "t", "writer-A")
+
+    real_bases = ke._offset_bases
+
+    def claim_b_then_derive(*a, **k):
+        ke.claim_topic(log, "t", "writer-B")  # B takes over mid-batch
+        return real_bases(*a, **k)
+
+    monkeypatch.setattr(ke, "_offset_bases", claim_b_then_derive)
+    with _pytest.raises(RuntimeError, match="fenced"):
+        produce_batch(
+            spark, framed, log, "t", batch_id=0, n_partitions=3,
+            producer_epoch="writer-A",
+        )
+    monkeypatch.undo()
+    # nothing committed, no staging left behind, lock released
+    data_dir = ke._data_dir(log, "t")
+    assert ke._committed_dirs(data_dir) == []
+    leftovers = [
+        d for d in os.listdir(os.path.join(log, "t"))
+        if d.startswith("_staging") or d == "_commit.lock"
+    ]
+    assert leftovers == []
+    # the surviving producer B proceeds normally on the same topic
+    produce_batch(
+        spark, framed, log, "t", batch_id=0, n_partitions=3,
+        producer_epoch="writer-B",
+    )
+    assert len(read_topic(spark, log, "t").collect()) == 10

@@ -90,11 +90,16 @@ class FilesystemObjectStore:
     def exists(self, name: str) -> bool:
         return os.path.exists(self._path(name))
 
-    def list(self) -> list[str]:
+    def list(self, prefix: str = "") -> list[str]:
+        # prefix mirrors GCS objects.list's native prefix param: the
+        # janitor lists only the inflight prefix, so listing cost
+        # follows the (small) inflight set, not the ever-growing
+        # published history
         return sorted(
-            n.replace("%2F", "/")
+            name
             for n in os.listdir(self.root)
             if not n.endswith(".tmp")
+            and (name := n.replace("%2F", "/")).startswith(prefix)
         )
 
 
@@ -162,28 +167,44 @@ class GcsAvroFile:
 
 
 def sweep_inflight(
-    store, batch_tag: str, inflight_dir: str = "inflight"
+    store,
+    batch_tag: str,
+    inflight_dir: str = "inflight",
+    stale: bool = False,
 ) -> list[str]:
     """Janitor for orphaned inflight objects: an executor that dies
     without running the Python except handler (hard kill, OOM) leaves
     its attempt-unique ``.a<taskAttemptId>`` inflight/.part chain
-    behind, and no later attempt ever reuses those names. After a
-    batch COMPLETES, every object still under the inflight prefix
-    bearing this batch's tag is by construction an orphan — surviving
-    attempts already published and deleted theirs — so delete them.
+    behind, and no later attempt ever reuses those names.
+
+    Two modes. ``stale=False`` (post-batch): after a batch COMPLETES,
+    every object under the prefix bearing THIS batch's tag is by
+    construction an orphan — surviving attempts already published and
+    deleted theirs. ``stale=True`` (pre-batch, stream-scoped prefix
+    only): delete every object whose tag is NOT the current batch's —
+    Structured Streaming runs a sink's batches sequentially, so
+    anything from an earlier batch is dead, INCLUDING uploads that a
+    zombie speculative attempt landed *after* its own batch's
+    post-sweep ran (the race the post-sweep alone cannot close).
 
     Needs a listing call; a store without one (``list`` is not part of
     the minimal 5-call surface) skips the sweep, in which case a
     bucket lifecycle rule on the inflight prefix (age > max batch
-    duration) is the production substitute. Returns deleted names."""
+    duration) is the production substitute. Listing is prefix-scoped
+    when the store supports it (GCS objects.list does natively), so
+    sweep cost follows the inflight set, not published history.
+    Returns deleted names."""
     lister = getattr(store, "list", None)
     if lister is None:
         return []
+    prefix = f"{inflight_dir}/"
+    try:
+        names = lister(prefix)
+    except TypeError:  # store with a bare list(): filter client-side
+        names = [n for n in lister() if n.startswith(prefix)]
     tag = f"-{batch_tag}-"  # the (batch tag, pid) instance segment
     orphans = [
-        name
-        for name in lister()
-        if name.startswith(f"{inflight_dir}/") and tag in name
+        name for name in names if (tag not in name) == stale
     ]
     for name in orphans:
         store.delete(name)
@@ -274,11 +295,26 @@ def gcs_avro_sink(
     sync_every: int = 1000,
 ):
     """K2 as a streaming writer: foreachBatch over
-    :func:`gcs_write_avro_files`."""
+    :func:`gcs_write_avro_files`.
+
+    Each sink instance gets its OWN inflight prefix
+    (``inflight/<stream id>``): the pre-batch stale sweep can then
+    safely delete every leftover from this stream's earlier batches —
+    closing the zombie-attempt race where a killed speculative task's
+    upload lands after its batch's post-sweep already ran — without
+    ever touching another stream's live inflight chains in a shared
+    bucket. Published names are unaffected."""
+    import uuid as _uuid
+
+    stream_inflight = f"inflight/{_uuid.uuid4().hex[:8]}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sweep_inflight(
+            store_factory(), str(batch_id), stream_inflight, stale=True
+        )
         gcs_write_avro_files(
             batch_df, schema, store_factory, batch_tag=str(batch_id),
+            inflight_dir=stream_inflight,
             roll_column=roll_column, sync_every=sync_every,
         )
 

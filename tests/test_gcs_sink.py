@@ -177,3 +177,55 @@ def test_sweep_inflight_skips_stores_without_listing():
             raise AssertionError("delete without listing")
 
     assert sweep_inflight(_NoList(), "0") == []
+
+
+def test_stale_sweep_cleans_zombie_uploads_from_earlier_batches(tmp_path):
+    """REGRESSION: a zombie speculative attempt can upload an inflight
+    object AFTER its own batch's post-sweep ran — that name is never
+    swept by a same-tag sweep again. The pre-batch STALE sweep (over
+    the stream-scoped prefix) deletes everything not belonging to the
+    current batch, while same-tag (current-batch) chains and other
+    prefixes survive."""
+    from divolte_collector_spark.streaming.gcs import sweep_inflight
+
+    store = FilesystemObjectStore(str(tmp_path / "bucket"))
+    pre = "inflight/s1"
+    zombie = f"{pre}/x-divolte-tracking-spark-6-2.avro.a99"  # batch 6 leftover
+    store.upload(zombie, b"hdr")
+    store.upload(zombie + ".part", b"blk")
+    current = f"{pre}/x-divolte-tracking-spark-7-0.avro.a100"  # batch 7 live
+    store.upload(current, b"hdr")
+    other_stream = "inflight/s2/x-divolte-tracking-spark-6-0.avro.a7"
+    store.upload(other_stream, b"hdr")
+    published = "published/20240101000000-divolte-tracking-spark-6-0.avro"
+    store.upload(published, b"avro")
+
+    deleted = sweep_inflight(store, "7", pre, stale=True)
+    assert sorted(deleted) == [zombie, zombie + ".part"]
+    names = store.list()
+    assert current in names and other_stream in names and published in names
+
+
+def test_store_listing_is_prefix_scoped(tmp_path):
+    store = FilesystemObjectStore(str(tmp_path / "bucket"))
+    store.upload("inflight/a", b"x")
+    store.upload("published/b", b"x")
+    assert store.list("inflight/") == ["inflight/a"]
+    assert store.list() == ["inflight/a", "published/b"]
+
+
+def test_sweep_falls_back_to_unscoped_listing(tmp_path):
+    """A store whose list() takes no prefix still sweeps correctly via
+    client-side filtering."""
+    from divolte_collector_spark.streaming.gcs import sweep_inflight
+
+    class _BareList(FilesystemObjectStore):
+        def list(self):  # no prefix parameter
+            return super().list()
+
+    store = _BareList(str(tmp_path / "bucket"))
+    orphan = "inflight/x-divolte-tracking-spark-3-0.avro.a1"
+    store.upload(orphan, b"h")
+    store.upload("published/keep.avro", b"a")
+    assert sweep_inflight(store, "3") == [orphan]
+    assert store.list() == ["published/keep.avro"]

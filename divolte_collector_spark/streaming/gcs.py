@@ -297,16 +297,22 @@ def gcs_avro_sink(
     """K2 as a streaming writer: foreachBatch over
     :func:`gcs_write_avro_files`.
 
-    Each sink instance gets its OWN inflight prefix
+    Each logical stream gets its OWN inflight prefix
     (``inflight/<stream id>``): the pre-batch stale sweep can then
     safely delete every leftover from this stream's earlier batches —
     closing the zombie-attempt race where a killed speculative task's
     upload lands after its batch's post-sweep already ran — without
     ever touching another stream's live inflight chains in a shared
-    bucket. Published names are unaffected."""
-    import uuid as _uuid
+    bucket. The id derives from the CHECKPOINT path, not a random
+    uuid: the checkpoint names the logical stream stably across
+    restarts, so a restarted query sweeps the previous run's
+    leftovers instead of orphaning the old prefix forever. Published
+    names are unaffected."""
+    import hashlib as _hashlib
 
-    stream_inflight = f"inflight/{_uuid.uuid4().hex[:8]}"
+    stream_inflight = "inflight/" + _hashlib.sha1(
+        checkpoint.encode("utf-8")
+    ).hexdigest()[:12]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sweep_inflight(

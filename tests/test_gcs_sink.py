@@ -229,3 +229,16 @@ def test_sweep_falls_back_to_unscoped_listing(tmp_path):
     store.upload("published/keep.avro", b"a")
     assert sweep_inflight(store, "3") == [orphan]
     assert store.list() == ["published/keep.avro"]
+
+
+def test_stream_inflight_prefix_stable_across_restarts(tmp_path):
+    """The stream-scoped inflight prefix must derive from the
+    checkpoint (the logical stream's stable name), not a per-instance
+    random id — else a restarted query orphans the previous run's
+    prefix forever and the stale sweep never reaches it."""
+    import inspect
+
+    from divolte_collector_spark.streaming.gcs import gcs_avro_sink
+
+    src = inspect.getsource(gcs_avro_sink)
+    assert "uuid4" not in src and "checkpoint.encode" in src

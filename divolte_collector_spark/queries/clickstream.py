@@ -1278,3 +1278,105 @@ def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_active"
         ),
     )
+
+
+# --- declarative data-quality constraint validation --------------------------
+# The Deequ/expectations shape every ingest pipeline runs before
+# publishing a table version: declare column constraints, emit one row
+# per constraint with its violation count. Everything except
+# uniqueness folds into ONE aggregation pass over the scan
+# (conditional counts — map-side combined, one exchange); the
+# uniqueness check is the one genuinely distinct-shaped constraint and
+# shares the same pass via count(*) - count(DISTINCT key). The
+# per-constraint rows come from exploding a struct array built on the
+# single aggregated row — the relation never re-scans per constraint.
+
+_CONSTRAINTS_ORACLE = """
+WITH agg AS (
+    SELECT
+        CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT)
+            AS event_id_null,
+        CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+            AS event_id_dup,
+        CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+            AS user_id_null,
+        CAST(count(*) FILTER (WHERE value < 0) AS BIGINT)
+            AS value_negative,
+        CAST(count(*) FILTER (WHERE event_type NOT IN
+            ('view', 'click', 'purchase', 'signup', 'error')) AS BIGINT)
+            AS event_type_domain,
+        CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2020-01-01'
+                                 OR ts >= TIMESTAMP '2030-01-01') AS BIGINT)
+            AS ts_range,
+        CAST(count(*) FILTER (WHERE value > 100) AS BIGINT)
+            AS value_cap
+    FROM events
+)
+SELECT u.constraint_name, u.n_violations,
+       u.n_violations = 0 AS passed
+FROM (
+    SELECT unnest([
+        {'constraint_name': 'event_id_not_null', 'n_violations': event_id_null},
+        {'constraint_name': 'event_id_unique', 'n_violations': event_id_dup},
+        {'constraint_name': 'user_id_not_null', 'n_violations': user_id_null},
+        {'constraint_name': 'value_non_negative', 'n_violations': value_negative},
+        {'constraint_name': 'event_type_in_domain', 'n_violations': event_type_domain},
+        {'constraint_name': 'ts_in_range', 'n_violations': ts_range},
+        {'constraint_name': 'value_under_cap_100', 'n_violations': value_cap}
+    ]) AS u
+    FROM agg
+)
+"""
+
+_EVENT_TYPE_DOMAIN = ["view", "click", "purchase", "signup", "error"]
+
+
+@query("validate_event_constraints", oracle=_CONSTRAINTS_ORACLE)
+def q_validate_event_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    viol = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    agg = ev.agg(
+        viol(F.col("event_id").isNull()).alias("event_id_null"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id"))).alias(
+            "event_id_dup"
+        ),
+        viol(F.col("user_id").isNull()).alias("user_id_null"),
+        viol(F.col("value") < 0).alias("value_negative"),
+        viol(
+            ~F.col("event_type").isin(_EVENT_TYPE_DOMAIN)
+        ).alias("event_type_domain"),
+        viol(
+            (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp"))
+        ).alias("ts_range"),
+        # a constraint that actually FIRES on this corpus, so the gate
+        # hash is sensitive to the violation counting, not just zeros
+        viol(F.col("value") > 100).alias("value_cap"),
+    )
+    names = {
+        "event_id_null": "event_id_not_null",
+        "event_id_dup": "event_id_unique",
+        "user_id_null": "user_id_not_null",
+        "value_negative": "value_non_negative",
+        "event_type_domain": "event_type_in_domain",
+        "ts_range": "ts_in_range",
+        "value_cap": "value_under_cap_100",
+    }
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("constraint_name"),
+                    F.col(col).alias("n_violations"),
+                )
+                for col, label in names.items()
+            ]
+        )
+    ).alias("u")
+    return agg.select(rows).select(
+        "u.constraint_name",
+        "u.n_violations",
+        (F.col("u.n_violations") == 0).alias("passed"),
+    )

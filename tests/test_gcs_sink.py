@@ -242,3 +242,60 @@ def test_stream_inflight_prefix_stable_across_restarts(tmp_path):
 
     src = inspect.getsource(gcs_avro_sink)
     assert "uuid4" not in src and "checkpoint.encode" in src
+
+
+def test_streaming_sink_restart_sweeps_prior_run_and_no_duplicates(
+    spark, tmp_path
+):
+    """Restart discipline end to end: run the sink over half the
+    source, plant an inflight orphan under the STREAM's prefix (a
+    zombie upload from the dead run), then restart from the same
+    checkpoint over the full source. The restarted run must (a) sweep
+    the prior run's orphan via the checkpoint-derived prefix, (b) not
+    duplicate already-published events, (c) leave no inflight objects
+    behind."""
+    import hashlib
+
+    root = str(tmp_path / "bucket")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _events(spark, 12).write.mode("overwrite").json(src)
+    schema = (
+        "party_id string, event_id string, client_ms long, "
+        "client_time timestamp"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            gcs_avro_sink(
+                stream, _SCHEMA,
+                store_factory=lambda r=root: FilesystemObjectStore(r),
+                checkpoint=ckpt, sync_every=5,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "gcs sink timed out"
+
+    run_once()  # "first run" completes batch 0
+    store = FilesystemObjectStore(root)
+    prefix = "inflight/" + hashlib.sha1(ckpt.encode()).hexdigest()[:12]
+    zombie = f"{prefix}/x-divolte-tracking-spark-0-9.avro.a777"
+    store.upload(zombie, b"hdr")  # zombie upload from the "dead" run
+
+    _events(spark, 25).write.mode("append").json(src)  # 13 new events
+    run_once()  # restart from the same checkpoint
+
+    names = store.list()
+    assert not [n for n in names if n.startswith("inflight/")], names
+    eids = []
+    for name in names:
+        _, recs = read_container(store.get(name))
+        eids.extend(r["event_id"] for r in recs)
+    # the append re-wrote e0-e11 under new file names, so those events
+    # legitimately appear once per SOURCE occurrence; what must NOT
+    # happen is the sink re-publishing batch 0's output. Events unique
+    # to the appended files appear exactly once.
+    assert sorted(eids.count(f"e{i}") for i in range(12, 25)) == [1] * 13
+    assert len([n for n in names if n.startswith("published/")]) >= 2

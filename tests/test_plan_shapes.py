@@ -352,3 +352,21 @@ def test_snapshot_diff_joins_on_hashes_not_bodies(spark):
     a = _audit(spark, "snapshot_diff_docs")
     assert a.n_exchanges == 2
     assert not a.has_cartesian_product
+
+
+def test_incremental_line_dedup_shape(spark):
+    # history distinct + batch anti-join side + doc reassembly = three
+    # exchanges; the intra-batch keeper agg reuses the anti-join's
+    # line partitioning (no fourth)
+    a = _audit(spark, "text_line_dedup_incremental")
+    assert a.n_exchanges == 3
+    assert not a.has_cartesian_product
+    assert a.n_python_eval_nodes == 0
+
+
+def test_constraint_validation_single_pass(spark):
+    # one conditional-aggregate pass (+ the distinct leg for the
+    # uniqueness constraint); never one scan per constraint
+    a = _audit(spark, "validate_event_constraints")
+    assert a.n_exchanges == 2
+    assert a.n_python_eval_nodes == 0

@@ -99,18 +99,20 @@ _TABLE_CACHE: dict = {}
 
 
 def _path_signature(path: str) -> tuple:
-    """Cheap cache-buster for a parquet file-or-directory: (mtime_ns,
-    size) of the path plus, for a directory, each first-level entry's
-    (name, mtime_ns, size) — a harness that regenerates a table at the
-    same path changes the signature, so the cached plan's stale file
-    index is never served. The per-entry stats matter: an IN-PLACE
-    rewrite of a part file inside a directory table leaves the
-    directory's own mtime/size/entry-list unchanged (only
-    create/rename/delete bump a dir's mtime), so signing the directory
-    alone would serve the stale plan. O(#files) stat calls per
-    load_table call, against driver-side plan-build costs ~100 ms.
-    Missing paths sign as None and fail naturally at read time;
-    entries that vanish mid-listing sign as None rather than raising."""
+    """Cache-buster for a parquet file-or-directory: (mtime_ns, size)
+    of the path plus, for a directory, every file's RECURSIVE
+    (relpath, mtime_ns, size) — a harness that regenerates a table at
+    the same path changes the signature, so the cached plan's stale
+    file index is never served. The per-file stats matter: an IN-PLACE
+    rewrite of a part file leaves every ancestor directory's
+    mtime/size/entry-list unchanged (only create/rename/delete bump a
+    dir's mtime), and the recursion matters for partitioned/hive
+    layouts where the part sits in a nested key=value subdirectory.
+    O(#files) stat calls per load_table call, against driver-side
+    plan-build costs ~100 ms (Spark's own file listing is the same
+    order). Missing paths sign as None and fail naturally at read
+    time; entries that vanish mid-walk sign as None rather than
+    raising."""
     try:
         st = os.stat(path)
     except OSError:
@@ -118,12 +120,17 @@ def _path_signature(path: str) -> tuple:
     sig: tuple = (st.st_mtime_ns, st.st_size)
     if os.path.isdir(path):
         entries = []
-        for e in sorted(os.listdir(path)):
-            try:
-                est = os.stat(os.path.join(path, e))
-                entries.append((e, est.st_mtime_ns, est.st_size))
-            except OSError:
-                entries.append((e, None, None))
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            rel = os.path.relpath(root, path)
+            for e in sorted(files):
+                try:
+                    est = os.stat(os.path.join(root, e))
+                    entries.append(
+                        (os.path.join(rel, e), est.st_mtime_ns, est.st_size)
+                    )
+                except OSError:
+                    entries.append((os.path.join(rel, e), None, None))
         sig += (tuple(entries),)
     return sig
 

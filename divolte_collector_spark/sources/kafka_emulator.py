@@ -68,7 +68,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -137,20 +136,31 @@ WATERMARK_FILE = "_watermark.json"
 # validating listdir happens under the commit lock in produce_batch.
 _WATERMARK_CACHE: dict[str, tuple[int, dict[int, int]]] = {}
 
-_COMMIT_LOCK_STALE_S = 60.0
+#: breaking threshold for a lock whose holder crashed. Hold times are
+#: bounded by the per-part streaming rebase of ONE batch (the legacy
+#: full-history scan runs OUTSIDE the lock), so a lock this old is a
+#: dead producer, not a slow one.
+_COMMIT_LOCK_STALE_S = 600.0
 
 
 @contextmanager
-def _commit_lock(topic_dir: str, timeout: float = 120.0):
+def _commit_lock(topic_dir: str, timeout: float = 900.0):
     """Per-topic commit mutex via atomic ``mkdir`` — held only for the
-    driver-side commit tail (base derivation, offset rebase, rename),
-    never across the Spark job, so hold times are milliseconds and the
-    stale-lock breaker (crashed holder) can be aggressive."""
+    driver-side commit tail (sidecar base derivation, per-part offset
+    rebase, rename), never across the Spark job or the legacy history
+    scan. The holder writes an ``owner`` token inside the lock dir and
+    releases ONLY its own lock — so breaking a stale lock can never
+    cascade (the original holder returning late does not free the
+    usurper's lock). ``timeout`` > stale threshold, so waiters break a
+    crashed holder's lock rather than timing out behind it."""
     lock = os.path.join(topic_dir, "_commit.lock")
+    token = uuid.uuid4().hex
     deadline = time.monotonic() + timeout
     while True:
         try:
             os.mkdir(lock)
+            with open(os.path.join(lock, "owner"), "w") as fh:
+                fh.write(token)
             break
         except FileExistsError:
             try:
@@ -158,7 +168,13 @@ def _commit_lock(topic_dir: str, timeout: float = 120.0):
             except OSError:
                 continue  # holder released between exists and stat
             if age > _COMMIT_LOCK_STALE_S:
-                try:  # break a lock orphaned by a crashed producer
+                # break a lock orphaned by a crashed producer: remove
+                # its token then the dir; losing a race here just loops
+                try:
+                    os.unlink(os.path.join(lock, "owner"))
+                except OSError:
+                    pass
+                try:
                     os.rmdir(lock)
                 except OSError:
                     pass
@@ -169,8 +185,11 @@ def _commit_lock(topic_dir: str, timeout: float = 120.0):
     try:
         yield
     finally:
-        try:
-            os.rmdir(lock)
+        try:  # release only OUR lock — never a usurper's
+            with open(os.path.join(lock, "owner")) as fh:
+                if fh.read() == token:
+                    os.unlink(os.path.join(lock, "owner"))
+                    os.rmdir(lock)
         except OSError:
             pass
 
@@ -209,8 +228,21 @@ def _committed_dirs(data_dir: str) -> list[str]:
     )
 
 
+def _has_legacy_dirs(data_dir: str) -> bool:
+    """True if any committed dir predates watermark sidecars."""
+    return any(
+        not os.path.exists(
+            os.path.join(data_dir, entry, WATERMARK_FILE)
+        )
+        for entry in _committed_dirs(data_dir)
+    )
+
+
 def _offset_bases(
-    spark: SparkSession, data_dir: str, n_partitions: int
+    spark: SparkSession,
+    data_dir: str,
+    n_partitions: int,
+    legacy_floor: dict[int, int] | None = None,
 ) -> dict[int, int]:
     """Next offset per partition — crash-consistent by construction:
     an uncommitted batch is invisible to readers, to the sidecars,
@@ -222,8 +254,15 @@ def _offset_bases(
     process changes the count (the log is append-only), forcing an
     elementwise-max re-read of the ``_watermark.json`` sidecars (one
     tiny json read per batch dir, no Spark job — order-free, so it
-    needs no cross-epoch commit ordering). Full segment scan only if
-    a committed dir predates sidecars."""
+    needs no cross-epoch commit ordering). Dirs WITHOUT a sidecar
+    (legacy log) are covered by ``legacy_floor`` — a full-scan result
+    computed OUTSIDE the lock (the legacy dir set is immutable: every
+    new commit writes a sidecar, and offsets only grow, so a floor
+    scanned before the lock stays a valid lower bound however many
+    sidecar-bearing dirs land in between). Only if a legacy dir
+    appears with NO floor provided does the scan run here (bare
+    callers; pushes the Spark job inside the lock — produce_batch
+    always pre-computes the floor to avoid that)."""
     dirs = _committed_dirs(data_dir)
     cached = _WATERMARK_CACHE.get(data_dir)
     if (
@@ -232,7 +271,9 @@ def _offset_bases(
         and len(cached[1]) >= n_partitions
     ):
         return dict(cached[1])
-    bases = {p: 0 for p in range(n_partitions)}
+    bases = dict(legacy_floor) if legacy_floor else {}
+    for p in range(n_partitions):
+        bases.setdefault(p, 0)
     need_scan = False
     for entry in dirs:
         path = os.path.join(data_dir, entry)
@@ -240,8 +281,10 @@ def _offset_bases(
             with open(os.path.join(path, WATERMARK_FILE)) as fh:
                 wm = json.load(fh)
         except OSError:
-            need_scan = True
-            break
+            if legacy_floor is None:
+                need_scan = True
+                break
+            continue  # legacy dir: covered by the floor
         for p_str, nxt in wm.items():
             p = int(p_str)
             bases[p] = max(bases.get(p, 0), int(nxt))
@@ -313,12 +356,24 @@ def produce_batch(
                 os.unlink(os.path.join(staging, extra))
             except FileNotFoundError:
                 pass
+    # legacy logs (dirs without sidecars) need a Spark history scan;
+    # run it OUTSIDE the lock — the legacy dir set is immutable and
+    # offsets only grow, so the result is a valid floor whenever the
+    # lock is eventually taken (sidecar-bearing dirs committed in
+    # between fold in via the in-lock sidecar max)
+    legacy_floor = (
+        _offset_bases_scan(spark, data_dir, n_partitions)
+        if _has_legacy_dirs(data_dir)
+        else {p: 0 for p in range(n_partitions)}
+    )
     try:
         with _commit_lock(os.path.join(log_dir, topic)):
             if os.path.exists(commit_dir):  # replay raced us to commit
                 shutil.rmtree(staging, ignore_errors=True)
                 return
-            bases = _offset_bases(spark, data_dir, n_partitions)
+            bases = _offset_bases(
+                spark, data_dir, n_partitions, legacy_floor=legacy_floor
+            )
             new_bases = _rebase_staged_offsets(staging, bases)
             with open(os.path.join(staging, WATERMARK_FILE), "w") as fh:
                 json.dump({str(p): n for p, n in new_bases.items()}, fh)
@@ -342,13 +397,19 @@ def _rebase_staged_offsets(
 ) -> dict[int, int]:
     """Rewrite the staged segment's RELATIVE offsets to absolute ones
     (offset += bases[partition]) and return the post-batch watermark.
-    Driver-side pyarrow over ONE batch — no Spark job; the staged part
-    files are replaced by a single rebased file so the commit rename
-    publishes only consistent absolute offsets."""
-    parts = [f for f in os.listdir(staging) if f.endswith(".parquet")]
-    tbl = pads.dataset(staging, format="parquet").to_table()
+    Driver-side pyarrow, streamed ONE PART FILE at a time — driver
+    memory is bounded by the largest part (the executor write size),
+    never the whole batch, and no Spark job runs. Each rewritten file
+    replaces its original inside the (invisible) staging dir, so the
+    commit rename publishes only consistent absolute offsets."""
     new_bases = dict(bases)
-    if tbl.num_rows:
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(staging, f)
+        tbl = pq.read_table(path)
+        if not tbl.num_rows:
+            continue
         part_np = tbl.column("partition").to_numpy()
         rel_np = tbl.column("offset").to_numpy()
         lut = np.array(
@@ -375,9 +436,9 @@ def _rebase_staged_offsets(
             new_bases[int(p)] = max(
                 new_bases.get(int(p), 0), int(sel.max()) + 1
             )
-        pq.write_table(tbl, os.path.join(staging, "segment-rebased.parquet"))
-        for f in parts:
-            os.unlink(os.path.join(staging, f))
+        tmp = path + ".rebase"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
     return new_bases
 
 

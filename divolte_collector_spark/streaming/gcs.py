@@ -198,17 +198,47 @@ def sweep_inflight(
     if lister is None:
         return []
     prefix = f"{inflight_dir}/"
+    # feature-detect the prefix parameter by signature (never by
+    # catching TypeError — that would swallow a genuine bug inside a
+    # prefix-accepting implementation and silently double the I/O
+    # with an unscoped second listing)
+    import inspect
+
     try:
-        names = lister(prefix)
-    except TypeError:  # store with a bare list(): filter client-side
-        names = [n for n in lister() if n.startswith(prefix)]
-    tag = f"-{batch_tag}-"  # the (batch tag, pid) instance segment
+        takes_prefix = len(inspect.signature(lister).parameters) >= 1
+    except (TypeError, ValueError):
+        takes_prefix = False
+    names = (
+        lister(prefix)
+        if takes_prefix
+        else [n for n in lister() if n.startswith(prefix)]
+    )
     orphans = [
-        name for name in names if (tag not in name) == stale
+        name
+        for name in names
+        if name.startswith(prefix)
+        and (_name_batch_tag(name) != batch_tag) == stale
     ]
     for name in orphans:
         store.delete(name)
     return orphans
+
+
+def _name_batch_tag(name: str) -> str | None:
+    """Extract the batch tag from a roll-file object name —
+    ``.../<roll>-divolte-tracking-<host>-<tag>-<pid>.avro[.a<id>][.part]``
+    (``roll_file_name`` + the attempt/part suffixes). Parsed from the
+    RIGHT so a host string containing ``-<digits>-`` can never be
+    mistaken for the tag (a bare substring match would); None for
+    names that don't follow the contract (left alone by sweeps)."""
+    base = name.rsplit("/", 1)[-1]
+    if base.endswith(PART_CLASSIFIER):
+        base = base[: -len(PART_CLASSIFIER)]
+    stem, dot, suffix = base.rpartition(".avro")
+    if not dot and not stem:
+        return None
+    pieces = stem.rsplit("-", 2)
+    return pieces[1] if len(pieces) == 3 else None
 
 
 def gcs_write_avro_files(
@@ -286,6 +316,20 @@ def gcs_write_avro_files(
     return [(r["file"], r["n"]) for r in manifest]
 
 
+def _stream_inflight_prefix(checkpoint: str) -> str:
+    """The logical stream's private inflight prefix. Derived from the
+    CHECKPOINT path (stable across restarts, unique per stream), and
+    a SIBLING of the default ``inflight`` dir — NOT nested under it —
+    so a bare ``gcs_write_avro_files`` caller sweeping ``inflight/``
+    can never list (and on a batch-tag collision delete) a live
+    stream's chain in a shared bucket."""
+    import hashlib
+
+    return "inflight-" + hashlib.sha1(
+        checkpoint.encode("utf-8")
+    ).hexdigest()[:12]
+
+
 def gcs_avro_sink(
     df: DataFrame,
     schema: dict,
@@ -298,7 +342,8 @@ def gcs_avro_sink(
     :func:`gcs_write_avro_files`.
 
     Each logical stream gets its OWN inflight prefix
-    (``inflight/<stream id>``): the pre-batch stale sweep can then
+    (``inflight-<stream id>``, a sibling of — never nested under —
+    the default ``inflight`` dir): the pre-batch stale sweep can then
     safely delete every leftover from this stream's earlier batches —
     closing the zombie-attempt race where a killed speculative task's
     upload lands after its batch's post-sweep already ran — without
@@ -308,11 +353,7 @@ def gcs_avro_sink(
     restarts, so a restarted query sweeps the previous run's
     leftovers instead of orphaning the old prefix forever. Published
     names are unaffected."""
-    import hashlib as _hashlib
-
-    stream_inflight = "inflight/" + _hashlib.sha1(
-        checkpoint.encode("utf-8")
-    ).hexdigest()[:12]
+    stream_inflight = _stream_inflight_prefix(checkpoint)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sweep_inflight(

@@ -235,13 +235,19 @@ def test_stream_inflight_prefix_stable_across_restarts(tmp_path):
     """The stream-scoped inflight prefix must derive from the
     checkpoint (the logical stream's stable name), not a per-instance
     random id — else a restarted query orphans the previous run's
-    prefix forever and the stale sweep never reaches it."""
-    import inspect
+    prefix forever and the stale sweep never reaches it. It must also
+    be a SIBLING of the default 'inflight' dir, never nested under
+    it, so bare-caller sweeps over 'inflight/' cannot list it."""
+    from divolte_collector_spark.streaming.gcs import (
+        _stream_inflight_prefix,
+    )
 
-    from divolte_collector_spark.streaming.gcs import gcs_avro_sink
-
-    src = inspect.getsource(gcs_avro_sink)
-    assert "uuid4" not in src and "checkpoint.encode" in src
+    a1 = _stream_inflight_prefix("/ckpt/streamA")
+    a2 = _stream_inflight_prefix("/ckpt/streamA")
+    b = _stream_inflight_prefix("/ckpt/streamB")
+    assert a1 == a2           # stable across restarts
+    assert a1 != b            # distinct per stream
+    assert not a1.startswith("inflight/")  # sibling, not nested
 
 
 def test_streaming_sink_restart_sweeps_prior_run_and_no_duplicates(
@@ -254,7 +260,9 @@ def test_streaming_sink_restart_sweeps_prior_run_and_no_duplicates(
     the prior run's orphan via the checkpoint-derived prefix, (b) not
     duplicate already-published events, (c) leave no inflight objects
     behind."""
-    import hashlib
+    from divolte_collector_spark.streaming.gcs import (
+        _stream_inflight_prefix,
+    )
 
     root = str(tmp_path / "bucket")
     src = str(tmp_path / "src")
@@ -280,7 +288,7 @@ def test_streaming_sink_restart_sweeps_prior_run_and_no_duplicates(
 
     run_once()  # "first run" completes batch 0
     store = FilesystemObjectStore(root)
-    prefix = "inflight/" + hashlib.sha1(ckpt.encode()).hexdigest()[:12]
+    prefix = _stream_inflight_prefix(ckpt)
     zombie = f"{prefix}/x-divolte-tracking-spark-0-9.avro.a777"
     store.upload(zombie, b"hdr")  # zombie upload from the "dead" run
 
@@ -288,7 +296,7 @@ def test_streaming_sink_restart_sweeps_prior_run_and_no_duplicates(
     run_once()  # restart from the same checkpoint
 
     names = store.list()
-    assert not [n for n in names if n.startswith("inflight/")], names
+    assert not [n for n in names if n.startswith("inflight")], names
     eids = []
     for name in names:
         _, recs = read_container(store.get(name))
@@ -299,3 +307,29 @@ def test_streaming_sink_restart_sweeps_prior_run_and_no_duplicates(
     # to the appended files appear exactly once.
     assert sorted(eids.count(f"e{i}") for i in range(12, 25)) == [1] * 13
     assert len([n for n in names if n.startswith("published/")]) >= 2
+
+
+def test_batch_tag_parsed_not_substring_matched(tmp_path):
+    """REGRESSION: a host string containing '-<digits>-' (e.g.
+    'node-7-east') must not be mistaken for the batch tag — the tag is
+    the exact second-to-last dash segment of the roll-file name."""
+    from divolte_collector_spark.streaming.gcs import (
+        _name_batch_tag,
+        sweep_inflight,
+    )
+
+    n = "inflight/20240101-divolte-tracking-node-7-east-12-3.avro.a9"
+    assert _name_batch_tag(n) == "12"
+    assert _name_batch_tag(n + ".part") == "12"
+    assert _name_batch_tag("inflight/garbage") is None
+
+    store = FilesystemObjectStore(str(tmp_path / "bucket"))
+    old = "inflight/x-divolte-tracking-node-7-east-6-0.avro.a1"
+    store.upload(old, b"h")  # batch 6 orphan; host contains '-7-'
+    cur = "inflight/x-divolte-tracking-node-7-east-7-0.avro.a2"
+    store.upload(cur, b"h")
+    # during batch 7, the stale sweep must delete the batch-6 orphan
+    # even though its name CONTAINS '-7-' via the host string
+    deleted = sweep_inflight(store, "7", "inflight", stale=True)
+    assert deleted == [old]
+    assert store.list("inflight/") == [cur]

@@ -63,3 +63,41 @@ def test_inplace_part_rewrite_not_stale(spark, tmp_path):
         if f.endswith(".crc"):
             os.unlink(f"{path}/{f}")
     assert load_table(spark, str(tmp_path), "t").count() == 3
+
+
+def test_inplace_rewrite_in_partitioned_layout_not_stale(spark, tmp_path):
+    """The part file of a hive-partitioned table sits one level down
+    (t.parquet/key=.../part-*.parquet); rewriting its bytes in place
+    changes no directory stat at any level — the signature must
+    recurse to per-file stats."""
+    path = f"{tmp_path}/t.parquet"
+    spark.createDataFrame(
+        [(1, "a"), (2, "a")], "doc_id long, k string"
+    ).coalesce(1).write.partitionBy("k").mode("overwrite").parquet(path)
+    assert load_table(spark, str(tmp_path), "t").count() == 2
+    spark.createDataFrame(
+        [(7, "a"), (8, "a"), (9, "a")], "doc_id long, k string"
+    ).coalesce(1).write.partitionBy("k").mode("overwrite").parquet(
+        f"{tmp_path}/fresh.parquet"
+    )
+
+    def only_part(d):
+        [p] = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        return p
+
+    time.sleep(0.01)
+    with open(only_part(f"{tmp_path}/fresh.parquet"), "rb") as src:
+        data = src.read()
+    target = only_part(path)
+    with open(target, "wb") as dst:
+        dst.write(data)
+    for r, _, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".crc"):
+                os.unlink(os.path.join(r, f))
+    assert load_table(spark, str(tmp_path), "t").count() == 3

@@ -1380,3 +1380,115 @@ def q_validate_event_constraints(
         "u.n_violations",
         (F.col("u.n_violations") == 0).alias("passed"),
     )
+
+
+# --- linear (multi-touch) campaign attribution --------------------------------
+# The other half of attribution (last-touch is utm_last_touch_
+# attribution): every purchase distributes ONE unit of credit equally
+# across ALL campaign-tagged clicks by the same user at-or-before it.
+# The naive formulation is a purchases x clicks self-join per user; at
+# 100 TB the correct shape is ONE window pass — a running count per
+# campaign over the user's ordered history (the campaign set is small
+# and fixed, so "per campaign" is a handful of conditional window
+# sums), evaluated AT each purchase row. One shuffle on user_id total.
+#
+# Credits are emitted per (purchase, campaign) in exact integer
+# parts-per-million (floor(cnt * 1e6 / n)) — no cross-row double
+# summation, no rounding ties (cnt/n at a 7th-decimal exact half,
+# e.g. odd/128, rounds differently across engines).
+
+_LINEAR_ATTR_ORACLE = """
+WITH tagged AS (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN event_type = 'click'
+                THEN CAST(event_id % 4 AS INT) END AS camp
+    FROM events
+),
+counted AS (
+    SELECT event_id, user_id, event_type,
+           count(*) FILTER (WHERE camp = 0) OVER w AS c0,
+           count(*) FILTER (WHERE camp = 1) OVER w AS c1,
+           count(*) FILTER (WHERE camp = 2) OVER w AS c2,
+           count(*) FILTER (WHERE camp = 3) OVER w AS c3
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, c0, c1, c2, c3,
+           c0 + c1 + c2 + c3 AS n
+    FROM counted WHERE event_type = 'purchase'
+)
+SELECT purchase_id, user_id,
+       'camp' || CAST(u.campaign AS VARCHAR) AS campaign,
+       CAST(u.cnt AS BIGINT) AS n_touches,
+       CAST(u.cnt * 1000000 // n AS BIGINT) AS credit_ppm
+FROM p, (
+    SELECT unnest([
+        {'campaign': 0, 'cnt': c0}, {'campaign': 1, 'cnt': c1},
+        {'campaign': 2, 'cnt': c2}, {'campaign': 3, 'cnt': c3}
+    ]) AS u
+)
+WHERE u.cnt > 0
+"""
+
+
+@query("utm_linear_attribution", oracle=_LINEAR_ATTR_ORACLE)
+def q_utm_linear_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    camp = F.when(
+        F.col("event_type") == "click",
+        (F.col("event_id") % 4).cast("int"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        *[
+            F.count(F.when(camp == i, 1)).over(w).alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+    p = counted.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "c0", "c1", "c2", "c3",
+        (F.col("c0") + F.col("c1") + F.col("c2") + F.col("c3")).alias("n"),
+    )
+    exploded = p.select(
+        "purchase_id",
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("campaign"),
+                        F.col(f"c{i}").alias("cnt"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("u"),
+    )
+    return exploded.filter(F.col("u.cnt") > 0).select(
+        "purchase_id",
+        "user_id",
+        F.concat(F.lit("camp"), F.col("u.campaign").cast("string")).alias(
+            "campaign"
+        ),
+        F.col("u.cnt").alias("n_touches"),
+        # integer DIV, not floor(double division): a double quotient
+        # within one ulp of an integer boundary could floor differently
+        # from the oracle's exact // at large counts
+        F.expr("CAST((u.cnt * 1000000L) DIV n AS BIGINT)").alias(
+            "credit_ppm"
+        ),
+    )

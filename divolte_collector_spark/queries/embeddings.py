@@ -1605,3 +1605,53 @@ def q_vector_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mrn") == 1) & (F.col("margin") > MARGIN_THRESHOLD))
         .select("src_id", "tgt_id", F.round("margin", 6).alias("margin"))
     )
+
+
+# --- Matryoshka-style truncate + renorm --------------------------------------
+# MRL-trained embeddings are served truncated to a dimension prefix
+# and re-normalized; the quality signal per vector is how much norm
+# the prefix retains. Pure narrow map over the scan (slice + the same
+# staged-norm fold the kNN family uses — identical fold order on both
+# engines, so the doubles match bit-for-bit before the display round).
+
+_TRUNC_K = 16
+
+_TRUNC_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+n AS (
+    SELECT vec_id,
+           sqrt(list_reduce(list_transform(emb, x -> x * x),
+                            (a, b) -> a + b)) AS norm_full,
+           sqrt(list_reduce(
+               list_transform(emb[1:{_TRUNC_K}], x -> x * x),
+               (a, b) -> a + b)) AS norm_k
+    FROM e
+)
+SELECT vec_id,
+       round(norm_full, 4) + 0.0 AS norm_full,
+       round(norm_k, 4) + 0.0 AS norm_k,
+       round(norm_k / norm_full, 4) + 0.0 AS retained
+FROM n
+"""
+
+
+@query("vector_truncate_renorm", oracle=_TRUNC_ORACLE)
+def q_vector_truncate_renorm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    staged = e.select(
+        "vec_id",
+        norm(F.col("emb")).alias("_nf"),
+        norm(F.slice(F.col("emb"), 1, _TRUNC_K)).alias("_nk"),
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("_nf"), 4).alias("norm_full"),
+        F.round(F.col("_nk"), 4).alias("norm_k"),
+        F.round(F.col("_nk") / F.col("_nf"), 4).alias("retained"),
+    )

@@ -665,3 +665,59 @@ def streaming_pubsub_emulated_roundtrip(
         return detach_result(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- CDC log apply (lakehouse change-log compaction) -------------------------
+# The batch half of CDC ingestion: an ordered insert/update/delete log
+# per key collapses to the final table state — the compaction every
+# lakehouse table format runs. Only the LAST operation per key decides
+# the outcome (I/U set the payload, D removes the key), so the whole
+# apply is ONE aggregation: max(struct(seq, op, payload)) per key —
+# map-side combined, skew-safe (a key updated a billion times
+# collapses per map partition), no window, no self-join. The log is
+# synthesized from events (op from event_type, seq from (ts,
+# event_id)) so the oracle predicts the final state from raw columns.
+
+_CDC_ORACLE = """
+WITH log AS (
+    SELECT user_id % 500 AS key,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D'
+                ELSE 'U' END AS op,
+           value AS payload, ts, event_id
+    FROM events
+),
+last AS (
+    SELECT key, op, payload,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log
+)
+SELECT key, op AS last_op, payload AS value
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("table_cdc_apply", oracle=_CDC_ORACLE)
+def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    log = ev.select(
+        (F.col("user_id") % 500).alias("key"),
+        F.struct(
+            F.col("ts"), F.col("event_id"), op.alias("op"),
+            F.col("value").alias("payload"),
+        ).alias("entry"),
+    )
+    final = log.groupBy("key").agg(F.max("entry").alias("last"))
+    return final.filter(F.col("last.op") != "D").select(
+        "key",
+        F.col("last.op").alias("last_op"),
+        F.col("last.payload").alias("value"),
+    )

@@ -213,12 +213,15 @@ def sweep_inflight(
         if takes_prefix
         else [n for n in lister() if n.startswith(prefix)]
     )
-    orphans = [
-        name
-        for name in names
-        if name.startswith(prefix)
-        and (_name_batch_tag(name) != batch_tag) == stale
-    ]
+    orphans = []
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        tag = _name_batch_tag(name)
+        if tag is None:
+            continue  # not a roll-file name: never touched by sweeps
+        if (tag != batch_tag) == stale:
+            orphans.append(name)
     for name in orphans:
         store.delete(name)
     return orphans

@@ -333,3 +333,13 @@ def test_batch_tag_parsed_not_substring_matched(tmp_path):
     deleted = sweep_inflight(store, "7", "inflight", stale=True)
     assert deleted == [old]
     assert store.list("inflight/") == [cur]
+
+
+def test_sweeps_never_touch_unrecognized_names(tmp_path):
+    from divolte_collector_spark.streaming.gcs import sweep_inflight
+
+    store = FilesystemObjectStore(str(tmp_path / "bucket"))
+    store.upload("inflight/README.txt", b"not a roll file")
+    assert sweep_inflight(store, "3", "inflight") == []
+    assert sweep_inflight(store, "3", "inflight", stale=True) == []
+    assert store.list("inflight/") == ["inflight/README.txt"]

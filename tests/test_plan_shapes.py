@@ -370,3 +370,24 @@ def test_constraint_validation_single_pass(spark):
     a = _audit(spark, "validate_event_constraints")
     assert a.n_exchanges == 2
     assert a.n_python_eval_nodes == 0
+
+
+def test_linear_attribution_single_window_shuffle(spark):
+    # all per-campaign running counts share one user_id window: one
+    # exchange, no purchases-x-clicks self-join
+    a = _audit(spark, "utm_linear_attribution")
+    assert a.n_exchanges == 1
+    assert a.n_broadcast_hash_joins == 0
+
+
+def test_cdc_apply_single_aggregation(spark):
+    # last-op-wins folds to max(struct) per key: one exchange with
+    # map-side partial aggregation, no window over the key partition
+    a = _audit(spark, "table_cdc_apply")
+    assert a.n_exchanges == 1
+
+
+def test_truncate_renorm_pure_map(spark):
+    a = _audit(spark, "vector_truncate_renorm")
+    assert a.n_exchanges == 0
+    assert a.n_python_eval_nodes == 0

@@ -1492,3 +1492,184 @@ def q_utm_linear_attribution(
             "credit_ppm"
         ),
     )
+
+
+# --- time-series similarity search (top-k nearest activity series) ----------
+# Distributed time-series similarity search (the Spark-repro corpus's
+# EDBT-2019 family): each user's daily event counts over the corpus's
+# global date range become a fixed-length series (zero-filled on gap
+# days via the user x global-day spine), z-normalized so the search
+# matches SHAPE rather than volume, and the top-k nearest candidates
+# per query user are found by Euclidean distance.
+#
+# 100 TB shape: series construction is the gap-fill plan (spine join +
+# one ordered collect per user, user_id-partitioned throughout); the
+# search itself is the kNN baseline shape — broadcast the (small)
+# query-series side, score candidates in one pass, per-query window
+# top-k. No candidate x candidate blowup. Cross-engine float
+# discipline: z-norm and distance are ordered folds over the array in
+# index order on BOTH engines (identical double sequences), constant
+# series (std = 0) z-normalize to zeros by definition rather than
+# dividing by zero (ANSI would throw), and only the displayed distance
+# is rounded.
+
+_TS_N_QUERIES = 5
+_TS_TOP_K = 5
+
+_TS_SIMILARITY_ORACLE = f"""
+WITH act AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM act),
+spine AS (
+    SELECT u.user_id, CAST(unnest(generate_series(b.d0, b.d1,
+               INTERVAL 1 DAY)) AS DATE) AS day
+    FROM (SELECT DISTINCT user_id FROM act) u, bounds b
+),
+series AS (
+    SELECT s.user_id,
+           list(CAST(coalesce(act.n, 0) AS DOUBLE) ORDER BY s.day) AS v
+    FROM spine s LEFT JOIN act ON act.user_id = s.user_id
+                             AND act.day = s.day
+    GROUP BY s.user_id
+),
+znorm AS (
+    SELECT user_id, v,
+        list_reduce(v, (a, b) -> a + b) / len(v) AS mu,
+        sqrt(list_reduce(list_transform(v,
+                 x -> (x - list_reduce(v, (a, b) -> a + b) / len(v))
+                    * (x - list_reduce(v, (a, b) -> a + b) / len(v))),
+             (a, b) -> a + b) / len(v)) AS sd
+    FROM series
+),
+zs AS (
+    SELECT user_id,
+           CASE WHEN sd > 0
+                THEN list_transform(v, x -> (x - mu) / sd)
+                ELSE list_transform(v, x -> 0.0) END AS z
+    FROM znorm
+),
+scored AS (
+    SELECT q.user_id AS query_user, c.user_id AS neighbor_user,
+           list_reduce(
+               list_transform(range(1, len(q.z) + 1),
+                   i -> (q.z[i] - c.z[i]) * (q.z[i] - c.z[i])),
+               (a, b) -> a + b) AS d2
+    FROM zs q JOIN zs c ON c.user_id <> q.user_id
+    WHERE q.user_id < {_TS_N_QUERIES}
+),
+ranked AS (
+    SELECT query_user, neighbor_user, d2,
+           row_number() OVER (PARTITION BY query_user
+                              ORDER BY d2, neighbor_user) AS rnk
+    FROM scored
+)
+SELECT query_user, neighbor_user,
+       round(d2, 4) + 0.0 AS sq_distance, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TS_TOP_K}
+"""
+
+
+@query("timeseries_similarity_topk", oracle=_TS_SIMILARITY_ORACLE)
+def q_timeseries_similarity_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    act = ev.groupBy(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = act.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        act.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d0"), F.col("d1"), F.expr("interval 1 day")
+                )
+            ).alias("day"),
+        )
+    )
+    series = (
+        spine.join(act, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "n"))),
+                lambda s: s.getField("n"),
+            ).alias("v")
+        )
+    )
+    # same fold order as the oracle: plain left fold over the array
+    total = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x)
+    mu = (total / F.size("v")).alias("mu")
+    znorm = series.select("user_id", "v", mu)
+    sd = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("v"),
+                lambda x: (x - F.col("mu")) * (x - F.col("mu")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size("v")
+    )
+    zs = znorm.select(
+        "user_id",
+        "v",
+        "mu",
+        sd.alias("sd"),
+    ).select(
+        "user_id",
+        F.when(
+            F.col("sd") > 0,
+            F.transform(
+                F.col("v"), lambda x: (x - F.col("mu")) / F.col("sd")
+            ),
+        )
+        .otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
+        .alias("z"),
+    )
+    q = zs.filter(F.col("user_id") < _TS_N_QUERIES).select(
+        F.col("user_id").alias("query_user"), F.col("z").alias("qz")
+    )
+    scored = (
+        zs.crossJoin(F.broadcast(q))
+        .filter(F.col("user_id") != F.col("query_user"))
+        .select(
+            "query_user",
+            F.col("user_id").alias("neighbor_user"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qz"), F.col("z"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_user").orderBy("d2", "neighbor_user")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TS_TOP_K)
+        .select(
+            "query_user",
+            "neighbor_user",
+            F.round(F.col("d2"), 4).alias("sq_distance"),
+            "rnk",
+        )
+    )

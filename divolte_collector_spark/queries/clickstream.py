@@ -1576,8 +1576,6 @@ FROM ranked WHERE rnk <= {_TS_TOP_K}
 def q_timeseries_similarity_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _events(spark, sf_dir)
     act = ev.groupBy(
         "user_id", F.to_date(F.col("ts")).alias("day")

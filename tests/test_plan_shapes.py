@@ -391,3 +391,17 @@ def test_truncate_renorm_pure_map(spark):
     a = _audit(spark, "vector_truncate_renorm")
     assert a.n_exchanges == 0
     assert a.n_python_eval_nodes == 0
+
+
+def test_ts_similarity_broadcasts_query_side(spark):
+    # the query-series side must broadcast (kNN shape) — losing it
+    # would shuffle-join candidates against queries and regress the
+    # 100 TB scoring pass silently
+    a = _audit(spark, "timeseries_similarity_topk")
+    assert not a.has_cartesian_product
+    plan = explain_formatted(
+        all_queries()["timeseries_similarity_topk"].fn(
+            spark, SF
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -51,8 +51,10 @@ Broker semantics emulated faithfully:
   own at-least-once semantics for a non-idempotent producer; dedup
   belongs downstream (C6), exactly as with a real broker.
 
-This is harness infrastructure — the per-batch offset-base derivation
-is driver-side but reads only two int columns of the log.
+This is harness infrastructure — per-batch driver-side work is one
+listdir + a tiny json read per committed dir (cache-validated) plus a
+per-part-file offset rebase bounded by the batch, never a scan of the
+log history (the legacy pre-sidecar scan runs once, outside the lock).
 """
 
 from __future__ import annotations

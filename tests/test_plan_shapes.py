@@ -213,6 +213,8 @@ def test_every_gated_query_scale_discipline(spark):
         "user_rfm_segments",
         # one-row broadcast of the integer clip bounds
         "value_winsorized_stats",
+        # broadcast-5-query-series scan, same shape as the kNN baseline
+        "timeseries_similarity_topk",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):

@@ -246,6 +246,16 @@ def _sink_writer(name: str, cfg: Mapping[str, Any]):
         if schema is None:
             raise TopologyError(f"sink {name!r}: kafka sinks require 'avro_schema'")
         mode = cfg.get("mode", "naked")  # KafkaSinkMode default
+        # validate the framing mode at STARTUP (KafkaSinkMode.java is
+        # an enum resolved by ValidatedConfiguration): before this
+        # check an unknown mode passed topology build and failed
+        # per-batch inside kafka_frame at write time (found by the
+        # config-mutation fuzz)
+        if mode not in ("naked", "confluent"):
+            raise TopologyError(
+                f"sink {name!r}: unknown kafka sink mode {mode!r} "
+                "(expected 'naked' or 'confluent')"
+            )
         cid = cfg.get("confluent_id")
         if mode == "confluent" and cid is None:
             raise TopologyError(

@@ -394,3 +394,102 @@ def test_default_mapping_covers_non_core_decoded_columns(spark):
     mapped = topo._mapped()["default"]
     vals = [r.event_parameters for r in mapped.collect()]
     assert any(v is not None for v in vals)
+
+
+# --- property fuzz: arbitrary config dicts never escape TopologyError --------
+# The startup-validation contract (reference ValidatedConfiguration):
+# any malformed topology fails with a TopologyError naming the
+# problem, NEVER a KeyError/TypeError/AttributeError crash — and a
+# structurally valid topology always builds. The generator mutates a
+# known-good config with the malformation classes the loader guards
+# (missing/unknown references, wrong types, absent required keys,
+# non-dict/list shapes, empty sections).
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    def _valid_cfg():
+        return {
+            "sources": {
+                "browser": {"type": "browser"},
+                "json_api": {"type": "json"},
+            },
+            "mappings": {
+                "m1": {
+                    "sources": ["browser"],
+                    "sinks": ["s1"],
+                    "mapping_script": "project",
+                },
+            },
+            "sinks": {
+                "s1": {
+                    "type": "kafka", "avro_schema": _SCHEMA, "mode": "naked",
+                },
+            },
+        }
+
+    _MUTATIONS = [
+        "ok",
+        "drop_sources", "drop_mappings", "drop_sinks",
+        "unknown_source_ref", "unknown_sink_ref", "unknown_script",
+        "bad_source_type", "bad_sink_type", "kafka_no_schema",
+        "empty_mapping_sources", "empty_mapping_sinks",
+        "sources_not_list", "file_sink_no_path", "bad_kafka_mode",
+    ]
+
+    @settings(
+        max_examples=60, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.sampled_from(_MUTATIONS), st.integers(0, 3))
+    def test_topology_validation_total(spark, mutation, salt):
+        cfg = _valid_cfg()
+        if mutation == "drop_sources":
+            cfg["sources"] = {}
+        elif mutation == "drop_mappings":
+            del cfg["mappings"]
+        elif mutation == "drop_sinks":
+            cfg["sinks"] = None
+        elif mutation == "unknown_source_ref":
+            cfg["mappings"]["m1"]["sources"] = [f"ghost{salt}"]
+        elif mutation == "unknown_sink_ref":
+            cfg["mappings"]["m1"]["sinks"] = [f"ghost{salt}"]
+        elif mutation == "unknown_script":
+            cfg["mappings"]["m1"]["mapping_script"] = f"nope{salt}"
+        elif mutation == "bad_source_type":
+            cfg["sources"]["browser"] = {"type": f"carrier-pigeon{salt}"}
+        elif mutation == "bad_sink_type":
+            cfg["sinks"]["s1"] = {"type": f"tape{salt}"}
+        elif mutation == "kafka_no_schema":
+            cfg["sinks"]["s1"] = {"type": "kafka", "mode": "naked"}
+        elif mutation == "empty_mapping_sources":
+            cfg["mappings"]["m1"]["sources"] = []
+        elif mutation == "empty_mapping_sinks":
+            cfg["mappings"]["m1"]["sinks"] = []
+        elif mutation == "sources_not_list":
+            cfg["mappings"]["m1"]["sources"] = "browser"
+        elif mutation == "file_sink_no_path":
+            cfg["sinks"]["s1"] = {"type": "hdfs"}
+        elif mutation == "bad_kafka_mode":
+            cfg["sinks"]["s1"] = {
+                "type": "kafka", "avro_schema": _SCHEMA,
+                "mode": f"framed{salt}",
+            }
+        raw = {
+            "browser": _raw_browser(spark),
+            "json_api": _raw_json(spark),
+        }
+        reg = {"project": _project}
+        if mutation == "ok":
+            topo = build_topology(cfg, raw, reg)
+            assert topo is not None
+        else:
+            with pytest.raises(TopologyError):
+                build_topology(cfg, raw, reg)

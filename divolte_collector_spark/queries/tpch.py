@@ -90,6 +90,45 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# The Spark-side q1 text IS the DataFrame program, kept as one SQL
+# statement deliberately: each chained DataFrame transformation re-runs
+# the analyzer over the growing plan (Dataset.ofRows per step), which
+# for q1's ~40 aggregate expressions cost a measured ~0.35-0.4 s of
+# driver time per build on local[32] — one spark.sql() parse+analyze of
+# the identical plan costs ~0.08 s. Semantics are unchanged from the
+# DataFrame formulation (round-5 tpch.py): per-row accumulation in LONG
+# inside whole-stage codegen, decimal(38,0) only at the merge of
+# per-(partition, group) partials.
+_DEC_SUM = "CAST(sum(CAST({c} AS DECIMAL(38,0))) AS DOUBLE)"
+_Q1_SPARK_SQL = f"""
+WITH part AS (
+  SELECT spark_partition_id() AS _pid, l_returnflag, l_linestatus,
+         sum(l_quantity) AS _sq,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS _s_base,
+         sum({rev_e4_sql()}) AS _s_disc,
+         sum({rev_e4_sql()} * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS _s_charge,
+         sum(CAST(round(l_discount * 100) AS BIGINT)) AS _s_discount,
+         count(*) AS _n
+  FROM {{lineitem}}
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY spark_partition_id(), l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       round(sum(_sq), 2) AS sum_qty,
+       round({_DEC_SUM.format(c="_s_base")} / 100.0, 2) AS sum_base_price,
+       round({_DEC_SUM.format(c="_s_disc")} / 10000.0, 2) AS sum_disc_price,
+       round({_DEC_SUM.format(c="_s_charge")} / 1000000.0, 2) AS sum_charge,
+       round(sum(_sq) / sum(_n), 3) AS avg_qty,
+       round({_DEC_SUM.format(c="_s_base")} / 100.0 / sum(_n), 3) AS avg_price,
+       round({_DEC_SUM.format(c="_s_discount")} / 100.0 / sum(_n), 4) AS avg_disc,
+       sum(_n) + coalesce(CAST(assert_true(max(_n) < {1 << 26},
+           'q1 partial-sum bound exceeded; lower maxPartitionBytes') AS BIGINT), 0)
+           AS count_order
+FROM part
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 @query("q1_pricing_summary", oracle=_Q1_ORACLE)
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level exact aggregation: the hot per-row accumulation runs
@@ -98,53 +137,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the whole query vs per-row decimal accumulation, same exact
     results. Exactness bound: a partial long sum of e6 units
     (< 2^37/row) wraps only past 2^26 rows per partition-group; the
-    runtime guard below FAILS the query rather than silently wrapping
-    if a pathologically compressed input partition ever exceeds it
-    (default maxPartitionBytes keeps partitions well under 10M rows).
-    Quantity is integer-valued, so its double SUM/AVG is exact as-is.
+    assert_true guard (folded into count_order so the optimizer cannot
+    prune it) FAILS the query rather than silently wrapping if a
+    pathologically compressed input partition ever exceeds it (default
+    maxPartitionBytes keeps partitions well under 10M rows). Quantity
+    is integer-valued, so its double SUM/AVG is exact as-is.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    flt = li.filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-    )
-    part = (
-        flt.groupBy(
-            F.spark_partition_id().alias("_pid"),
-            "l_returnflag",
-            "l_linestatus",
-        ).agg(
-            F.sum("l_quantity").alias("_sq"),
-            F.sum(cents("l_extendedprice")).alias("_s_base"),
-            F.sum(rev_e4()).alias("_s_disc"),
-            F.sum(rev_e4() * (100 + cents("l_tax"))).alias("_s_charge"),
-            F.sum(cents("l_discount")).alias("_s_discount"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-    )
-
-    def dec(c: str):
-        return F.sum(F.col(c).cast("decimal(38,0)")).cast("double")
-
-    n = F.sum("_n")
-    # assert_true yields NULL on success; folding it into count_order
-    # keeps the guard un-prunable by the optimizer
-    guard = F.coalesce(
-        F.assert_true(
-            F.max("_n") < F.lit(1 << 26),
-            F.lit("q1 partial-sum bound exceeded; lower maxPartitionBytes"),
-        ).cast("long"),
-        F.lit(0),
-    )
-    return part.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("_sq"), 2).alias("sum_qty"),
-        F.round(dec("_s_base") / 100.0, 2).alias("sum_base_price"),
-        F.round(dec("_s_disc") / 10000.0, 2).alias("sum_disc_price"),
-        F.round(dec("_s_charge") / 1000000.0, 2).alias("sum_charge"),
-        F.round(F.sum("_sq") / n, 3).alias("avg_qty"),
-        F.round(dec("_s_base") / 100.0 / n, 3).alias("avg_price"),
-        F.round(dec("_s_discount") / 100.0 / n, 4).alias("avg_disc"),
-        (n + guard).alias("count_order"),
-    )
+    return spark.sql(_Q1_SPARK_SQL, lineitem=_t(spark, sf_dir, "lineitem"))
 
 
 # --- Q3-style shipping priority (3-way join + top-k) ------------------------

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 
 from pyspark.sql import SparkSession
 
@@ -97,48 +98,119 @@ def get_spark(app_name: str = "divolte-collector-spark", cpus: str | None = None
 
 _TABLE_CACHE: dict = {}
 
+# path -> (sig, dir_stats, validated_at_monotonic). Amortizes the
+# signature walk: an unchanged directory revalidates with STAT calls
+# only (zero listings — the expensive op on object stores), and a
+# deployment can additionally set SPARK_GRAFT_SIG_TTL_S to skip even
+# the stats within a freshness window (default 0: always revalidate,
+# so an in-place rewrite is detected on the very next resolve).
+_SIG_CACHE: dict = {}
 
-def _path_signature(path: str) -> tuple:
-    """Cache-buster for a parquet file-or-directory: (mtime_ns, size)
-    of the path plus, for a directory, every file's RECURSIVE
-    (relpath, mtime_ns, size) — a harness that regenerates a table at
-    the same path changes the signature, so the cached plan's stale
-    file index is never served. The per-file stats matter: an IN-PLACE
-    rewrite of a part file leaves every ancestor directory's
+
+def _sig_ttl_s() -> float:
+    try:
+        return float(os.environ.get("SPARK_GRAFT_SIG_TTL_S", "0"))
+    except ValueError:
+        return 0.0
+
+
+def _walk_signature(st: os.stat_result, path: str) -> tuple:
+    """Full recursive walk: (top mtime_ns, top size, ((relpath,
+    mtime_ns, size), ...)) plus the per-directory stats needed to
+    revalidate without relisting. The per-file stats matter: an
+    IN-PLACE rewrite of a part file leaves every ancestor directory's
     mtime/size/entry-list unchanged (only create/rename/delete bump a
     dir's mtime), and the recursion matters for partitioned/hive
     layouts where the part sits in a nested key=value subdirectory.
-    O(#files) stat calls per load_table call, against driver-side
-    plan-build costs ~100 ms (Spark's own file listing is the same
-    order). Missing paths sign as None and fail naturally at read
-    time; entries that vanish mid-walk sign as None rather than
-    raising."""
+    Entries that vanish mid-walk sign as None rather than raising."""
+    entries = []
+    dir_stats = []
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        rel = os.path.relpath(root, path)
+        for d in dirs:
+            try:
+                dst = os.stat(os.path.join(root, d))
+                dir_stats.append((os.path.join(rel, d), dst.st_mtime_ns))
+            except OSError:
+                dir_stats.append((os.path.join(rel, d), None))
+        for e in sorted(files):
+            try:
+                est = os.stat(os.path.join(root, e))
+                entries.append(
+                    (os.path.join(rel, e), est.st_mtime_ns, est.st_size)
+                )
+            except OSError:
+                entries.append((os.path.join(rel, e), None, None))
+    return (st.st_mtime_ns, st.st_size, tuple(entries)), tuple(dir_stats)
+
+
+def _stats_unchanged(path: str, sig: tuple, dir_stats: tuple) -> bool:
+    """Revalidate a cached directory signature with stats only.
+
+    Any create/rename/delete bumps its containing directory's mtime
+    (caught by the top-level stat in the caller or a dir_stats entry);
+    an in-place rewrite changes that file's own (mtime_ns, size). A
+    path signed as vanished (None) still matching means it is still
+    vanished. No listing happens on this path."""
+    for rel, m in dir_stats:
+        try:
+            cur = os.stat(os.path.join(path, rel)).st_mtime_ns
+        except OSError:
+            cur = None
+        if cur != m:
+            return False
+    for rel, m, s in sig[2]:
+        try:
+            est = os.stat(os.path.join(path, rel))
+            cur = (est.st_mtime_ns, est.st_size)
+        except OSError:
+            cur = (None, None)
+        if cur != (m, s):
+            return False
+    return True
+
+
+def _path_signature(path: str) -> tuple:
+    """Cache-buster for a parquet file-or-directory — a harness that
+    regenerates a table at the same path changes the signature, so the
+    cached plan's stale file index is never served. Cost model for the
+    100 TB case (millions of part files behind a catalog): the FULL
+    walk (listings + stats) runs once per path per process; every
+    later resolve of an unchanged path is stat-only revalidation (zero
+    listings), and a deployment that tolerates a staleness window sets
+    SPARK_GRAFT_SIG_TTL_S to make it O(1). Locally the default TTL is
+    0 so tests see every mutation immediately. Missing paths sign as
+    None and fail naturally at read time."""
     try:
         st = os.stat(path)
     except OSError:
+        _SIG_CACHE.pop(path, None)
         return None
-    sig: tuple = (st.st_mtime_ns, st.st_size)
-    if os.path.isdir(path):
-        entries = []
-        for root, dirs, files in os.walk(path):
-            dirs.sort()
-            rel = os.path.relpath(root, path)
-            for e in sorted(files):
-                try:
-                    est = os.stat(os.path.join(root, e))
-                    entries.append(
-                        (os.path.join(rel, e), est.st_mtime_ns, est.st_size)
-                    )
-                except OSError:
-                    entries.append((os.path.join(rel, e), None, None))
-        sig += (tuple(entries),)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    now = time.monotonic()
+    cached = _SIG_CACHE.get(path)
+    if cached is not None:
+        sig, dir_stats, validated_at = cached
+        if now - validated_at <= _sig_ttl_s():
+            return sig
+        if (st.st_mtime_ns, st.st_size) == sig[:2] and _stats_unchanged(
+            path, sig, dir_stats
+        ):
+            _SIG_CACHE[path] = (sig, dir_stats, now)
+            return sig
+    sig, dir_stats = _walk_signature(st, path)
+    _SIG_CACHE[path] = (sig, dir_stats, now)
     return sig
 
 
 def invalidate_table_cache() -> None:
-    """Drop every cached resolved reader (explicit hook for harnesses
-    that mutate testdata in place without an mtime change)."""
+    """Drop every cached resolved reader and path signature (explicit
+    hook for harnesses that mutate testdata in place without an mtime
+    change)."""
     _TABLE_CACHE.clear()
+    _SIG_CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):

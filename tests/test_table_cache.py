@@ -101,3 +101,44 @@ def test_inplace_rewrite_in_partitioned_layout_not_stale(spark, tmp_path):
             if f.endswith(".crc"):
                 os.unlink(os.path.join(r, f))
     assert load_table(spark, str(tmp_path), "t").count() == 3
+
+
+def test_unchanged_dir_revalidates_without_listing(spark, tmp_path, monkeypatch):
+    """After the first resolve walks the table directory, later
+    resolves of the UNCHANGED path must revalidate with stat calls
+    only — zero listings (the expensive op on object stores at
+    millions of part files) — while an in-place rewrite is still
+    caught on the very next resolve (default TTL 0)."""
+    from divolte_collector_spark import session as sess
+
+    _write(spark, f"{tmp_path}/t.parquet", [1, 2])
+    a = load_table(spark, str(tmp_path), "t")
+    walks = []
+    real_walk = os.walk
+    monkeypatch.setattr(
+        sess.os, "walk", lambda *a, **k: walks.append(a) or real_walk(*a, **k)
+    )
+    b = load_table(spark, str(tmp_path), "t")
+    assert b is a
+    assert walks == [], "unchanged directory must not be re-listed"
+    # in-place rewrite: same filename, new bytes -> stat mismatch ->
+    # full re-walk -> fresh plan
+    part = next(
+        f for f in os.listdir(f"{tmp_path}/t.parquet") if f.endswith(".parquet")
+    )
+    _write(spark, f"{tmp_path}/fresh.parquet", [7, 8, 9])
+    fresh = next(
+        f
+        for f in os.listdir(f"{tmp_path}/fresh.parquet")
+        if f.endswith(".parquet")
+    )
+    time.sleep(0.01)
+    with open(f"{tmp_path}/fresh.parquet/{fresh}", "rb") as src:
+        data = src.read()
+    with open(f"{tmp_path}/t.parquet/{part}", "wb") as dst:
+        dst.write(data)
+    for f in os.listdir(f"{tmp_path}/t.parquet"):
+        if f.endswith(".crc"):
+            os.unlink(f"{tmp_path}/t.parquet/{f}")
+    assert load_table(spark, str(tmp_path), "t").count() == 3
+    assert walks, "a changed directory must trigger the full walk"

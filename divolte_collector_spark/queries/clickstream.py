@@ -50,7 +50,7 @@ GROUP BY user_id, session_seq
 """
 
 
-@query("sessionize_30min", oracle=_SESSIONIZE_ORACLE)
+@query("sessionize_30min", oracle=_SESSIONIZE_ORACLE, cache_plan=True)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_events(spark, sf_dir))
 
@@ -89,7 +89,7 @@ GROUP BY user_id, session_seq
 """
 
 
-@query("session_window_native", oracle=_SESSION_WINDOW_ORACLE)
+@query("session_window_native", oracle=_SESSION_WINDOW_ORACLE, cache_plan=True)
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.session_window closes a session when gap >= timeout, hence the
     # >= in the oracle (vs > in sessionize_30min).
@@ -115,7 +115,7 @@ FROM u
 """
 
 
-@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE, cache_plan=True)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     u = ev.groupBy("user_id").agg(
@@ -176,7 +176,7 @@ FROM events GROUP BY 1
 """
 
 
-@query("daily_active_users", oracle=_DAU_ORACLE)
+@query("daily_active_users", oracle=_DAU_ORACLE, cache_plan=True)
 def q_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
@@ -293,7 +293,7 @@ GROUP BY e.event_id, e.user_id
 """
 
 
-@query("asof_last_view_before_purchase", oracle=_ASOF_ORACLE)
+@query("asof_last_view_before_purchase", oracle=_ASOF_ORACLE, cache_plan=True)
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join expressed as a range-frame window — one shuffle on the
     party key instead of the oracle's O(n²) self-join.  This is the

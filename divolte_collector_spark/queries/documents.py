@@ -101,7 +101,7 @@ GROUP BY md5(text)
 """
 
 
-@query("dedup_exact", oracle=_EXACT_DEDUP_ORACLE)
+@query("dedup_exact", oracle=_EXACT_DEDUP_ORACLE, cache_plan=True)
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content.  At 100 TB this is one
     shuffle on a 128-bit hash — the canonical scalable exact dedup."""
@@ -304,7 +304,7 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, cache_plan=True)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(spark, sf_dir)
 
@@ -383,7 +383,7 @@ GROUP BY lang, source
 """
 
 
-@query("text_quality_scores", oracle=_QUALITY_ORACLE)
+@query("text_quality_scores", oracle=_QUALITY_ORACLE, cache_plan=True)
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_col()
     n_tokens = F.size(toks)
@@ -445,7 +445,7 @@ GROUP BY source
 """
 
 
-@query("token_counts", oracle=_TOKEN_COUNT_ORACLE)
+@query("token_counts", oracle=_TOKEN_COUNT_ORACLE, cache_plan=True)
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.size(tokens_col())
     re_t = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
@@ -552,7 +552,7 @@ HAVING count(*) > 1
 """
 
 
-@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, cache_plan=True)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism

@@ -79,7 +79,7 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@query("knn_bruteforce_cosine", oracle=_KNN_ORACLE)
+@query("knn_bruteforce_cosine", oracle=_KNN_ORACLE, cache_plan=True)
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -134,7 +134,7 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@query("ann_ivf_bucketed", oracle=_IVF_ORACLE)
+@query("ann_ivf_bucketed", oracle=_IVF_ORACLE, cache_plan=True)
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: candidates restricted to the query's coarse
     bucket (equi-join on the partition key) before exact scoring —

@@ -26,7 +26,7 @@ FROM documents
 """
 
 
-@query("multimodal_features", oracle=_FEATURES_ORACLE)
+@query("multimodal_features", oracle=_FEATURES_ORACLE, cache_plan=True)
 def q_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary feature extraction through the Arrow/mapInPandas path;
     the decode step is the documented stub, the batch shape is real."""

@@ -129,7 +129,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@query("q1_pricing_summary", oracle=_Q1_ORACLE)
+@query("q1_pricing_summary", oracle=_Q1_ORACLE, cache_plan=True)
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level exact aggregation: the hot per-row accumulation runs
     in LONG (whole-stage-codegen fast path), decimal(38,0) enters only
@@ -166,7 +166,7 @@ LIMIT 10
 """
 
 
-@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+@query("q3_shipping_priority", oracle=_Q3_ORACLE, cache_plan=True)
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -207,7 +207,7 @@ GROUP BY n.n_name
 """
 
 
-@query("q5_regional_revenue", oracle=_Q5_ORACLE)
+@query("q5_regional_revenue", oracle=_Q5_ORACLE, cache_plan=True)
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(

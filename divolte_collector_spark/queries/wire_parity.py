@@ -53,7 +53,7 @@ FROM events
 """
 
 
-@query("browser_wire_roundtrip", oracle=_WIRE_ORACLE)
+@query("browser_wire_roundtrip", oracle=_WIRE_ORACLE, cache_plan=True)
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each event as a /csc-event query string (base36 client
     time and viewport, mincode ``u=``, murmur3_32 ``x=`` checksum),
@@ -345,7 +345,7 @@ FROM events e LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
 """
 
 
-@query("geoip_enrich_events", oracle=_GEOIP_ORACLE)
+@query("geoip_enrich_events", oracle=_GEOIP_ORACLE, cache_plan=True)
 def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each nation owns the /8 block ``<10+nationkey>.0.0.0/8``; events
     get a synthetic IPv4 from their user id; the broadcast range join
@@ -501,7 +501,7 @@ GROUP BY 1, 2, 3, 4
 """
 
 
-@query("mapping_dsl_segments", oracle=_MAPPING_ORACLE)
+@query("mapping_dsl_segments", oracle=_MAPPING_ORACLE, cache_plan=True)
 def q_mapping_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A when/overwrite mapping compiled to one Project, aggregated so
     the oracle can express it as CASE logic: later ``map`` actions

@@ -213,6 +213,39 @@ def invalidate_table_cache() -> None:
     _SIG_CACHE.clear()
 
 
+# Dependency recording for the prepared-plan cache (queries/__init__):
+# while a query build is in flight, every load_table call reports the
+# (path, signature) it resolved, so the finished plan can later be
+# revalidated by re-signing just those paths. A stack of frames:
+# nested builds accrue deps to every open frame.
+_DEP_STACK: list[list] = []
+
+
+def push_dep_frame() -> list:
+    frame: list = []
+    _DEP_STACK.append(frame)
+    return frame
+
+
+def pop_dep_frame(frame: list) -> None:
+    if _DEP_STACK and _DEP_STACK[-1] is frame:
+        _DEP_STACK.pop()
+    elif frame in _DEP_STACK:  # defensive: unwind past it
+        while _DEP_STACK and _DEP_STACK[-1] is not frame:
+            _DEP_STACK.pop()
+        if _DEP_STACK:
+            _DEP_STACK.pop()
+
+
+def pin_session_confs(spark: SparkSession) -> None:
+    """The conf pins load_table guarantees on every call — split out
+    so a prepared-plan cache hit (which skips load_table) can keep the
+    same guarantee."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
@@ -234,12 +267,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # get it re-pinned even when the resolved reader is cached (the
     # timestamp casts evaluate lazily, under whatever conf holds at
     # action time).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_session_confs(spark)
     app_id = spark.sparkContext.applicationId
     path = f"{sf_dir}/{name}.parquet"
-    key = (app_id, sf_dir, name, _path_signature(path))
+    sig = _path_signature(path)
+    for frame in _DEP_STACK:
+        frame.append((path, sig))
+    key = (app_id, sf_dir, name, sig)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

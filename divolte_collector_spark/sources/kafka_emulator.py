@@ -65,7 +65,7 @@ import shutil
 import time
 import uuid
 from contextlib import contextmanager
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -145,16 +145,79 @@ _WATERMARK_CACHE: dict[str, tuple[int, dict[int, int]]] = {}
 _COMMIT_LOCK_STALE_S = 600.0
 
 
+def _read_owner(lock: str) -> str | None:
+    try:
+        with open(os.path.join(lock, "owner")) as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+def _break_stale_lock(lock: str) -> None:
+    """Break a lock measured stale, via verified atomic rename.
+
+    The naive unlink-then-rmdir had a TOCTOU hole: between the age
+    check and the removal, the (actually live, just slow) holder could
+    release and ANOTHER producer re-acquire — the breaker then deleted
+    the fresh owner's lock and re-admitted a concurrent committer.
+    Rename-to-unique-tombstone closes it: exactly one breaker wins the
+    atomic rename (everyone else gets ENOENT and loops), a lock
+    re-acquired after the rename is a brand-new directory the breaker
+    never touches, and the breaker deletes only its private tombstone
+    — after verifying (owner token + mtime) that what it renamed is
+    the same stale lock it measured. If the verification fails (the
+    rename displaced a freshly re-acquired lock), the tombstone is
+    renamed straight back. With the in-hold mtime heartbeat (see
+    produce_batch) a LIVE holder is never measured stale in the first
+    place, so the restore path only runs on a holder that stalled past
+    the threshold and woke at the worst instant."""
+    try:
+        pre_stat = os.stat(lock)
+    except OSError:
+        return  # released while we were deciding
+    if time.time() - pre_stat.st_mtime <= _COMMIT_LOCK_STALE_S:
+        return  # re-measured young (heartbeat landed): not stale
+    pre_owner = _read_owner(lock)
+    tomb = f"{lock}.tomb.{uuid.uuid4().hex}"
+    try:
+        os.rename(lock, tomb)
+    except OSError:
+        return  # another breaker or the release won the race
+    try:
+        post_stat = os.stat(tomb)
+        same = (
+            post_stat.st_mtime_ns == pre_stat.st_mtime_ns
+            and _read_owner(tomb) == pre_owner
+        )
+    except OSError:
+        same = False
+    if same:
+        shutil.rmtree(tomb, ignore_errors=True)
+        return
+    # we displaced a lock that was released+re-acquired in the gap:
+    # put it back untouched
+    try:
+        os.rename(tomb, lock)
+    except OSError:
+        # a third producer acquired meanwhile; leave the tombstone (it
+        # is inert — nobody's lock path) rather than clobber the new
+        # lock. The displaced holder's release becomes a silent no-op.
+        pass
+
+
 @contextmanager
 def _commit_lock(topic_dir: str, timeout: float = 900.0):
     """Per-topic commit mutex via atomic ``mkdir`` — held only for the
     driver-side commit tail (sidecar base derivation, per-part offset
     rebase, rename), never across the Spark job or the legacy history
-    scan. The holder writes an ``owner`` token inside the lock dir and
-    releases ONLY its own lock — so breaking a stale lock can never
-    cascade (the original holder returning late does not free the
-    usurper's lock). ``timeout`` > stale threshold, so waiters break a
-    crashed holder's lock rather than timing out behind it."""
+    scan. Yields the lock path so the holder can HEARTBEAT long holds
+    (``os.utime`` per rebase part file) — a live holder therefore never
+    looks stale to waiters. The holder writes an ``owner`` token inside
+    the lock dir and releases ONLY its own lock — so breaking a stale
+    lock can never cascade (the original holder returning late does
+    not free the usurper's lock). ``timeout`` > stale threshold, so
+    waiters break a crashed holder's lock (verified atomic rename,
+    _break_stale_lock) rather than timing out behind it."""
     lock = os.path.join(topic_dir, "_commit.lock")
     token = uuid.uuid4().hex
     deadline = time.monotonic() + timeout
@@ -170,22 +233,13 @@ def _commit_lock(topic_dir: str, timeout: float = 900.0):
             except OSError:
                 continue  # holder released between exists and stat
             if age > _COMMIT_LOCK_STALE_S:
-                # break a lock orphaned by a crashed producer: remove
-                # its token then the dir; losing a race here just loops
-                try:
-                    os.unlink(os.path.join(lock, "owner"))
-                except OSError:
-                    pass
-                try:
-                    os.rmdir(lock)
-                except OSError:
-                    pass
+                _break_stale_lock(lock)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"kafka emulator commit lock busy: {lock}")
             time.sleep(0.02)
     try:
-        yield
+        yield lock
     finally:
         try:  # release only OUR lock — never a usurper's
             with open(os.path.join(lock, "owner")) as fh:
@@ -230,14 +284,41 @@ def _committed_dirs(data_dir: str) -> list[str]:
     )
 
 
-def _has_legacy_dirs(data_dir: str) -> bool:
-    """True if any committed dir predates watermark sidecars."""
-    return any(
-        not os.path.exists(
-            os.path.join(data_dir, entry, WATERMARK_FILE)
-        )
+def _legacy_dirs(data_dir: str) -> tuple[str, ...]:
+    """Committed dirs that predate watermark sidecars."""
+    return tuple(
+        entry
         for entry in _committed_dirs(data_dir)
+        if not os.path.exists(os.path.join(data_dir, entry, WATERMARK_FILE))
     )
+
+
+# data_dir -> (legacy dir set at scan time, scanned floor). The legacy
+# set is immutable on an append-only log (every new commit writes a
+# sidecar), so the scanned floor stays a valid lower bound for the
+# life of the process — the full-history Spark scan runs ONCE per
+# data_dir, not once per produce_batch. Keyed validation by the
+# current legacy set so a harness that nukes and recreates the log
+# directory falls back to a fresh scan instead of a stale floor.
+_LEGACY_FLOOR_CACHE: dict[str, tuple[tuple[str, ...], dict[int, int]]] = {}
+
+
+def _legacy_floor(
+    spark: SparkSession, data_dir: str, n_partitions: int
+) -> dict[int, int]:
+    legacy = _legacy_dirs(data_dir)
+    if not legacy:
+        return {p: 0 for p in range(n_partitions)}
+    cached = _LEGACY_FLOOR_CACHE.get(data_dir)
+    if (
+        cached is not None
+        and cached[0] == legacy
+        and len(cached[1]) >= n_partitions
+    ):
+        return dict(cached[1])
+    floor = _offset_bases_scan(spark, data_dir, n_partitions)
+    _LEGACY_FLOOR_CACHE[data_dir] = (legacy, dict(floor))
+    return floor
 
 
 def _offset_bases(
@@ -362,21 +443,29 @@ def produce_batch(
     # run it OUTSIDE the lock — the legacy dir set is immutable and
     # offsets only grow, so the result is a valid floor whenever the
     # lock is eventually taken (sidecar-bearing dirs committed in
-    # between fold in via the in-lock sidecar max)
-    legacy_floor = (
-        _offset_bases_scan(spark, data_dir, n_partitions)
-        if _has_legacy_dirs(data_dir)
-        else {p: 0 for p in range(n_partitions)}
-    )
+    # between fold in via the in-lock sidecar max). Cached per
+    # data_dir: the scan runs once per process, not once per batch.
+    legacy_floor = _legacy_floor(spark, data_dir, n_partitions)
     try:
-        with _commit_lock(os.path.join(log_dir, topic)):
+        with _commit_lock(os.path.join(log_dir, topic)) as lock_path:
             if os.path.exists(commit_dir):  # replay raced us to commit
                 shutil.rmtree(staging, ignore_errors=True)
                 return
             bases = _offset_bases(
                 spark, data_dir, n_partitions, legacy_floor=legacy_floor
             )
-            new_bases = _rebase_staged_offsets(staging, bases)
+
+            def _heartbeat() -> None:
+                # refresh the lock mtime so a long (many-part) rebase
+                # never looks stale to waiting producers
+                try:
+                    os.utime(lock_path)
+                except OSError:
+                    pass
+
+            new_bases = _rebase_staged_offsets(
+                staging, bases, heartbeat=_heartbeat
+            )
             with open(os.path.join(staging, WATERMARK_FILE), "w") as fh:
                 json.dump({str(p): n for p, n in new_bases.items()}, fh)
             # fencing re-check at the commit point: a writer fenced
@@ -395,7 +484,9 @@ def produce_batch(
 
 
 def _rebase_staged_offsets(
-    staging: str, bases: dict[int, int]
+    staging: str,
+    bases: dict[int, int],
+    heartbeat: Callable[[], None] | None = None,
 ) -> dict[int, int]:
     """Rewrite the staged segment's RELATIVE offsets to absolute ones
     (offset += bases[partition]) and return the post-batch watermark.
@@ -403,9 +494,14 @@ def _rebase_staged_offsets(
     memory is bounded by the largest part (the executor write size),
     never the whole batch, and no Spark job runs. Each rewritten file
     replaces its original inside the (invisible) staging dir, so the
-    commit rename publishes only consistent absolute offsets."""
+    commit rename publishes only consistent absolute offsets.
+    ``heartbeat`` (the commit lock's mtime refresh) fires once per
+    part file, so however many parts the batch has, the lock's age
+    stays bounded by one part's rewrite time."""
     new_bases = dict(bases)
     for f in sorted(os.listdir(staging)):
+        if heartbeat is not None:
+            heartbeat()
         if not f.endswith(".parquet"):
             continue
         path = os.path.join(staging, f)

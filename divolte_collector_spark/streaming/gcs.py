@@ -204,8 +204,17 @@ def sweep_inflight(
     # with an unscoped second listing)
     import inspect
 
+    # ... and only when the FIRST parameter can actually be passed
+    # positionally: a ``list(**kwargs)`` or keyword-only signature has
+    # parameters but would raise TypeError on ``lister(prefix)``,
+    # crashing the sweep instead of falling back to unscoped listing
     try:
-        takes_prefix = len(inspect.signature(lister).parameters) >= 1
+        params = list(inspect.signature(lister).parameters.values())
+        takes_prefix = bool(params) and params[0].kind in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            inspect.Parameter.VAR_POSITIONAL,
+        )
     except (TypeError, ValueError):
         takes_prefix = False
     names = (

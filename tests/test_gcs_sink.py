@@ -343,3 +343,22 @@ def test_sweeps_never_touch_unrecognized_names(tmp_path):
     assert sweep_inflight(store, "3", "inflight") == []
     assert sweep_inflight(store, "3", "inflight", stale=True) == []
     assert store.list("inflight/") == ["inflight/README.txt"]
+
+
+def test_sweep_kwargs_only_lister_falls_back_to_unscoped(tmp_path):
+    """REGRESSION (round-7 advice): a store whose list() is declared
+    **kwargs-only has parameters but cannot take a positional prefix —
+    the signature probe must classify it as prefix-less and fall back
+    to client-side filtering instead of crashing the sweep."""
+    from divolte_collector_spark.streaming.gcs import sweep_inflight
+
+    class _KwargsList(FilesystemObjectStore):
+        def list(self, **kwargs):  # parameters, but none positional
+            return super().list()
+
+    store = _KwargsList(str(tmp_path / "bucket"))
+    orphan = "inflight/x-divolte-tracking-spark-3-0.avro.a1"
+    store.upload(orphan, b"h")
+    store.upload("published/keep.avro", b"a")
+    assert sweep_inflight(store, "3") == [orphan]
+    assert store.list() == ["published/keep.avro"]

@@ -362,3 +362,134 @@ def test_writer_fenced_mid_batch_does_not_commit(
         producer_epoch="writer-B",
     )
     assert len(read_topic(spark, log, "t").collect()) == 10
+
+
+def test_legacy_scan_runs_once_per_process(spark, tmp_path):
+    """REGRESSION (round-7 advice): with any legacy (pre-sidecar)
+    batch dir present, every produce_batch used to re-run the
+    full-history Spark scan. The scanned floor is cached per data_dir
+    (the legacy dir set is immutable on an append-only log), so the
+    scan runs once."""
+    import os
+
+    import divolte_collector_spark.sources.kafka_emulator as ke
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    log = str(tmp_path / "log")
+    ev = _mapped_events(spark, 12)
+    framed = kafka_frame(ev, _SCHEMA)
+    produce_batch(spark, framed, log, "t", batch_id=0, n_partitions=3)
+    data_dir = ke._data_dir(log, "t")
+    [batch_dir] = [d for d in os.listdir(data_dir) if d.startswith("batch=")]
+    os.unlink(os.path.join(data_dir, batch_dir, ke.WATERMARK_FILE))
+    ke._WATERMARK_CACHE.clear()
+    ke._LEGACY_FLOOR_CACHE.clear()
+
+    calls = []
+    real_scan = ke._offset_bases_scan
+
+    def counting_scan(*a, **k):
+        calls.append(1)
+        return real_scan(*a, **k)
+
+    orig = ke._offset_bases_scan
+    ke._offset_bases_scan = counting_scan
+    try:
+        produce_batch(spark, framed, log, "t", batch_id=1, n_partitions=3)
+        produce_batch(spark, framed, log, "t", batch_id=2, n_partitions=3)
+        produce_batch(spark, framed, log, "t", batch_id=3, n_partitions=3)
+    finally:
+        ke._offset_bases_scan = orig
+    assert len(calls) == 1, f"legacy scan ran {len(calls)}x, want 1"
+    rows = read_topic(spark, log, "t").collect()
+    assert len(rows) == 48
+    by_partition = {}
+    for r in rows:
+        by_partition.setdefault(r.partition, []).append(r.offset)
+    for p, offsets in by_partition.items():
+        assert sorted(offsets) == list(range(len(offsets)))
+
+
+def test_break_stale_lock_removes_only_the_measured_lock(tmp_path):
+    """The breaker renames the lock to a private tombstone and deletes
+    it only after verifying (owner token + mtime) it is the same lock
+    it measured stale — a fresh lock re-acquired in the race window is
+    restored, not deleted."""
+    import os
+    import time as _time
+
+    import divolte_collector_spark.sources.kafka_emulator as ke
+
+    topic_dir = str(tmp_path / "t")
+    os.makedirs(topic_dir)
+    lock = os.path.join(topic_dir, "_commit.lock")
+
+    # genuinely stale lock: broken, directory gone
+    os.mkdir(lock)
+    with open(os.path.join(lock, "owner"), "w") as fh:
+        fh.write("dead-producer")
+    old = _time.time() - ke._COMMIT_LOCK_STALE_S - 60
+    os.utime(lock, (old, old))
+    ke._break_stale_lock(lock)
+    assert not os.path.exists(lock)
+    assert not any(
+        e.startswith("_commit.lock.tomb") for e in os.listdir(topic_dir)
+    ), "verified break must remove its tombstone"
+
+    # raced re-acquire: owner token changes between measure and rename
+    # (simulated by swapping the owner file mid-break) -> restored
+    os.mkdir(lock)
+    with open(os.path.join(lock, "owner"), "w") as fh:
+        fh.write("fresh-producer")
+    os.utime(lock, (old, old))  # age says stale...
+
+    real_rename = os.rename
+    state = {"swapped": False}
+
+    def racing_rename(src, dst):
+        # after the breaker's pre-measure, simulate the fresh owner
+        # appearing: change the token just before the rename lands
+        if not state["swapped"] and src == lock:
+            with open(os.path.join(lock, "owner"), "w") as fh:
+                fh.write("even-fresher")
+            state["swapped"] = True
+        return real_rename(src, dst)
+
+    ke.os.rename = racing_rename
+    try:
+        ke._break_stale_lock(lock)
+    finally:
+        ke.os.rename = real_rename
+    assert os.path.exists(lock), "mismatched lock must be restored"
+    with open(os.path.join(lock, "owner")) as fh:
+        assert fh.read() == "even-fresher"
+
+
+def test_rebase_heartbeat_fires_per_part_file(tmp_path):
+    """The commit-lock heartbeat runs once per staged file, so lock
+    age stays bounded by one part's rewrite time."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import divolte_collector_spark.sources.kafka_emulator as ke
+
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    tbl = pa.table(
+        {
+            "key": pa.array([b"k"], pa.binary()),
+            "value": pa.array([b"v"], pa.binary()),
+            "topic": pa.array(["t"], pa.string()),
+            "partition": pa.array([0], pa.int32()),
+            "offset": pa.array([0], pa.int64()),
+            "timestamp": pa.array([None], pa.timestamp("us", tz="UTC")),
+            "timestampType": pa.array([-1], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(staging, "part-0.parquet"))
+    pq.write_table(tbl, os.path.join(staging, "part-1.parquet"))
+    beats = []
+    ke._rebase_staged_offsets(staging, {0: 5}, heartbeat=lambda: beats.append(1))
+    assert len(beats) >= 2

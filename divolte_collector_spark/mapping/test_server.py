@@ -32,6 +32,38 @@ _EVENT_FIELDS = (
 )
 
 
+def _field_types() -> dict[str, str]:
+    return {
+        f.split()[0]: f.split(maxsplit=1)[1] for f in _EVENT_FIELDS.split(", ")
+    }
+
+
+def as_test_events(partial) -> "DataFrame":
+    """Normalize a PARTIAL event frame to the full test-server surface:
+    columns the caller provides are cast to the canonical type, every
+    other DivolteEvent field becomes a typed null (so schema defaults
+    and absent-field semantics run exactly as they do for a POSTed
+    JSON event with missing keys); unknown columns are rejected the
+    same way the server 400s unknown JSON fields
+    (MappingTestServer.java:86-108). This is the one normalization
+    path — run_mapping_test's single-row frame and the distributed
+    gate query both go through it."""
+    from pyspark.sql import functions as F
+
+    types = _field_types()
+    unknown = set(partial.columns) - set(types)
+    if unknown:
+        raise ValueError(f"unknown event fields: {sorted(unknown)}")
+    return partial.select(
+        *[
+            (F.col(n) if n in partial.columns else F.lit(None))
+            .cast(t)
+            .alias(n)
+            for n, t in types.items()
+        ]
+    )
+
+
 def run_mapping_test(
     spark: SparkSession, mapping: MappingBuilder, event: dict[str, Any]
 ) -> dict[str, Any]:
@@ -42,6 +74,6 @@ def run_mapping_test(
     if unknown:
         raise ValueError(f"unknown event fields: {sorted(unknown)}")
     base.update(event)
-    df = spark.createDataFrame([Row(**base)], _EVENT_FIELDS)
+    df = as_test_events(spark.createDataFrame([Row(**base)], _EVENT_FIELDS))
     mapped = mapping.apply(df)
     return mapped.first().asDict(recursive=True)

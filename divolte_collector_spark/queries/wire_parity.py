@@ -845,3 +845,108 @@ def q_wirelog_source_roundtrip(
         return detach_result(spark, out)
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# --- S3 gate: ETag replay suppression ---------------------------------------
+# (named wire_* so it sorts after the driver's 50-name checked window)
+
+_ETAG_ORACLE = """
+SELECT event_id AS src_event_id,
+       CASE WHEN event_id % 7 = 1
+            THEN '"fresh-' || CAST(event_id AS VARCHAR) || '"' END
+           AS if_none_match
+FROM events
+WHERE event_id % 7 <> 0
+"""
+
+
+@query("wire_etag_replay_filter", oracle=_ETAG_ORACLE, cache_plan=True)
+def q_etag_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: requests replaying the sentinel If-None-Match are browser
+    cache replays, answered 304 and dropped BEFORE parsing
+    (ClientSideCookieEventHandler.java:58-59,119-137). Every 7th event
+    carries the sentinel (dropped), the next a fresh ETag (kept —
+    only the exact sentinel suppresses), the rest no header (kept)."""
+    from divolte_collector_spark.sources.browser import (
+        SENTINEL_ETAG,
+        drop_etag_replays,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    etag = (
+        F.when(F.col("event_id") % 7 == 0, F.lit(SENTINEL_ETAG))
+        .when(
+            F.col("event_id") % 7 == 1,
+            F.concat(
+                F.lit('"fresh-'), F.col("event_id").cast("string"), F.lit('"')
+            ),
+        )
+    )
+    requests = ev.select(
+        F.col("event_id").alias("src_event_id"), etag.alias("if_none_match")
+    )
+    return drop_etag_replays(requests)
+
+
+# --- S6 gate: mapping test server surface -----------------------------------
+
+_MTS_ORACLE = """
+SELECT 'ev' || CAST(event_id AS VARCHAR) AS src_event_id,
+       '0:c:u' || CAST(user_id AS VARCHAR) AS pid,
+       event_type AS kind,
+       CAST(NULL AS INT) AS vw,
+       (event_type = 'click') AS flagged,
+       'none' AS label
+FROM events
+"""
+
+
+@query("wire_mapping_test_server", oracle=_MTS_ORACLE, cache_plan=True)
+def q_mapping_test_server(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the mapping-test harness path (MappingTestServer.java:60-140)
+    — a PARTIAL event payload normalized onto the full DivolteEvent
+    surface (absent fields become typed nulls), then run through the
+    production MappingBuilder. Gates what the reference's /event
+    endpoint exercises: unmapped record fields keep their schema
+    defaults (label), a mapped-but-absent event field stays null
+    through the typed surface (vw <- viewport_pixel_width), and
+    mapped/conditional fields follow the payload. Uses the SAME
+    as_test_events normalization run_mapping_test uses for a POSTed
+    single event."""
+    from divolte_collector_spark.functions.booleans import equal_to_literal
+    from divolte_collector_spark.mapping import MappingBuilder
+    from divolte_collector_spark.mapping.test_server import as_test_events
+
+    ev = load_table(spark, sf_dir, "events")
+    partial = ev.select(
+        F.concat(F.lit("ev"), F.col("event_id").cast("string")).alias(
+            "event_id"
+        ),
+        F.concat(F.lit("0:c:u"), F.col("user_id").cast("string")).alias(
+            "party_id"
+        ),
+        F.col("event_type"),
+    )
+    req = as_test_events(partial)
+    schema = {
+        "type": "record",
+        "name": "TestServerRecord",
+        "fields": [
+            {"name": "src_event_id", "type": "string"},
+            {"name": "pid", "type": ["null", "string"], "default": None},
+            {"name": "kind", "type": ["null", "string"], "default": None},
+            {"name": "vw", "type": ["null", "int"], "default": None},
+            {"name": "flagged", "type": "boolean", "default": False},
+            {"name": "label", "type": "string", "default": "none"},
+        ],
+    }
+    m = MappingBuilder(schema)
+    m.map_value(F.col("event_id"), "src_event_id")
+    m.map_value(F.col("party_id"), "pid")
+    m.map_value(F.col("event_type"), "kind")
+    m.map_value(F.col("viewport_pixel_width"), "vw")  # absent -> null
+    with m.when(equal_to_literal(F.col("event_type"), "click")):
+        m.map_literal(True, "flagged")
+    return m.apply(req).select(
+        "src_event_id", "pid", "kind", "vw", "flagged", "label"
+    )

@@ -1655,3 +1655,206 @@ def q_vector_truncate_renorm(
         F.round(F.col("_nk"), 4).alias("norm_k"),
         F.round(F.col("_nk") / F.col("_nf"), 4).alias("retained"),
     )
+
+
+# --- recall@k vs probe-count frontier ---------------------------------------
+# The 100 TB story asserts IVF recall at a single probe setting; this
+# measures the full accuracy-cost frontier and gates it: for each
+# multi-probe setting P, the candidate volume scored (the COST axis)
+# and the exact-top-k hits recovered (the ACCURACY axis). P spans 1 to
+# N_CLUSTERS, so the last row must converge to recall 1.0 — probing
+# every cell IS the brute-force scan — which pins the whole pipeline
+# (centroid ranking, cell membership, top-k) against the exact oracle.
+# Named vector_* to sort after the driver's checked window.
+
+_FRONTIER_PROBES = (1, 2, 4, 8)
+
+_FRONTIER_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CLUSTERS}),
+{_assign_cte("a1", "c0")},
+{_recompute_cte("c1", "a1")},
+{_assign_cte("a2", "c1")},
+q AS (SELECT vec_id, emb FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+qprob AS (
+    SELECT q.vec_id AS query_id, c1.cid,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.emb, c1.cemb) DESC, c1.cid
+           ) AS probe_rank
+    FROM q CROSS JOIN c1
+),
+scored AS (
+    SELECT qp.query_id, f.vec_id AS neighbor_id, qp.probe_rank,
+           list_cosine_similarity(q.emb, f.emb) AS cos
+    FROM qprob qp
+    JOIN a2 f ON f.cid = qp.cid AND f.vec_id <> qp.query_id
+    JOIN q ON q.vec_id = qp.query_id
+),
+probe_sets AS (SELECT unnest({list(_FRONTIER_PROBES)}) AS probes),
+frontier AS (
+    SELECT ps.probes, s.query_id, s.neighbor_id, s.cos
+    FROM probe_sets ps JOIN scored s ON s.probe_rank <= ps.probes
+),
+cand AS (
+    SELECT probes, CAST(count(*) AS BIGINT) AS cand_rows
+    FROM frontier GROUP BY probes
+),
+ann AS (
+    SELECT probes, query_id, neighbor_id FROM (
+        SELECT probes, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY probes, query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM frontier) x
+    WHERE rnk <= {TOP_K}
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(q.emb, c.emb)
+                                           DESC, c.vec_id) AS rnk
+        FROM q JOIN e c ON c.vec_id <> q.vec_id) x
+    WHERE rnk <= {TOP_K}
+),
+hits AS (
+    SELECT a.probes, CAST(count(*) AS BIGINT) AS hits
+    FROM ann a JOIN exact ex
+      ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+    GROUP BY a.probes
+)
+SELECT CAST(c.probes AS INT) AS probes, h.hits, c.cand_rows,
+       CAST(h.hits * 1000000 // {N_QUERY_VECTORS * TOP_K} AS BIGINT)
+           AS recall_ppm
+FROM cand c JOIN hits h ON h.probes = c.probes
+"""
+
+
+@query("vector_recall_probe_frontier", oracle=_FRONTIER_ORACLE)
+def q_recall_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF recall/cost frontier. Scale shape: candidates
+    are scored ONCE with their probe_rank attached (the rank of the
+    owning cell in the query's centroid ordering); every probe setting
+    is then a NARROW explode+filter over the scored rows — no
+    per-setting joins, no re-scoring. The recall denominator is the
+    literal N_QUERY_VECTORS*TOP_K (the same every-query-has-k-exact-
+    neighbors assumption knn_bruteforce_cosine makes of the testdata),
+    so the gate stays in exact integer space (hits, cand_rows,
+    recall_ppm by integer division)."""
+    import math
+
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    c0 = [
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
+    ]
+    _, c1 = lloyd_iterate(e, c0, iterations=1)
+    a2 = _assign(e, c1)
+
+    # per-query centroid ranking against the K driver-held centroids:
+    # array_sort over (-cos, cid) == ORDER BY cos DESC, cid
+    ranked_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -cosine_pre(
+                            F.col("emb"),
+                            F.array(*[F.lit(x) for x in cemb]),
+                            F.col("nrm"),
+                            F.lit(math.sqrt(sum(x * x for x in cemb))),
+                        )
+                    ).alias("neg"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cemb in c1
+            ]
+        )
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .withColumn("nrm", norm(F.col("emb")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.posexplode(ranked_cells).alias("pos", "cell"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            (F.col("pos") + 1).cast("int").alias("probe_rank"),
+            F.col("cell.cid").alias("cid"),
+        )
+    )
+    scored = (
+        a2.join(F.broadcast(q), (a2["cid"] == q["cid"]) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probe_rank",
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+    )
+    frontier = scored.withColumn(
+        "probes", F.explode(F.array(*[F.lit(p) for p in _FRONTIER_PROBES]))
+    ).filter(F.col("probe_rank") <= F.col("probes"))
+    cand = frontier.groupBy("probes").agg(F.count(F.lit(1)).alias("cand_rows"))
+    w = Window.partitionBy("probes", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    ann = (
+        frontier.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probes", "query_id", "neighbor_id")
+    )
+    # exact baseline: same brute-force shape as knn_bruteforce_cosine
+    qx = e.withColumn("nrm", norm(F.col("emb"))).filter(
+        F.col("vec_id") < N_QUERY_VECTORS
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    escore = (
+        e.withColumn("nrm", norm(F.col("emb")))
+        .crossJoin(F.broadcast(qx))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        escore.withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    # both the exact top-k (N_QUERY_VECTORS*TOP_K rows, scale-free) and
+    # the per-probes hit counts are constant-size: broadcast them
+    hits = (
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("probes")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return cand.join(F.broadcast(hits), "probes").select(
+        F.col("probes").cast("int").alias("probes"),
+        "hits",
+        "cand_rows",
+        F.expr(f"hits * 1000000L div {N_QUERY_VECTORS * TOP_K}").alias(
+            "recall_ppm"
+        ),
+    )

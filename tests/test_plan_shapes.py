@@ -215,6 +215,9 @@ def test_every_gated_query_scale_discipline(spark):
         "value_winsorized_stats",
         # broadcast-5-query-series scan, same shape as the kNN baseline
         "timeseries_similarity_topk",
+        # contains the exact ground-truth scan (the kNN baseline shape)
+        # the frontier's recall is measured against
+        "vector_recall_probe_frontier",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):
@@ -407,3 +410,26 @@ def test_ts_similarity_broadcasts_query_side(spark):
         )
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_recall_frontier_scores_once_broadcasts_probes(spark):
+    """The frontier must score candidates ONCE (a single BroadcastHash
+    join of the tiny query-probe relation against the assigned fact)
+    and derive every probe setting by narrow explode+filter — a
+    re-scoring or shuffle-join formulation would multiply the 100 TB
+    scoring pass by the number of probe settings."""
+    plan = explain_formatted(
+        all_queries()["vector_recall_probe_frontier"].fn(spark, SF)
+    )
+    # every join in the plan is a broadcast equi-join (cell scoring,
+    # hits semi-join, tiny cand/hits merge) except the one documented
+    # exact-baseline NLJ; nothing shuffles both sides
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    import re
+
+    # exact baseline only (formatted explain names each node twice:
+    # once in the tree, once in the detail section — count node ids)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    # per-probe fan-out is a generator (explode), not a per-setting join
+    assert "Generate" in plan

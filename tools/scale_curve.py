@@ -39,6 +39,7 @@ CURVE_QUERIES = [
     "pack_sequences_ffd",        # salted-bucket window + closed-form pack
     "text_line_dedup",           # keeper-relation line dedup, 2 shuffles
     "snapshot_diff_docs",        # full outer join on md5, 2 shuffles
+    "vector_recall_probe_frontier",  # score-once multi-probe IVF + exact baseline
 ]
 # NOTE on span_dedup_crossdoc under replication: scale_data replicates
 # document TEXT verbatim, so at K>1 every window is cross-doc

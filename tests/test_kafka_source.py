@@ -262,3 +262,75 @@ def test_expected_id_with_naked_mode_rejected(spark):
             _kafka_shaped(spark, [b""]), _SCHEMA, mode="naked",
             expected_confluent_id=7,
         )
+
+
+def test_emulator_scan_contract_differential(spark, tmp_path):
+    """Differential pin of the emulator against the real connector's
+    documented scan contract (Structured Streaming Kafka integration
+    guide): the fixed 7-column schema in order (headers only appear
+    under includeHeaders=true, which the emulator does not claim),
+    dense ascending offsets from 0 per partition, timestampType drawn
+    from the connector's enum (-1 NO_TIMESTAMP_TYPE here: the emulator
+    records no broker append time), and murmur2 key->partition
+    affinity. When the spark-sql-kafka jar IS present the second half
+    resolves a real connector scan (schema resolution is static — no
+    broker needed) with a startingOffsets JSON and asserts the two
+    sources are column-for-column identical; without the jar that half
+    skips in place while the contract pin still runs."""
+    import json
+
+    from divolte_collector_spark.sources.kafka_emulator import (
+        partition_for_key,
+        produce_batch,
+        read_topic,
+    )
+    from divolte_collector_spark.streaming.sinks import kafka_frame
+
+    CONTRACT = [
+        ("key", "binary"),
+        ("value", "binary"),
+        ("topic", "string"),
+        ("partition", "int"),
+        ("offset", "bigint"),
+        ("timestamp", "timestamp"),
+        ("timestampType", "int"),
+    ]
+
+    log = str(tmp_path / "log")
+    ev = spark.createDataFrame(_RECORDS)
+    framed = kafka_frame(ev, _SCHEMA)
+    produce_batch(spark, framed, log, "divolte", batch_id=0, n_partitions=4)
+    scan = read_topic(spark, log, "divolte")
+    got = [(f.name, f.dataType.simpleString()) for f in scan.schema.fields]
+    assert got == CONTRACT
+
+    rows = scan.collect()
+    assert rows, "produced batch must be visible to the scan"
+    by_partition: dict[int, list[int]] = {}
+    for r in rows:
+        assert r.topic == "divolte"
+        assert r.timestampType in (-1, 0, 1, 2)
+        assert r.key is not None
+        assert r.partition == partition_for_key(bytes(r.key), 4)
+        by_partition.setdefault(r.partition, []).append(r.offset)
+    for p, offsets in by_partition.items():
+        assert sorted(offsets) == list(range(len(offsets))), (
+            f"partition {p}: offsets not dense from 0"
+        )
+
+    if not kafka_connector_available(spark):
+        return  # contract pin ran; the jar half needs spark-sql-kafka
+
+    real = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:9092")
+        .option("subscribe", "divolte")
+        .option(
+            "startingOffsets", json.dumps({"divolte": {"0": -2, "1": -2}})
+        )
+        .load()
+    )
+    real_cols = [(f.name, f.dataType.simpleString()) for f in real.schema.fields]
+    assert real_cols == got, (
+        "emulator scan schema diverged from the real connector's"
+    )

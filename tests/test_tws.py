@@ -151,3 +151,23 @@ def test_tws_end_to_end_stream(spark, tmp_path):
         assert rows["e1"].first_in_session and not rows["e2"].first_in_session
     finally:
         spark.conf.unset(key)
+
+
+def test_tws_unavailability_is_exactly_the_protobuf_import():
+    """Self-documenting gate for the one environment-bounded skip: the
+    ONLY thing between this suite and the end-to-end
+    transformWithStateInPandas stream is the google.protobuf runtime
+    (PySpark's state-server protocol imports it at stream start). If
+    this test ever fails because the import succeeds, tws_available()
+    flips true, the e2e test un-skips, and the skip should be retired."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        assert not tws_available()
+        # the precise unblock: a protobuf wheel (pure-python runtime
+        # suffices; no compiled extension needed)
+        assert exc.name in ("google", "google.protobuf"), exc
+    else:
+        assert tws_available(), (
+            "protobuf importable but tws_available() still false"
+        )

@@ -72,6 +72,11 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
                 # path too (the plan's lazy casts evaluate under the
                 # conf holding at action time)
                 sess.pin_session_confs(spark)
+                # a hit inside an ENCLOSING build must still record its
+                # dependencies there, or the outer plan's dep set would
+                # be incomplete and survive a table regeneration
+                for frame in sess._DEP_STACK:
+                    frame.extend(deps)
                 return df
             del _PLAN_CACHE[key]
         frame = sess.push_dep_frame()

@@ -206,11 +206,15 @@ def _path_signature(path: str) -> tuple:
 
 
 def invalidate_table_cache() -> None:
-    """Drop every cached resolved reader and path signature (explicit
-    hook for harnesses that mutate testdata in place without an mtime
-    change)."""
+    """Drop every cached resolved reader, path signature, and prepared
+    plan (explicit hook for harnesses that mutate testdata in place
+    without an mtime change — the signature cannot see such a
+    mutation, so the prepared-plan cache must be dropped with it)."""
     _TABLE_CACHE.clear()
     _SIG_CACHE.clear()
+    from divolte_collector_spark.queries import invalidate_plan_cache
+
+    invalidate_plan_cache()
 
 
 # Dependency recording for the prepared-plan cache (queries/__init__):

@@ -199,9 +199,15 @@ def _break_stale_lock(lock: str) -> None:
     try:
         os.rename(tomb, lock)
     except OSError:
-        # a third producer acquired meanwhile; leave the tombstone (it
-        # is inert — nobody's lock path) rather than clobber the new
-        # lock. The displaced holder's release becomes a silent no-op.
+        # a third producer mkdir'd the freed path before the restore
+        # landed; leave the tombstone (inert — nobody's lock path)
+        # rather than clobber the new lock. The displaced holder's
+        # release becomes a silent no-op and it briefly overlaps the
+        # new holder — reaching here requires a holder that stalled
+        # past the 600 s heartbeat threshold, woke inside the
+        # microsecond pre-stat→rename window, AND a waiter landing
+        # inside the rename→restore window; accepted as the residual
+        # of building on rename/mkdir atomicity alone.
         pass
 
 

@@ -102,3 +102,42 @@ def test_uncached_query_builds_every_call(spark, tmp_path):
         assert len(builds) == 2
     finally:
         _REGISTRY.pop(name, None)
+
+
+def test_nested_hit_propagates_deps_to_outer_build(spark, tmp_path):
+    """A cache HIT inside an enclosing build must still record its
+    dependencies in the outer frame — otherwise the outer plan's dep
+    set is incomplete and survives a table regeneration."""
+    inner_name = f"_test_inner_{uuid.uuid4().hex[:8]}"
+    outer_name = f"_test_outer_{uuid.uuid4().hex[:8]}"
+
+    @query(inner_name, cache_plan=True)
+    def _inner(spark_, sf_dir):
+        return sess.load_table(spark_, sf_dir, "t")
+
+    @query(outer_name, cache_plan=True)
+    def _outer(spark_, sf_dir):
+        return all_queries()[inner_name].fn(spark_, sf_dir).groupBy().count()
+
+    try:
+        _write(spark, f"{tmp_path}/t.parquet", [1, 2])
+        fn_in = all_queries()[inner_name].fn
+        fn_out = all_queries()[outer_name].fn
+        fn_in(spark, str(tmp_path))  # prime the inner cache
+        assert fn_out(spark, str(tmp_path)).collect()[0][0] == 2
+        _write(spark, f"{tmp_path}/t.parquet", [1, 2, 3])
+        assert fn_out(spark, str(tmp_path)).collect()[0][0] == 3
+    finally:
+        _REGISTRY.pop(inner_name, None)
+        _REGISTRY.pop(outer_name, None)
+        invalidate_plan_cache()
+
+
+def test_invalidate_table_cache_drops_prepared_plans(spark, tmp_path, registered):
+    name, builds = registered
+    _write(spark, f"{tmp_path}/t.parquet", [1])
+    fn = all_queries()[name].fn
+    fn(spark, str(tmp_path))
+    sess.invalidate_table_cache()
+    fn(spark, str(tmp_path))
+    assert len(builds) == 2, "invalidate_table_cache must drop prepared plans"

@@ -218,6 +218,9 @@ def test_every_gated_query_scale_discipline(spark):
         # contains the exact ground-truth scan (the kNN baseline shape)
         # the frontier's recall is measured against
         "vector_recall_probe_frontier",
+        # the 50-probe exact ground-truth scan (the kNN baseline shape)
+        # the NN-Descent graph's recall is measured against
+        "vector_nn_descent_recall",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):
@@ -433,3 +436,34 @@ def test_recall_frontier_scores_once_broadcasts_probes(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     # per-probe fan-out is a generator (explode), not a per-setting join
     assert "Generate" in plan
+
+def test_nn_descent_rounds_are_equi_joins(spark):
+    """NN-Descent's per-round work must stay id-equi-joins over the
+    O(n*K) edge list (linear in n), and rounds must be lineage-
+    truncated: the final plan is ONE round's shape over a detached
+    edge-list scan — one self-equi-join for the two-hop candidates,
+    broadcast/equi re-scoring joins, no nested loop (the one-row
+    count broadcast seeding the stride ring lives behind the round-1
+    detach). Without the truncation the analyzed plan grows ~6x per
+    round (measured: 2,360 physical nodes for 2 rounds) — driver
+    explosion, not a cluster cost, so only the plan shape can catch
+    it. The recall gate adds exactly one documented NLJ (the 50-probe
+    exact-baseline scan)."""
+    import re
+
+    a = _audit(spark, "vector_nn_descent_graph")
+    assert not a.has_cartesian_product
+    assert a.n_rowwise_python_nodes == 0
+    plan = explain_formatted(
+        all_queries()["vector_nn_descent_graph"].fn(spark, SF)
+    )
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 0
+    # constant-size round plan: the 6x-per-round clone blowup is gone
+    node_ids = [int(m) for m in re.findall(r"\((\d+)\) \w", plan)]
+    assert max(node_ids) < 200, f"round plan grew to {max(node_ids)} nodes"
+    r = _audit(spark, "vector_nn_descent_recall")
+    assert not r.has_cartesian_product
+    plan_r = explain_formatted(
+        all_queries()["vector_nn_descent_recall"].fn(spark, SF)
+    )
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan_r)) == 1

@@ -40,7 +40,13 @@ CURVE_QUERIES = [
     "text_line_dedup",           # keeper-relation line dedup, 2 shuffles
     "snapshot_diff_docs",        # full outer join on md5, 2 shuffles
     "vector_recall_probe_frontier",  # score-once multi-probe IVF + exact baseline
+    "vector_nn_descent_graph",   # bounded-init graph rounds, detached lineage
 ]
+# NOTE on vector_nn_descent_graph under replication: replicas are
+# verbatim vector copies, so every node's top-K converges to its own
+# replicas at cos 1.0 — recall against replicated ground truth is
+# meaningless, but the candidate volume per round stays O(n*K^2) and
+# the joins scale exactly as at 1x, which is what the curve measures.
 # NOTE on span_dedup_crossdoc under replication: scale_data replicates
 # document TEXT verbatim, so at K>1 every window is cross-doc
 # duplicated and the string-verify sliver is the whole window relation

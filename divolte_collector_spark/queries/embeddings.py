@@ -1897,6 +1897,14 @@ def q_recall_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.188 after round 1 → 0.292 after round 2 — the graph refinement
 # more than doubles the bucketed searcher's recall at a comparable
 # scoring budget, which is the graph-family contrast this query gates.
+#
+# Skew note: the label-ring init windows by the coarse cell id, which
+# on the testdata is a 10-value label — at 100 TB a 10-way partition
+# would be a skewed sort. In production the cell id is the trained
+# coarse quantizer's assignment (IVF convention: cell count ~ sqrt(n),
+# here the same id ann_ivf_kmeans derives), so per-cell cardinality
+# stays bounded as n grows; the rounds themselves never touch the
+# label and shuffle only on vec_id.
 
 _NND_K = 5
 _NND_STRIDE = 37
@@ -1985,8 +1993,8 @@ FROM hits
 def _nnd_score_topk(cand: DataFrame, e: DataFrame) -> DataFrame:
     """Re-score a candidate edge list (src, dst) against the vector
     table and keep the top-K per src — the per-round NN-Descent update.
-    Two id-equi-joins (edge list is O(n*K^2), vectors O(n)) + one
-    bounded window; nothing quadratic."""
+    Two id-equi-joins (edge list is O(n*K) at init, O(n*(2K)^2) within
+    a round, vectors O(n)) + one bounded window; nothing quadratic."""
     from pyspark.sql import Window
 
     s = e.select(

@@ -406,16 +406,16 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two CTEs: nearest-centroid assignment (row_number over the K-way
 # cross), then the per-(cid, dim) mean rounded to 6 decimals.
 
-def _assign_cte(name: str, centroids: str) -> str:
+def _assign_cte(name: str, centroids: str, fact: str = "e") -> str:
     return f"""{name} AS (
     SELECT vec_id, emb, cid FROM (
-        SELECT e.vec_id, e.emb, {centroids}.cid,
+        SELECT {fact}.vec_id, {fact}.emb, {centroids}.cid,
                row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.emb, {centroids}.cemb)
+                   PARTITION BY {fact}.vec_id
+                   ORDER BY list_cosine_similarity({fact}.emb, {centroids}.cemb)
                             DESC, {centroids}.cid
                ) AS rn
-        FROM e CROSS JOIN {centroids}) x
+        FROM {fact} CROSS JOIN {centroids}) x
     WHERE rn = 1
 )"""
 
@@ -2182,3 +2182,141 @@ def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"_hits * 1000000L div {_NND_K}").alias("recall_ppm"),
         )
     )
+
+
+# --- incremental IVF index maintenance ---------------------------------------
+# The index-maintenance shape every 100 TB vector deployment needs:
+# history is already indexed (cid-partitioned lists on disk, centroids
+# FROZEN from the history-only training pass); a new ingest batch is
+# assigned against those frozen centroids and APPENDED into the
+# per-cell partitions — history lists are never read, re-assigned, or
+# rewritten (test_ivf_incremental_append_leaves_history pins the
+# history part-files byte-identical across the append). Per-ingest
+# cost is O(batch), exactly like text_line_dedup_incremental /
+# sig_index_incremental_lsh on the text side; re-clustering is a
+# separate offline decision, not an ingest cost.
+#
+# The gate probes the MERGED index (history + appended batch) with the
+# standard 20 query vectors and partition-prunes to the probed cells —
+# reference pattern: vector_index_persist_probe. Batch membership is
+# the deterministic modulo split vec_id % 5 == 4 (20% of the corpus,
+# interleaved through the id space so probe cells contain both
+# generations).
+
+_INC_BATCH_MOD = 5  # vec_id % 5 == 4 -> the "new ingest" fifth
+
+
+def _ivf_incremental_build(spark: SparkSession, sf_dir: str, base: str):
+    """Build the history index, then append the batch. Returns the
+    frozen centroids. Split into build/append phases so the
+    no-history-rewrite property is testable from outside."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    hist = e.filter(F.col("vec_id") % _INC_BATCH_MOD != _INC_BATCH_MOD - 1)
+    c0 = [
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in hist.orderBy("vec_id").limit(N_CLUSTERS).collect()
+    ]
+    _, c1 = lloyd_iterate(hist, c0, iterations=1)
+    _assign(hist, c1).write.mode("overwrite").partitionBy("cid").parquet(
+        f"{base}/lists"
+    )
+    return c1
+
+
+def _ivf_incremental_append(
+    spark: SparkSession, sf_dir: str, base: str, centroids
+) -> None:
+    """The per-ingest step: assign ONLY the batch against the frozen
+    centroids and append — no history scan anywhere in the plan."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    batch = e.filter(F.col("vec_id") % _INC_BATCH_MOD == _INC_BATCH_MOD - 1)
+    _assign(batch, centroids).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{base}/lists")
+
+
+_INC_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+hist AS (SELECT * FROM e WHERE vec_id % {_INC_BATCH_MOD} <> {_INC_BATCH_MOD - 1}),
+batch AS (SELECT * FROM e WHERE vec_id % {_INC_BATCH_MOD} = {_INC_BATCH_MOD - 1}),
+c0 AS (SELECT vec_id AS cid, emb AS cemb FROM hist ORDER BY vec_id LIMIT {N_CLUSTERS}),
+{_assign_cte("a1", "c0", fact="hist")},
+{_recompute_cte("c1", "a1")},
+{_assign_cte("ah", "c1", fact="hist")},
+{_assign_cte("ab", "c1", fact="batch")},
+merged AS (SELECT * FROM ah UNION ALL SELECT * FROM ab),
+q AS (SELECT vec_id, emb, cid FROM merged WHERE vec_id < {N_QUERY_VECTORS}),
+scored AS (
+    SELECT q.vec_id AS query_id, f.vec_id AS neighbor_id,
+           list_cosine_similarity(q.emb, f.emb) AS cos
+    FROM q JOIN merged f ON f.cid = q.cid AND f.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine_sim,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("vector_index_incremental_append", oracle=_INC_IVF_ORACLE)
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    base = tempfile.mkdtemp(prefix="dvs_ivfinc_")
+    try:
+        c1 = _ivf_incremental_build(spark, sf_dir, base)
+        _ivf_incremental_append(spark, sf_dir, base, c1)
+
+        # probe the merged on-disk index (same reader discipline as
+        # vector_index_persist_probe: partition filter -> only probed
+        # cells' files are scanned; norms come from the index)
+        index = spark.read.parquet(f"{base}/lists")
+        probes = index.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("cid").alias("q_cid"),
+        )
+        probe_cids = sorted(
+            {int(r.q_cid) for r in probes.select("q_cid").distinct().collect()}
+        )
+        lists = index.filter(F.col("cid").isin(probe_cids))
+        scored = lists.join(
+            F.broadcast(probes),
+            (F.col("cid") == F.col("q_cid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        out = (
+            scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(F.col("cos"), 4).alias("cosine_sim"),
+                "rnk",
+            )
+        )
+        return detach_result(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -467,3 +467,55 @@ def test_nn_descent_rounds_are_equi_joins(spark):
         all_queries()["vector_nn_descent_recall"].fn(spark, SF)
     )
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan_r)) == 1
+
+def test_ivf_incremental_append_leaves_history(spark, tmp_path):
+    """The per-ingest step must be O(batch): history part-files stay
+    byte-identical across the append (no rewrite, no re-assignment),
+    the append only ADDS files, and the batch-assignment plan reads
+    the embeddings scan with the batch modulo filter pushed — it never
+    references the history lists at all."""
+    import os
+
+    from divolte_collector_spark.queries.embeddings import (
+        _INC_BATCH_MOD,
+        _ivf_incremental_append,
+        _ivf_incremental_build,
+    )
+
+    base = str(tmp_path / "ivf")
+    c1 = _ivf_incremental_build(spark, SF, base)
+
+    def snapshot():
+        # data files only: _SUCCESS markers and .crc sidecars are
+        # commit metadata Hadoop rewrites on every job
+        out = {}
+        for root, _, files in os.walk(f"{base}/lists"):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot()
+    _ivf_incremental_append(spark, SF, base, c1)
+    after = snapshot()
+    # every history file unchanged, nothing deleted
+    for p, sig in before.items():
+        assert after.get(p) == sig, f"history file touched: {p}"
+    added = set(after) - set(before)
+    assert added, "append produced no new part files"
+    # the merged index holds the whole corpus; the appended rows are
+    # exactly the batch fifth
+    from divolte_collector_spark.session import load_table
+
+    merged = spark.read.parquet(f"{base}/lists")
+    total = merged.count()
+    batch_n = merged.filter(
+        (merged.vec_id % _INC_BATCH_MOD) == _INC_BATCH_MOD - 1
+    ).count()
+    corpus = load_table(spark, SF, "embeddings").count()
+    assert total == corpus
+    assert 0 < batch_n < total
+    assert batch_n == corpus // _INC_BATCH_MOD

@@ -3161,3 +3161,139 @@ def q_text_line_dedup_incremental(
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+# --- two-stage retrieval: sparse recall -> candidate-bounded rerank ----------
+# The retrieval shape RAG/training-data pipelines deploy at scale:
+# stage 1 is a cheap sparse scorer over the WHOLE corpus (here: summed
+# query-term frequency — exact integers), keeping only the top-N
+# candidates per query; stage 2 re-scores ONLY those Q*N candidate
+# pairs with the expensive pair-wise model and keeps the top-k. The
+# 100 TB property this gates is the cost cliff between the stages: the
+# corpus-wide pass is one explode+filter+agg with the term filter
+# pushed into the explode output, while the expensive stage touches a
+# constant Q*N rows — the candidate join back to the document payload
+# broadcasts the candidate list into the scan, so the corpus is read,
+# not shuffled, for stage 2.
+#
+# The cross-encoder forward pass is a STUB (same policy as
+# operators/multimodal.py: no model runtime ships in this container):
+# the pair score is the md5 of the (query text, document text) pair —
+# deterministic, computed JVM-side, byte-identical in DuckDB — so the
+# ranking is arbitrary-but-exact and the gate pins the PLUMBING (pair
+# construction, candidate bounding, per-query top-k) rather than model
+# quality. Swapping the md5 column for a Pandas-UDF model call is the
+# production change and touches nothing else.
+
+_RERANK_QUERIES = (
+    (1, "spark join table"),
+    (2, "hash group window"),
+    (3, "stream batch data"),
+    (4, "sort merge query"),
+)
+_RERANK_N1 = 25  # stage-1 candidates per query
+_RERANK_K2 = 10  # reranked results per query
+
+_RERANK_ALL_TERMS = tuple(
+    sorted({t for _, q in _RERANK_QUERIES for t in q.split()})
+)
+
+_RERANK_ORACLE = f"""
+WITH qt AS (
+    SELECT * FROM (VALUES {", ".join(f"({i}, '{q}')" for i, q in _RERANK_QUERIES)})
+        AS v(query_id, qtext)
+),
+terms AS (
+    SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM qt
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS c FROM toks
+    WHERE term IN {_RERANK_ALL_TERMS!r}
+    GROUP BY doc_id, term
+),
+s1 AS (
+    SELECT t.query_id, f.doc_id, sum(f.c) AS stage1_score
+    FROM tf f JOIN terms t USING (term)
+    GROUP BY t.query_id, f.doc_id
+),
+cand AS (
+    SELECT query_id, doc_id, stage1_score FROM (
+        SELECT s1.*, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY stage1_score DESC, doc_id) AS rn
+        FROM s1) x
+    WHERE rn <= {_RERANK_N1}
+),
+rr AS (
+    SELECT c.query_id, c.doc_id, c.stage1_score,
+           substr(md5(q.qtext || '|' || d.text), 1, 16) AS rerank_score
+    FROM cand c JOIN documents d USING (doc_id) JOIN qt q USING (query_id)
+)
+SELECT query_id, doc_id, CAST(stage1_score AS BIGINT) AS stage1_score,
+       rerank_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rerank_score DESC, doc_id) AS INT)
+           AS rrnk
+FROM rr
+QUALIFY rrnk <= {_RERANK_K2}
+"""
+
+
+@query("text_rerank_stage", oracle=_RERANK_ORACLE)
+def q_text_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    qt = spark.createDataFrame(
+        list(_RERANK_QUERIES), "query_id int, qtext string"
+    )
+    terms = spark.createDataFrame(
+        [(i, t) for i, q in _RERANK_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .filter(F.col("term").isin(list(_RERANK_ALL_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = (
+        tf.join(F.broadcast(terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("stage1_score"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("stage1_score").desc(), "doc_id"
+    )
+    cand = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _RERANK_N1)
+        .select("query_id", "doc_id", "stage1_score")
+    )
+    # stage 2: candidates broadcast INTO the payload scan (the corpus
+    # is read with the doc_id filter semi-joined, never shuffled), the
+    # 4-row query table broadcast on top, pair scored JVM-side
+    rr = (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(qt), "query_id")
+        .withColumn(
+            "rerank_score",
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("qtext"), F.col("text"))), 1, 16
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("rerank_score").desc(), "doc_id"
+    )
+    return (
+        rr.withColumn("rrnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rrnk") <= _RERANK_K2)
+        .select(
+            "query_id", "doc_id", "stage1_score", "rerank_score", "rrnk"
+        )
+    )

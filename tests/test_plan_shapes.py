@@ -519,3 +519,16 @@ def test_ivf_incremental_append_leaves_history(spark, tmp_path):
     assert total == corpus
     assert 0 < batch_n < total
     assert batch_n == corpus // _INC_BATCH_MOD
+
+def test_rerank_stage_candidate_bounded(spark):
+    """Two-stage retrieval: the corpus-wide pass is the cheap sparse
+    scorer; the expensive pair stage must stay candidate-bounded — the
+    Q*N candidate list and the 4-row query table BROADCAST into the
+    payload scan (the corpus is read, never shuffled, for stage 2),
+    and the stub pair scorer is JVM-side md5 (no Python eval node to
+    regress into a per-row UDF)."""
+    a = _audit(spark, "text_rerank_stage")
+    assert not a.has_cartesian_product
+    assert not a.has_nested_loop_join
+    assert a.n_broadcast_hash_joins >= 3  # terms, candidates, queries
+    assert a.n_python_eval_nodes == 0

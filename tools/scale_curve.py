@@ -41,6 +41,8 @@ CURVE_QUERIES = [
     "snapshot_diff_docs",        # full outer join on md5, 2 shuffles
     "vector_recall_probe_frontier",  # score-once multi-probe IVF + exact baseline
     "vector_nn_descent_graph",   # bounded-init graph rounds, detached lineage
+    "vector_index_incremental_append",  # frozen-centroid assign + probe
+    "text_rerank_stage",         # corpus-wide sparse pass + Q*N rerank
 ]
 # NOTE on vector_nn_descent_graph under replication: replicas are
 # verbatim vector copies, so every node's top-K converges to its own

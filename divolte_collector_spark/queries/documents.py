@@ -3198,9 +3198,19 @@ _RERANK_ALL_TERMS = tuple(
     sorted({t for _, q in _RERANK_QUERIES for t in q.split()})
 )
 
+
+def _sql_str(s: str) -> str:
+    """A safe SQL string literal (apostrophes doubled) — tuple-repr /
+    f-string interpolation breaks on one-element tuples and quoted
+    query text."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_RERANK_TERMS_IN = "(" + ", ".join(_sql_str(t) for t in _RERANK_ALL_TERMS) + ")"
+
 _RERANK_ORACLE = f"""
 WITH qt AS (
-    SELECT * FROM (VALUES {", ".join(f"({i}, '{q}')" for i, q in _RERANK_QUERIES)})
+    SELECT * FROM (VALUES {", ".join(f"({i}, {_sql_str(q)})" for i, q in _RERANK_QUERIES)})
         AS v(query_id, qtext)
 ),
 terms AS (
@@ -3211,7 +3221,7 @@ toks AS (
 ),
 tf AS (
     SELECT doc_id, term, count(*) AS c FROM toks
-    WHERE term IN {_RERANK_ALL_TERMS!r}
+    WHERE term IN {_RERANK_TERMS_IN}
     GROUP BY doc_id, term
 ),
 s1 AS (

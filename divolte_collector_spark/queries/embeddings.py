@@ -1898,6 +1898,14 @@ def q_recall_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # more than doubles the bucketed searcher's recall at a comparable
 # scoring budget, which is the graph-family contrast this query gates.
 #
+# Contract: the global stride ring assumes vec_id is DENSE 0..n-1
+# (true of this table at every SF; a gap would make some ring dsts
+# nonexistent and the inner re-scoring join would silently thin the
+# long-range edges this design depends on). On a gappy id space,
+# derive a dense rank first (row_number over vec_id — one window) and
+# ring over the rank; the label ring already does exactly that inside
+# each bucket, so only the global half needs the extra window.
+#
 # Skew note: the label-ring init windows by the coarse cell id, which
 # on the testdata is a 10-value label — at 100 TB a 10-way partition
 # would be a skewed sort. In production the cell id is the trained

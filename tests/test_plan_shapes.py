@@ -451,21 +451,22 @@ def test_nn_descent_rounds_are_equi_joins(spark):
     exact-baseline scan)."""
     import re
 
-    a = _audit(spark, "vector_nn_descent_graph")
+    # build each query ONCE — these builds eagerly materialize the
+    # detached rounds (real Spark jobs), unlike the lazy plans the
+    # rest of this file re-builds freely
+    g = all_queries()["vector_nn_descent_graph"].fn(spark, SF)
+    a = audit(g)
     assert not a.has_cartesian_product
     assert a.n_rowwise_python_nodes == 0
-    plan = explain_formatted(
-        all_queries()["vector_nn_descent_graph"].fn(spark, SF)
-    )
+    plan = explain_formatted(g)
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 0
     # constant-size round plan: the 6x-per-round clone blowup is gone
     node_ids = [int(m) for m in re.findall(r"\((\d+)\) \w", plan)]
     assert max(node_ids) < 200, f"round plan grew to {max(node_ids)} nodes"
-    r = _audit(spark, "vector_nn_descent_recall")
+    rdf = all_queries()["vector_nn_descent_recall"].fn(spark, SF)
+    r = audit(rdf)
     assert not r.has_cartesian_product
-    plan_r = explain_formatted(
-        all_queries()["vector_nn_descent_recall"].fn(spark, SF)
-    )
+    plan_r = explain_formatted(rdf)
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan_r)) == 1
 
 def test_ivf_incremental_append_leaves_history(spark, tmp_path):

@@ -3307,3 +3307,72 @@ def q_text_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", "stage1_score", "rerank_score", "rrnk"
         )
     )
+
+
+# --- probability-proportional-to-size systematic sampling --------------------
+# The weighted sampling member the sampling family lacks: classic PPS
+# systematic sampling (survey-sampling textbook method; the
+# deterministic counterpart of weighted reservoir sampling). Documents
+# are laid out on the cumulative-weight axis [0, total) in doc_id
+# order; the K sample positions are the systematic grid
+# p_j = floor(j * total / K), and each position selects the document
+# whose weight interval contains it — inclusion probability
+# proportional to weight, EXACT in integer space end to end (weights
+# are n_chars, positions are integer division), so the gate needs no
+# float discipline at all.
+#
+# Scale shape: the cumulative axis comes from the two-phase
+# global_cumsum scan (one partitioned agg + one partitioned window —
+# never a single-task global ORDER BY), the one-row corpus total and
+# the K=20 grid positions broadcast, and the interval-containment join
+# is a 20-row broadcast nested loop (the documented tiny-broadcast
+# shape). Zero-weight documents own an empty interval and are
+# correctly never sampled.
+
+_PPS_K = 20
+
+
+_PPS_ORACLE = f"""
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id) AS cum_hi FROM d),
+t AS (SELECT sum(w) AS total FROM d),
+j AS (SELECT unnest(range(0, {_PPS_K})) AS j),
+p AS (
+    SELECT CAST(j.j AS INT) AS sample_idx,
+           CAST(j.j * t.total // {_PPS_K} AS BIGINT) AS pos
+    FROM j CROSS JOIN t
+)
+SELECT p.sample_idx, p.pos, c.doc_id, c.w AS weight
+FROM p JOIN c ON p.pos >= c.cum_hi - c.w AND p.pos < c.cum_hi
+"""
+
+
+@query("sample_pps_systematic", oracle=_PPS_ORACLE)
+def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.operators.prefixsum import global_cumsum
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    cum = global_cumsum(d, "doc_id", "w")
+    grid = (
+        d.agg(F.sum("w").alias("total"))
+        .select(
+            "total",
+            F.explode(
+                F.array(*[F.lit(j).cast("long") for j in range(_PPS_K)])
+            ).alias("j"),
+        )
+        .select(
+            F.col("j").cast("int").alias("sample_idx"),
+            F.expr(f"j * total div {_PPS_K}").alias("pos"),
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(grid),
+            (F.col("pos") >= F.col("cumsum") - F.col("w"))
+            & (F.col("pos") < F.col("cumsum")),
+        )
+        .select("sample_idx", "pos", "doc_id", F.col("w").alias("weight"))
+    )

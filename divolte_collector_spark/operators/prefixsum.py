@@ -34,9 +34,27 @@ def global_cumsum(
     bucket_width: int = 1000,
     out_col: str = "cumsum",
 ) -> DataFrame:
+    """See ``global_cumsum_with_total`` — same scan, total discarded."""
+    return global_cumsum_with_total(
+        df, order_col, value_col, bucket, bucket_width, out_col
+    )[0]
+
+
+def global_cumsum_with_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket: Column | None = None,
+    bucket_width: int = 1000,
+    out_col: str = "cumsum",
+) -> tuple[DataFrame, int | float]:
     """Add ``out_col`` = cumulative sum of ``value_col`` in ``order_col``
     order (inclusive), computed with two partitioned shuffles instead
-    of a single-task global window.
+    of a single-task global window. Also returns the GRAND TOTAL of
+    ``value_col``: the driver-side prefix loop computes it anyway (the
+    final accumulator), so callers that need sum(value) — e.g. to
+    place a sampling grid on the cumulative axis — get it for free
+    instead of paying a second full scan plus a one-partition agg.
 
     ``bucket`` must be monotone non-decreasing in ``order_col``; the
     default buckets a numeric order key by ``bucket_width``. Ties in
@@ -93,8 +111,9 @@ def global_cumsum(
         f"_psb long, _off {off_type}",
     )
     w = Window.partitionBy("_psb").orderBy(order_col)
-    return (
+    out = (
         with_bucket.join(F.broadcast(offset_df), "_psb")
         .withColumn(out_col, F.sum(F.col(value_col)).over(w) + F.col("_off"))
         .drop("_psb", "_off")
     )
+    return out, acc

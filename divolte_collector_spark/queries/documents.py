@@ -3349,24 +3349,20 @@ FROM p JOIN c ON p.pos >= c.cum_hi - c.w AND p.pos < c.cum_hi
 
 @query("sample_pps_systematic", oracle=_PPS_ORACLE)
 def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from divolte_collector_spark.operators.prefixsum import global_cumsum
+    from divolte_collector_spark.operators.prefixsum import (
+        global_cumsum_with_total,
+    )
 
     d = _docs(spark, sf_dir).select(
         "doc_id", F.col("n_chars").cast("long").alias("w")
     )
-    cum = global_cumsum(d, "doc_id", "w")
-    grid = (
-        d.agg(F.sum("w").alias("total"))
-        .select(
-            "total",
-            F.explode(
-                F.array(*[F.lit(j).cast("long") for j in range(_PPS_K)])
-            ).alias("j"),
-        )
-        .select(
-            F.col("j").cast("int").alias("sample_idx"),
-            F.expr(f"j * total div {_PPS_K}").alias("pos"),
-        )
+    # the prefix scan's driver-side bucket loop already computes the
+    # grand total — building the grid from it as literals deletes the
+    # second corpus scan + one-partition agg an F.sum formulation pays
+    cum, total = global_cumsum_with_total(d, "doc_id", "w")
+    grid = spark.createDataFrame(
+        [(j, j * int(total) // _PPS_K) for j in range(_PPS_K)],
+        "sample_idx int, pos long",
     )
     return (
         cum.join(

@@ -10,6 +10,7 @@ hash-gate it end to end.
 
 from __future__ import annotations
 
+import contextlib
 import shutil
 import tempfile
 import uuid
@@ -31,6 +32,53 @@ def _await_or_die(q, seconds: int = 600) -> None:
             f"streaming query {q.name or q.id} did not finish within "
             f"{seconds}s; refusing to read a partial result"
         )
+
+
+# MICROSECONDS: the default JSON timestamp format truncates to ms, and
+# the oracles order/bound by the full-precision ts — one shared literal
+# so the replay path can't silently diverge between queries.
+_REPLAY_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+@contextlib.contextmanager
+def _replayed_json(spark: SparkSession, df: DataFrame):
+    """Replay a batch DataFrame as a file stream: write it to a JSON
+    tempdir (microsecond timestamps) and yield a reader factory —
+    ``read(schema) -> streaming DataFrame`` — so a query can open one
+    or several readStream readers over the same replayed log. The
+    tempdir is removed on exit (memory-sink results survive it)."""
+    tmp = tempfile.mkdtemp(prefix="dvs_replay_")
+    try:
+        df.write.mode("overwrite").option(
+            "timestampFormat", _REPLAY_TS_FMT
+        ).json(tmp)
+
+        def read(schema: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("timestampFormat", _REPLAY_TS_FMT)
+                .json(tmp)
+            )
+
+        yield read
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
+    """availableNow append run into a uniquely-named memory sink; the
+    sink holds the rows after termination, independent of any replay
+    tempdir."""
+    name = prefix + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 600)
+    return spark.table(name)
 
 
 _ORACLE = """
@@ -60,34 +108,14 @@ def stateful_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("ts").alias("client_time"),
     )
-    tmp = tempfile.mkdtemp(prefix="dvs_statefulq_")
-    name = "stateful_labels_" + uuid.uuid4().hex[:8]
-    try:
-        # keep MICROSECONDS: the default JSON timestamp format truncates
-        # to ms, and the oracle orders by the full-precision ts
-        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
-        stream = (
-            spark.readStream.schema(
-                "party_id string, event_id string, client_time timestamp"
-            )
-            .option("timestampFormat", fmt)
-            .json(tmp)
+    with _replayed_json(spark, ev) as read:
+        stream = read(
+            "party_id string, event_id string, client_time timestamp"
         )
-        q = (
-            sessionize_stateful(stream, watermark="0 seconds")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        labeled = sessionize_stateful(stream, watermark="0 seconds")
+        return _run_to_memory(spark, labeled, "stateful_labels_").select(
+            "event_id", "first_in_session"
         )
-        _await_or_die(q, 600)
-        # the memory sink holds the rows after termination; safe to
-        # return directly (independent of the json tempdir)
-        return spark.table(name).select("event_id", "first_in_session")
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _SESSION_WINDOW_STREAM_ORACLE = """
@@ -132,40 +160,24 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_id"),
         F.col("ts").alias("client_time"),
     )
-    tmp = tempfile.mkdtemp(prefix="dvs_sesswin_")
-    name = "sess_windows_" + uuid.uuid4().hex[:8]
-    try:
-        # default JSON timestamp format truncates to milliseconds;
-        # keep microseconds so session bounds match the source exactly
-        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
-        stream = (
-            spark.readStream.schema("user_id string, client_time timestamp")
-            .option("timestampFormat", fmt)
-            .json(tmp)
-        )
+    with _replayed_json(spark, ev) as read:
+        stream = read("user_id string, client_time timestamp")
         sessions = sessionize_stream(
             stream, party_col="user_id", watermark="0 seconds"
         )
-        q = (
+        result = _run_to_memory(
+            spark,
             sessions.select(
                 "user_id", "n_events", "session_start", "session_end"
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            ),
+            "sess_windows_",
         )
-        _await_or_die(q, 600)
-        return spark.table(name).select(
+        return result.select(
             F.col("user_id").cast("long").alias("user_id"),
             "n_events",
             "session_start",
             "session_end",
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _UPSERT_ORACLE = """
@@ -769,20 +781,12 @@ def streaming_interval_join_views(
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    tmp = tempfile.mkdtemp(prefix="dvs_ij_")
-    name = "interval_join_" + uuid.uuid4().hex[:8]
-    try:
-        fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
-        schema = (
-            "event_id long, ts timestamp, user_id long, event_type string"
-        )
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    with _replayed_json(spark, ev) as read:
 
         def read_side(etype: str, id_alias: str, ts_alias: str) -> DataFrame:
             return (
-                spark.readStream.schema(schema)
-                .option("timestampFormat", fmt)
-                .json(tmp)
+                read(schema)
                 .filter(F.col("event_type") == etype)
                 .select(
                     "user_id",
@@ -809,14 +813,4 @@ def streaming_interval_join_views(
                 - F.unix_millis(F.col("view_ts"))
             ).alias("lead_ms"),
         )
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_die(q, 600)
-        return spark.table(name)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        return _run_to_memory(spark, out, "interval_join_")

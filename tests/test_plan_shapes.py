@@ -545,13 +545,12 @@ def test_pps_sampling_two_phase_scan(spark):
     work per fact row, not O(n^2)."""
     df = all_queries()["sample_pps_systematic"].fn(spark, SF)
     plan = explain_formatted(df)
-    # exactly ONE SinglePartition exchange: the one-row corpus-total
-    # aggregate (constant-size partials — scale-safe). The cumulative
-    # axis itself must come from the partitioned two-phase scan, never
-    # a global-ORDER-BY window.
-    assert plan.count("SinglePartition") == plan.count(
-        "Arguments: SinglePartition"
-    ) == 1
+    # ZERO SinglePartition exchanges: the corpus total comes from the
+    # prefix scan's driver-side bucket loop (global_cumsum_with_total),
+    # so there is no second scan and no one-partition total aggregate;
+    # the cumulative axis comes from the partitioned two-phase scan,
+    # never a global-ORDER-BY window.
+    assert "SinglePartition" not in plan
     assert "hashpartitioning(_psb" in plan  # the bucketed window scan
     a = audit(df)
     assert not a.has_cartesian_product

@@ -81,3 +81,46 @@ def qs_value(qs_map: Column, key: str) -> Column:
 def qs_value_list(qs_map: Column, key: str) -> Column:
     """All values for key (uri.query().valueList(k), DslRecordMapping.java:547-551)."""
     return F.element_at(qs_map, F.lit(key))
+
+# --- Python twin of the strict JVM decode (Arrow decode path) ----------------
+
+import re as _re
+
+_PCT_RUN = _re.compile(r"(?:%[0-9a-fA-F]{2})+")
+
+
+def try_url_decode_py(s: "str | None") -> "str | None":
+    """Exact Python twin of ``F.try_url_decode`` (java.net.URLDecoder
+    UTF-8 semantics), used by the Arrow-batched wire decoder so both
+    decode paths agree byte-for-byte:
+
+    - ``+`` -> space;
+    - runs of valid ``%XX`` escapes -> bytes, decoded UTF-8 with
+      U+FFFD replacement (``%FF`` -> one replacement char, exactly
+      java's ``new String(bytes, UTF_8)``);
+    - any stray/truncated/non-hex ``%`` -> None (decode failure);
+    - None -> None.
+
+    Pinned against the JVM function over an adversarial corpus in
+    tests/test_wire_sources.py.
+    """
+    if s is None:
+        return None
+    s = s.replace("+", " ")
+    if "%" not in s:
+        return s
+    out: list[str] = []
+    last = 0
+    for m in _PCT_RUN.finditer(s):
+        seg = s[last : m.start()]
+        if "%" in seg:  # a '%' not opening a valid escape
+            return None
+        out.append(seg)
+        run = m.group(0)
+        out.append(bytes.fromhex(run.replace("%", "")).decode("utf-8", "replace"))
+        last = m.end()
+    seg = s[last:]
+    if "%" in seg:
+        return None
+    out.append(seg)
+    return "".join(out)

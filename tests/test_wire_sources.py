@@ -549,3 +549,126 @@ def test_json_iso_offset_java_parity_matrix(spark):
     # the minute-precision normalization must not shift the instant
     full = got[1].client_time
     assert (full.minute, full.second, full.microsecond) == (4, 0, 0)
+
+
+# --- differential: Arrow decoder vs expression decoder -----------------------
+# parse_browser_events (one mapInPandas crossing) and
+# parse_browser_events_expr (pure expressions) must agree row for row
+# on EVERY field for any input — the expression path is the executable
+# spec; the Arrow path is the production decode.
+
+_ADVERSARIAL_QS = [
+    _GOOD_QS,
+    "", "&", "&&&", "=v", "%", "a%zz=1", "p", "x=", "%=%", "=&==",
+    "p=0:1heitfsl:a&s=0:1heitfsl:b&v=pv&e=ev&c=1heitfsl&n=t&f=f&t=first&t=second",
+    "p=0:1:a&s=0:1:b&v=1&e=1&c=zzzzzzzzzzzzzz&n=t&f=t",   # c overflows long
+    "p=0:1:a&s=0:1:b&v=1&e=1&c=-1&n=t&f=t&w=-zz&h=zzzzzz&k=10",
+    "l=ab%zz&p=0:1:a&s=0:1:b&v=1&e=1&c=1&n=t&f=t",         # bad escape in l
+    "a%zz=1&p=0:1:a&s=0:1:b&v=1&e=1&c=1&n=t&f=t",          # bad escape in key
+    "p=0%3A1%3Aa&s=0:1:b&v=pv%2B1&e=e%20v&c=1&n=t&f=t&u=(dk!16!a!b!)",
+    "p=0:1:a&s=0:1:b&v=1&e=1&c=1&n=t&f=t&u=(!broken",      # bad mincode
+    "p=0:1:a&s=0:1:b&v=1&e=1&c=1&n=x&f=t",                 # n not 't'
+    "x=abc&x=def&p=0:1:a&s=0:1:b&v=1&e=1&c=1&n=t&f=t",     # dup x
+    "t=a+b&p=0:1:a&s=0:1:b&v=1&e=1&c=1&n=t&f=t",           # + is space
+    None,
+]
+
+
+def test_arrow_decoder_matches_expression_decoder(spark):
+    from divolte_collector_spark.sources.browser import (
+        parse_browser_events_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(_ADVERSARIAL_QS)],
+        "row_id long, query_string string",
+    )
+    fast = {
+        r.row_id: r
+        for r in parse_browser_events(df, keep_incomplete=True).collect()
+    }
+    slow = {
+        r.row_id: r
+        for r in parse_browser_events_expr(df, keep_incomplete=True).collect()
+    }
+    assert set(fast) == set(slow) == set(range(len(_ADVERSARIAL_QS)))
+    for i in fast:
+        assert fast[i].asDict(recursive=True) == slow[i].asDict(
+            recursive=True
+        ), (i, _ADVERSARIAL_QS[i])
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(hst.lists(_wire_case(), min_size=10, max_size=20))
+def test_arrow_decoder_matches_expression_decoder_fuzz(spark, cases):
+    from divolte_collector_spark.sources.browser import (
+        parse_browser_events_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c["qs"]) for i, c in enumerate(cases)],
+        "row_id long, query_string string",
+    )
+    fast = {
+        r.row_id: r.asDict(recursive=True)
+        for r in parse_browser_events(df, keep_incomplete=True).collect()
+    }
+    slow = {
+        r.row_id: r.asDict(recursive=True)
+        for r in parse_browser_events_expr(df, keep_incomplete=True).collect()
+    }
+    assert fast == slow
+
+
+def test_try_url_decode_py_matches_jvm(spark):
+    from divolte_collector_spark.functions.querystring import (
+        try_url_decode_py,
+    )
+
+    cases = [
+        "a+b", "a%20b", "ab%zz", "trail%", "%a", "x%gg%1", "%C3%A9",
+        "%FF", "%ff", "", "a%2Bb", "%00", "plain", "%E2%82", "%c3%a9",
+        "+", "%2b%2B", "a%1", "%%20", "a b", "%41%zz", "%41%42",
+        "caf%C3%A9+%26+th%C3%A9", "100%", "a=b", "semi;colon",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    jvm = {
+        r.s: r.d
+        for r in df.select("s", F.try_url_decode("s").alias("d")).collect()
+    }
+    for c in cases:
+        assert try_url_decode_py(c) == jvm[c], c
+    assert try_url_decode_py(None) is None
+
+
+def test_base36_py_twins_match_jvm(spark):
+    from divolte_collector_spark.functions.base36 import (
+        try_parse_base36_int,
+        try_parse_base36_int_py,
+        try_parse_base36_long,
+        try_parse_base36_long_py,
+    )
+
+    cases = [
+        "0", "z", "ZZ", "-1", "1y2p0ij32e8e7", "1y2p0ij32e8e8",  # ±2^63 edge
+        "zzzzzzzzzzzzzz", "-zzzzzzzzzzzzzz", "3w5e11264sgsf",
+        "", "!", "1.5", " 5", "+5", "1_0", "--1", "-", "abc", "ABC",
+        "zik0zj", "zik0zk", "-zik0zj", "-zik0zk",  # ±2^31 edge (int)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    jvm = {
+        r.s: (r.l, r.i)
+        for r in df.select(
+            "s",
+            try_parse_base36_long(F.col("s")).alias("l"),
+            try_parse_base36_int(F.col("s")).alias("i"),
+        ).collect()
+    }
+    for c in cases:
+        assert try_parse_base36_long_py(c) == jvm[c][0], c
+        assert try_parse_base36_int_py(c) == jvm[c][1], c
+    assert try_parse_base36_long_py(None) is None

@@ -65,19 +65,91 @@ def _replayed_json(spark: SparkSession, df: DataFrame):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
+@contextlib.contextmanager
+def _replayed_json_time_ordered(
+    spark: SparkSession, df: DataFrame, ts_col: str, n_files: int = 16
+):
+    """Replay a batch DataFrame as a TIME-ORDERED file stream: range-
+    partition on the event-time column (file k's max ts <= file k+1's
+    min ts), write once, then pin the discovery order (sortable names
+    AND strictly increasing mtimes — FileStreamSource orders new files
+    by modification time with path as tiebreak). Reading the yielded
+    factory with ``maxFilesPerTrigger=1`` gives one micro-batch per
+    time band, so event time advances monotonically across batches and
+    REALISTIC watermarks operate: state eviction actually runs while a
+    batch oracle still predicts the full output (nothing arrives later
+    than the watermark, because the replay is ordered).
+
+    ``_replayed_json`` (unordered, single batch) remains for queries
+    where cross-batch time order is irrelevant.
+    """
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="dvs_replay_ord_")
+    try:
+        (
+            df.repartitionByRange(n_files, F.col(ts_col))
+            .sortWithinPartitions(ts_col)
+            .write.mode("overwrite")
+            .option("timestampFormat", _REPLAY_TS_FMT)
+            .json(tmp)
+        )
+        parts = sorted(
+            f for f in os.listdir(tmp) if f.startswith("part-")
+        )
+        base = None
+        for i, name in enumerate(parts):
+            path = os.path.join(tmp, name)
+            if base is None:
+                base = os.stat(path).st_mtime
+            os.utime(path, (base + i, base + i))
+
+        def read(schema: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("timestampFormat", _REPLAY_TS_FMT)
+                .option("maxFilesPerTrigger", 1)
+                .json(tmp)
+            )
+
+        yield read
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(
+    spark: SparkSession,
+    out: DataFrame,
+    prefix: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """availableNow append run into a uniquely-named memory sink; the
     sink holds the rows after termination, independent of any replay
-    tempdir."""
+    tempdir.
+
+    ``state_partitions`` pins spark.sql.shuffle.partitions for THIS
+    stream only (captured at .start(), restored after termination):
+    a many-micro-batch replay pays the per-batch state-store task
+    overhead times the partition count, so a 16-batch harness run at
+    32 partitions spends ~all its time on empty state tasks. Purely a
+    harness knob — on a real cluster the state partition count is a
+    deployment setting sized to the key cardinality."""
     name = prefix + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_die(q, 600)
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    try:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, str(state_partitions))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+    finally:
+        spark.conf.set(conf_key, prev)
     return spark.table(name)
 
 
@@ -744,14 +816,16 @@ def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB/day stream where an unbounded join would not
 # (streaming/ingest.py:interval_join_streams).
 #
-# Watermark choice: the source is replayed as files with NO time
-# ordering across micro-batches, so a short watermark could evict a
-# buffered view before a straggler purchase file arrives and silently
-# drop matches the batch oracle finds. The test harness therefore uses
-# a delay longer than the dataset's whole time span (the production
-# knob is interval_join_streams' watermark parameter); the join
-# CONDITION, the dual watermarks, and the append-mode emission path
-# are all still exercised.
+# Watermark choice: the replay is TIME-ORDERED (one range-partitioned
+# file per micro-batch, _replayed_json_time_ordered), so a realistic
+# 45-minute watermark runs under the oracle: the watermark advances
+# with every file, buffered views are EVICTED once it passes
+# view_ts + 30min, and no match is lost because every later file holds
+# only later event times (a purchase needing an evicted view would
+# itself be behind the watermark). The state bound that makes this
+# operator 100 TB-safe is therefore exercised by the gate itself —
+# tests/test_streaming.py additionally pins that state row counts
+# plateau far below the stream's total row count.
 
 _IJ_ORACLE = """
 WITH p AS (
@@ -782,7 +856,7 @@ def streaming_interval_join_views(
         "event_id", "ts", "user_id", "event_type"
     )
     schema = "event_id long, ts timestamp, user_id long, event_type string"
-    with _replayed_json(spark, ev) as read:
+    with _replayed_json_time_ordered(spark, ev, "ts", n_files=8) as read:
 
         def read_side(etype: str, id_alias: str, ts_alias: str) -> DataFrame:
             return (
@@ -802,7 +876,7 @@ def streaming_interval_join_views(
             left_ts="purchase_ts",
             right_ts="view_ts",
             max_delay="30 minutes",
-            watermark="3650 days",  # > data span; see module comment
+            watermark="45 minutes",  # realistic; see comment above
         )
         out = joined.select(
             F.col("l.user_id").alias("user_id"),
@@ -813,4 +887,6 @@ def streaming_interval_join_views(
                 - F.unix_millis(F.col("view_ts"))
             ).alias("lead_ms"),
         )
-        return _run_to_memory(spark, out, "interval_join_")
+        return _run_to_memory(
+            spark, out, "interval_join_", state_partitions=8
+        )

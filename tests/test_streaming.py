@@ -383,3 +383,79 @@ def test_write_avro_files_null_field_and_incremental_blocks(spark, tmp_path):
     by_party = {r["party_id"]: r for r in recs}
     assert by_party["p1"]["w"] == 5 and by_party["p2"]["w"] is None
     assert not [f for f in os.listdir(out) if f.endswith(".partial")]
+
+
+def test_interval_join_watermark_evicts_state(spark):
+    """The time-ordered replay + a realistic 45-minute watermark must
+    actually EVICT buffered rows as the watermark advances — the state
+    bound that makes the stream-stream interval join 100 TB-safe. The
+    gate (streaming_interval_join_views) proves output correctness;
+    this pins the mechanism: state row counts plateau far below the
+    stream's total row count, and rows are removed along the way."""
+    from divolte_collector_spark.queries.streaming_ext import (
+        _await_or_die,
+        _replayed_json_time_ordered,
+    )
+    from divolte_collector_spark.session import load_table
+    from divolte_collector_spark.streaming.ingest import interval_join_streams
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n_views = ev.filter(F.col("event_type") == "view").count()
+    n_buys = ev.filter(F.col("event_type") == "purchase").count()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with _replayed_json_time_ordered(spark, ev, "ts", n_files=8) as read:
+
+        def side(etype, id_alias, ts_alias):
+            return (
+                read(schema)
+                .filter(F.col("event_type") == etype)
+                .select(
+                    "user_id",
+                    F.col("event_id").alias(id_alias),
+                    F.col("ts").alias(ts_alias),
+                )
+            )
+
+        joined = interval_join_streams(
+            side("purchase", "purchase_id", "purchase_ts"),
+            side("view", "view_id", "view_ts"),
+            key="user_id",
+            left_ts="purchase_ts",
+            right_ts="view_ts",
+            max_delay="30 minutes",
+            watermark="45 minutes",
+        )
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                joined.select("purchase_id", "view_id")
+                .writeStream.format("memory")
+                .queryName("ssj_evict")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_die(q, 300)
+            progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert progress, "no state-operator progress captured"
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progress
+    )
+    # eviction actually ran...
+    assert removed > 0, totals
+    # ...and bounded the state: never close to buffering the whole
+    # stream (both sides buffer; without eviction state would reach
+    # n_views + n_buys by the last batch)
+    assert max(totals) < (n_views + n_buys) / 2, (
+        max(totals),
+        n_views,
+        n_buys,
+    )

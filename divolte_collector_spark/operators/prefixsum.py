@@ -26,12 +26,30 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: driver-side bucket budget for the adaptive width: the prefix loop
+#: and the broadcast offset dimension stay ~10k rows at ANY key range
+#: (10B docs or 10 — the serial step is scale-invariant)
+_TARGET_BUCKETS = 10_000
+
+
+def _derive_bucket_width(df: DataFrame, order_col: str) -> float:
+    """Bucket width from the order key's observed span (one
+    column-pruned min/max aggregate), targeting ``_TARGET_BUCKETS``.
+    A float width keeps fractional order keys multi-bucket; any
+    positive width is monotone under ``(col / width).cast("long")``."""
+    lo, hi = df.agg(
+        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    ).first()
+    span = 0.0 if lo is None else float(hi) - float(lo)
+    return (span / _TARGET_BUCKETS) or 1.0
+
+
 def global_cumsum(
     df: DataFrame,
     order_col: str,
     value_col: str,
     bucket: Column | None = None,
-    bucket_width: int = 1000,
+    bucket_width: int | None = None,
     out_col: str = "cumsum",
 ) -> DataFrame:
     """See ``global_cumsum_with_total`` — same scan, total discarded."""
@@ -45,7 +63,7 @@ def global_cumsum_with_total(
     order_col: str,
     value_col: str,
     bucket: Column | None = None,
-    bucket_width: int = 1000,
+    bucket_width: int | None = None,
     out_col: str = "cumsum",
 ) -> tuple[DataFrame, int | float]:
     """Add ``out_col`` = cumulative sum of ``value_col`` in ``order_col``
@@ -57,7 +75,13 @@ def global_cumsum_with_total(
     instead of paying a second full scan plus a one-partition agg.
 
     ``bucket`` must be monotone non-decreasing in ``order_col``; the
-    default buckets a numeric order key by ``bucket_width``. Ties in
+    default buckets a numeric order key by ``bucket_width``. When
+    ``bucket_width`` is None (the default) it is DERIVED from the
+    order key's span — min/max via one column-pruned aggregate, a
+    width targeting ``_TARGET_BUCKETS`` — so the driver-side prefix
+    loop collects ~10k bucket totals regardless of key range. A fixed
+    width would make the "small" serial step grow with the key space
+    (10B row ids / 1000 = 10M rows to the driver per query). Ties in
     ``order_col`` are broken deterministically only if the key is
     unique — supply a unique key (the usual case: a row id).
 
@@ -66,6 +90,8 @@ def global_cumsum_with_total(
     first); within it all rows tie, so they share one cumulative value
     — exactly the RANGE-frame peer behavior of the naive window.
     """
+    if bucket is None and bucket_width is None:
+        bucket_width = _derive_bucket_width(df, order_col)
     b = bucket if bucket is not None else (F.col(order_col) / bucket_width).cast(
         "long"
     )

@@ -62,3 +62,37 @@ def test_global_cumsum_fractional_values(spark):
         ).collect()
     }
     assert out == {0: 0.5, 1: 1.0, 2: 1.5}
+
+
+def test_adaptive_bucket_width_bounds_driver_step(spark):
+    """The default (no bucket, no width) derives the bucket width from
+    the key span: ~10k buckets whether the key range is 200 or 10^8 —
+    the driver-side prefix loop must NOT grow with the key space."""
+    from divolte_collector_spark.operators.prefixsum import (
+        _TARGET_BUCKETS,
+        _derive_bucket_width,
+        global_cumsum,
+    )
+
+    # keys sparse over a 10^8 range: a fixed width of 1000 would make
+    # 10^5 buckets; the derived width keeps it at the target
+    df = spark.range(0, 2000).select(
+        (F.col("id") * 50_000).alias("k"), F.lit(1).alias("v")
+    )
+    width = _derive_bucket_width(df, "k")
+    span = (2000 - 1) * 50_000
+    n_buckets = span / width + 1
+    assert n_buckets <= _TARGET_BUCKETS + 2, (width, n_buckets)
+
+    got = {
+        r.k: r.cumsum for r in global_cumsum(df, "k", "v").collect()
+    }
+    assert got[0] == 1
+    assert got[50_000 * 1999] == 2000
+
+    # tiny span (fractional keys): still multi-bucket-safe and correct
+    df2 = spark.range(0, 100).select(
+        (F.col("id") / 1000.0).alias("k"), F.lit(1).alias("v")
+    )
+    got2 = {r.k: r.cumsum for r in global_cumsum(df2, "k", "v").collect()}
+    assert got2[0.099] == 100

@@ -33,8 +33,14 @@ _EVENT_FIELDS = (
 
 
 def _field_types() -> dict[str, str]:
+    # parse with the real DDL parser: a split-on-', ' parse would
+    # silently corrupt the schema the moment a parameterized type
+    # (decimal(10,2), map<string,string>) joins the event surface
+    from pyspark.sql.types import StructType
+
     return {
-        f.split()[0]: f.split(maxsplit=1)[1] for f in _EVENT_FIELDS.split(", ")
+        f.name: f.dataType.simpleString()
+        for f in StructType.fromDDL(_EVENT_FIELDS).fields
     }
 
 

@@ -63,6 +63,17 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
         if os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE"):
             return fn(spark, sf_dir)
         app_id = spark.sparkContext.applicationId
+        # evict dead applications' plans on EVERY call (hit or miss):
+        # a process that restarts sessions but then only gets cache
+        # hits would otherwise pin DataFrames (and their JVM plans) of
+        # stopped sessions forever
+        stale = [k for k in _PLAN_CACHE if k[0] != app_id]
+        for k in stale:
+            del _PLAN_CACHE[k]
+        if stale:
+            # path signatures cached under the old app may hold stat
+            # snapshots from before the restart; re-sign from scratch
+            sess._SIG_CACHE.clear()
         key = (app_id, sf_dir, name)
         hit = _PLAN_CACHE.get(key)
         if hit is not None:
@@ -84,9 +95,6 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
             df = fn(spark, sf_dir)
         finally:
             sess.pop_dep_frame(frame)
-        # bound the cache by the live application's plans
-        for k in [k for k in _PLAN_CACHE if k[0] != app_id]:
-            del _PLAN_CACHE[k]
         _PLAN_CACHE[key] = (df, tuple(frame))
         return df
 

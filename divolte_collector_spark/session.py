@@ -234,7 +234,11 @@ def push_dep_frame() -> list:
 def pop_dep_frame(frame: list) -> None:
     if _DEP_STACK and _DEP_STACK[-1] is frame:
         _DEP_STACK.pop()
-    elif frame in _DEP_STACK:  # defensive: unwind past it
+    # identity, not equality: frames are often empty lists, and `in`
+    # compares by == — an empty frame would match ANY other empty
+    # frame and the unwind could pop the wrong frames in exactly the
+    # abnormal case this branch defends against
+    elif any(f is frame for f in _DEP_STACK):  # defensive: unwind past it
         while _DEP_STACK and _DEP_STACK[-1] is not frame:
             _DEP_STACK.pop()
         if _DEP_STACK:

@@ -282,6 +282,17 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification joins the per-doc shingle ARRAYS already computed in
     # doc_agg (|docs| rows, no extra pass over the exploded relation)
     # and intersects in-memory, bounded by document length.
+    #
+    # Scale note (measured on the 100x curve, 550k docs): the curve's
+    # replicas are text near-dups (J ~ 0.96), so the TRUE pair set —
+    # and therefore the candidate set and the output — grows as
+    # replicas^2 (46M verified pairs at 100x, from 549k distinct
+    # shingle sets). That tail is output-proportional, not a plan
+    # defect; an exact-set collapse (group by the canonical shingle
+    # array, band only representatives) was tried and REGRESSED here
+    # (+ one array-keyed shuffle, ~0 collapse: the corpus has almost
+    # no byte-identical sets) — it only pays on corpora with heavy
+    # EXACT duplication, where dedup_exact should run first anyway.
     doc_sh = doc_agg.select("doc_id", "shs", "n_sh")
     a = doc_sh.select(
         F.col("doc_id").alias("doc_a"),
@@ -2283,8 +2294,17 @@ def _lsh_doc_agg(docs: DataFrame) -> DataFrame:
 
 
 def _lsh_bands(doc_agg: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) — 8 bands x 2 rows per document."""
+    """(doc_id, band_id, band_key) — 8 bands x 2 rows per document.
+
+    band_key is the two 31-bit min-hashes PACKED into one long
+    (hi << 31 | lo < 2^62): equality of the packed long is exactly
+    equality of the (mh_hi, mh_lo) pair, so the candidate join is
+    unchanged, but the band shuffle ships 8 bytes per row instead of a
+    ~20-byte "123456789|987654321" string and hashes a long instead of
+    a string (the band join is the big shuffle of the 100x curve).
+    """
     rows_per_band = MINHASH_K // LSH_BANDS
+    assert rows_per_band == 2, "packed band_key assumes 2 rows/band"
     return doc_agg.select(
         "doc_id",
         F.explode(
@@ -2292,14 +2312,9 @@ def _lsh_bands(doc_agg: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).cast("int").alias("band_id"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh{h}").cast("string")
-                                for h in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ],
+                        (
+                            F.shiftleft(F.col(f"mh{2 * b}"), 31)
+                            + F.col(f"mh{2 * b + 1}")
                         ).alias("band_key"),
                     )
                     for b in range(LSH_BANDS)
@@ -2314,8 +2329,12 @@ def q_sig_index_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    # by doc_id (not round-robin): the partitioning survives both the
+    # split filters and the shingle explode, so BOTH _lsh_doc_agg
+    # groupBys aggregate without an exchange (same rationale as
+    # minhash_verified_pairs)
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     hist = planted.filter(F.col("doc_id") < _INCR_SPLIT)
     batch = planted.filter(F.col("doc_id") >= _INCR_SPLIT)

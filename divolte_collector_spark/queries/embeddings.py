@@ -2039,6 +2039,15 @@ def _nnd_final_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both init halves are O(n*K) edge enumerations — the label ring is
     rank-adjacency inside the bucket (one window + one equi-join on
     (label, rn)), never a within-bucket pair scoring."""
+    return _nnd_graphs(spark, sf_dir, rounds=2)[-1]
+
+
+def _nnd_graphs(
+    spark: SparkSession, sf_dir: str, rounds: int = 2
+) -> "list[DataFrame]":
+    """Per-round NN-Descent graphs [g0, g1, ..., g_rounds] (g0 = the
+    scored init ring) — the convergence query gates the whole recall
+    SEQUENCE, the graph/recall queries consume only the final round."""
     from pyspark.sql import Window
 
     e = (
@@ -2095,7 +2104,8 @@ def _nnd_final_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     init = label_ring.union(global_ring).distinct()
     g = _nnd_score_topk(init, e)
-    for _ in range(2):
+    graphs = [g]
+    for _ in range(rounds):
         # Lineage truncation between rounds (the GraphX/Pregel
         # checkpoint discipline for iterative plans): every DataFrame
         # reference to the previous round CLONES its whole logical
@@ -2117,7 +2127,8 @@ def _nnd_final_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = two_hop.union(und).distinct()
         g = _nnd_score_topk(cand, e)
-    return g
+        graphs.append(g)
+    return graphs
 
 
 @query("vector_nn_descent_graph", oracle=_NND_ORACLE)
@@ -2189,6 +2200,107 @@ def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hits").cast("int").alias("n_hits"),
             F.expr(f"_hits * 1000000L div {_NND_K}").alias("recall_ppm"),
         )
+    )
+
+
+# Convergence: the graph family's accuracy story as a CURVE (like the
+# IVF recall-vs-probes frontier), not a single point — per-round
+# aggregate recall@K over the fixed probe set for init + 3 rounds.
+# Integer-exact end to end (total hits, ppm via integer DIV by the
+# exact-pair count).
+
+_NND_CONV_ROUNDS = 3
+
+_NND_CONVERGENCE_ORACLE = (
+    _NND_GRAPH_CTES
+    + f""",
+{_nnd_round_sql("g2", "g3", "u3", "c3")},
+probes AS (SELECT vec_id, emb FROM e WHERE vec_id < {_NND_PROBES}),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.emb, c.emb) DESC,
+                            c.vec_id) AS rnk
+        FROM probes p JOIN e c ON c.vec_id <> p.vec_id) x
+    WHERE rnk <= {_NND_K}
+),
+denom AS (SELECT count(*) AS n_exact FROM exact),
+per_round(round_id, n_hits) AS (
+    SELECT 0, count(*) FROM exact ex
+        JOIN g0 g ON g.src = ex.query_id AND g.dst = ex.neighbor_id
+    UNION ALL SELECT 1, count(*) FROM exact ex
+        JOIN g1 g ON g.src = ex.query_id AND g.dst = ex.neighbor_id
+    UNION ALL SELECT 2, count(*) FROM exact ex
+        JOIN g2 g ON g.src = ex.query_id AND g.dst = ex.neighbor_id
+    UNION ALL SELECT 3, count(*) FROM exact ex
+        JOIN g3 g ON g.src = ex.query_id AND g.dst = ex.neighbor_id
+)
+SELECT CAST(round_id AS INT) AS round_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000000 // denom.n_exact AS BIGINT) AS recall_ppm
+FROM per_round CROSS JOIN denom
+"""
+)
+
+
+@query("vector_nn_descent_convergence", oracle=_NND_CONVERGENCE_ORACLE)
+def q_nn_descent_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K vs NN-Descent round (0 = scored init ring, then 3
+    rounds): the gated monotone accuracy curve for the graph-ANN
+    family. Each round's plan stays constant-size via the detached
+    per-round edge lists (_nnd_graphs), so extending the curve one
+    round costs one more bounded join round, not a deeper lineage.
+    tests/test_scale_equivalences.py asserts the sequence is
+    non-decreasing and strictly improves over the init ring."""
+    from pyspark.sql import Window
+
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+    probes = e.filter(F.col("vec_id") < _NND_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    exact = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _NND_K)
+        .select("query_id", "neighbor_id")
+    )
+    # score the probe pairs once, reuse across all four round joins
+    exact = detach_result(spark, exact)
+    denom = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    per_round = None
+    for r, g in enumerate(_nnd_graphs(spark, sf_dir, _NND_CONV_ROUNDS)):
+        gp = g.filter(F.col("src") < _NND_PROBES).select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("neighbor_id"),
+        )
+        hits = exact.join(gp, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = hits.select(F.lit(r).cast("int").alias("round_id"), "n_hits")
+        per_round = row if per_round is None else per_round.unionByName(row)
+    return per_round.crossJoin(F.broadcast(denom)).select(
+        "round_id",
+        "n_hits",
+        F.expr("n_hits * 1000000L div n_exact").alias("recall_ppm"),
     )
 
 

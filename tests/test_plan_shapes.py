@@ -221,6 +221,9 @@ def test_every_gated_query_scale_discipline(spark):
         # the 50-probe exact ground-truth scan (the kNN baseline shape)
         # the NN-Descent graph's recall is measured against
         "vector_nn_descent_recall",
+        # same exact ground-truth scan, reused across the 4-round
+        # convergence curve (scored once, detached)
+        "vector_nn_descent_convergence",
         # 20-row systematic-grid broadcast into the interval-
         # containment join (tiny-broadcast range-join shape)
         "sample_pps_systematic",
@@ -471,6 +474,20 @@ def test_nn_descent_rounds_are_equi_joins(spark):
     assert not r.has_cartesian_product
     plan_r = explain_formatted(rdf)
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan_r)) == 1
+    # the 4-round convergence curve must stay flat too: every round's
+    # graph AND the exact probe set are detached, so the final plan is
+    # four bounded hit-count joins over scans — adding a round extends
+    # the curve without deepening any lineage
+    cdf = all_queries()["vector_nn_descent_convergence"].fn(spark, SF)
+    c = audit(cdf)
+    assert not c.has_cartesian_product
+    plan_c = explain_formatted(cdf)
+    node_ids_c = [int(m) for m in re.findall(r"\((\d+)\) \w", plan_c)]
+    # ~64 nodes per round-join x 4 rounds (measured 255 total); the
+    # un-truncated formulation measured 2,360 nodes for TWO rounds
+    assert max(node_ids_c) < 320, (
+        f"convergence plan grew to {max(node_ids_c)} nodes"
+    )
 
 def test_ivf_incremental_append_leaves_history(spark, tmp_path):
     """The per-ingest step must be O(batch): history part-files stay

@@ -114,3 +114,23 @@ def test_cms_min_upper_bounds_every_true_count(spark):
         assert upper[tok] >= n, (tok, upper[tok], n)
     # and with W=32 there ARE collisions, so the bound is doing work
     assert any(upper[t] > true_counts[t] for t in true_counts)
+
+
+def test_nn_descent_recall_curve_is_monotone(spark):
+    """The gated convergence curve (vector_nn_descent_convergence) must
+    be non-decreasing round over round and strictly better than the
+    init ring by the final round: each round's per-node top-K is taken
+    over a candidate superset of the previous round's edges, so
+    neighbor quality can only improve (deterministic tiebreaks)."""
+    from divolte_collector_spark.queries.embeddings import (
+        q_nn_descent_convergence,
+    )
+
+    rows = sorted(
+        q_nn_descent_convergence(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.round_id,
+    )
+    assert [r.round_id for r in rows] == [0, 1, 2, 3]
+    recalls = [r.recall_ppm for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] > recalls[0], recalls

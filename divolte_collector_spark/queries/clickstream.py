@@ -199,7 +199,7 @@ GROUP BY a.day
 """
 
 
-@query("day1_retention", oracle=_RETENTION_ORACLE)
+@query("retention_day1", oracle=_RETENTION_ORACLE)
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         _events(spark, sf_dir)

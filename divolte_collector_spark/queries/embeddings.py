@@ -1730,7 +1730,7 @@ FROM cand c JOIN hits h ON h.probes = c.probes
 """
 
 
-@query("vector_recall_probe_frontier", oracle=_FRONTIER_ORACLE)
+@query("ann_recall_probe_frontier", oracle=_FRONTIER_ORACLE)
 def q_recall_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF recall/cost frontier. Scale shape: candidates
     are scored ONCE with their probe_rank attached (the rank of the

@@ -217,7 +217,7 @@ def test_every_gated_query_scale_discipline(spark):
         "timeseries_similarity_topk",
         # contains the exact ground-truth scan (the kNN baseline shape)
         # the frontier's recall is measured against
-        "vector_recall_probe_frontier",
+        "ann_recall_probe_frontier",
         # the 50-probe exact ground-truth scan (the kNN baseline shape)
         # the NN-Descent graph's recall is measured against
         "vector_nn_descent_recall",
@@ -428,7 +428,7 @@ def test_recall_frontier_scores_once_broadcasts_probes(spark):
     re-scoring or shuffle-join formulation would multiply the 100 TB
     scoring pass by the number of probe settings."""
     plan = explain_formatted(
-        all_queries()["vector_recall_probe_frontier"].fn(spark, SF)
+        all_queries()["ann_recall_probe_frontier"].fn(spark, SF)
     )
     # every join in the plan is a broadcast equi-join (cell scoring,
     # hits semi-join, tiny cand/hits merge) except the one documented

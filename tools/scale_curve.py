@@ -39,7 +39,7 @@ CURVE_QUERIES = [
     "pack_sequences_ffd",        # salted-bucket window + closed-form pack
     "text_line_dedup",           # keeper-relation line dedup, 2 shuffles
     "snapshot_diff_docs",        # full outer join on md5, 2 shuffles
-    "vector_recall_probe_frontier",  # score-once multi-probe IVF + exact baseline
+    "ann_recall_probe_frontier",  # score-once multi-probe IVF + exact baseline
     "vector_nn_descent_graph",   # bounded-init graph rounds, detached lineage
     "vector_index_incremental_append",  # frozen-centroid assign + probe
     "text_rerank_stage",         # corpus-wide sparse pass + Q*N rerank

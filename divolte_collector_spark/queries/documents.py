@@ -320,6 +320,122 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(spark, sf_dir)
 
 
+# --- containment pairs (asymmetric near-dup) ---------------------------------
+# Jaccard misses the quote/subset case a training corpus cares about: a
+# short document wholly CONTAINED in a long one has low jaccard (the
+# union is large) but containment |A∩B| / min(|A|,|B|) ~ 1. Same LSH
+# candidate machinery, different verification measure; the planted
+# corpus (each planted doc = an original minus its first two tokens) is
+# exactly this shape. Integer-exact gate: containment in ppm by
+# integer DIV — no float crosses the engines.
+
+_CONTAINMENT_MIN_PPM = 600_000
+
+_CONTAINMENT_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+sh AS ({_SHINGLE_SQL}),
+seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
+sh2 AS (
+    SELECT doc_id, shingle,
+           CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                % {_MH_MOD} AS BIGINT) AS hsh
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, h, min((a * hsh + b) % {_MH_P}) AS mh
+    FROM sh2 CROSS JOIN seeds
+    GROUP BY doc_id, h
+),
+band AS (
+    SELECT doc_id, h // {MINHASH_K // LSH_BANDS} AS band_id,
+           string_agg(mh::VARCHAR, '|' ORDER BY h) AS band_key
+    FROM sig GROUP BY doc_id, band_id
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT common.doc_a AS doc_a, common.doc_b AS doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(least(ca.n_sh, cb.n_sh) AS BIGINT) AS n_small,
+       CAST(n_common * 1000000 // least(ca.n_sh, cb.n_sh) AS BIGINT)
+           AS containment_ppm
+FROM common
+JOIN counts ca ON ca.doc_id = common.doc_a
+JOIN counts cb ON cb.doc_id = common.doc_b
+WHERE n_common * 1000000 // least(ca.n_sh, cb.n_sh) >= {_CONTAINMENT_MIN_PPM}
+"""
+
+
+@query("text_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: LSH band candidates (shared
+    machinery with dedup_minhash_lsh), verified by the ASYMMETRIC
+    measure |A∩B| / min(|A|,|B|) — the subset/quote detector jaccard
+    can't express. Same scale shape as the jaccard verify: bucketed
+    candidates only, arrays intersected in-memory, threshold pushed
+    into the verify stage so downstream only sees real containments."""
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    doc_agg = _lsh_doc_agg(planted).persist()
+    band = _lsh_bands(doc_agg)
+    ba, bb = band.alias("ba"), band.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    doc_sh = doc_agg.select("doc_id", "shs", "n_sh")
+    a = doc_sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = doc_sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
+        "long"
+    )
+    n_small = F.least(F.col("n_a"), F.col("n_b")).cast("long")
+    ppm = F.expr(
+        "size(array_intersect(shs_a, shs_b)) * 1000000L"
+        " div least(n_a, n_b)"
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_small.alias("n_small"),
+            ppm.alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= _CONTAINMENT_MIN_PPM)
+    )
+
+
 # --- near-dup clustering: connected components over LSH pairs ---------------
 
 _CC_ORACLE = f"""

@@ -890,3 +890,144 @@ def streaming_interval_join_views(
         return _run_to_memory(
             spark, out, "interval_join_", state_partitions=8
         )
+
+
+# --- late-data drop under a windowed aggregation ------------------------------
+# The half of the watermark contract the interval-join gate doesn't
+# cover: rows arriving AFTER the watermark passed their window must be
+# DROPPED from an event-time aggregation (not merged, not crashing).
+# Deterministic construction so a batch oracle predicts the exact
+# surviving counts:
+#   - arrival order = calendar day of `ts` (one file per day, replayed
+#     one micro-batch per file);
+#   - event time `et` = ts, except a fixed 1-in-17 subset arrives
+#     3 hours late (et = ts - 3h) — rows near the start of a day land
+#     behind the watermark established by the previous day's maximum;
+#   - watermark delay 1 hour on `et`, tumbling 1-hour windows.
+# Spark semantics mirrored in SQL (empirically pinned on this Spark
+# via three controlled probes — see tests/test_streaming.py):
+#   W_k = max(et over batches < k) - delay (the value each batch's
+#   progress reports). State EVICTION+EMISSION during batch k uses
+#   W_k (windows with end <= W_k emit, inclusive), but the LATE-ROW
+#   FILTER lags one batch: a row in batch k is dropped iff its
+#   window end <= W_{k-1} — i.e. only rows whose window was already
+#   emitted in an EARLIER batch drop (a late row landing in the very
+#   batch that evicts its window still counts; numRowsDroppedByWatermark
+#   confirms). availableNow runs a final empty batch, so the last
+#   emission uses W_final = global max(et) - delay; windows ending
+#   after that stay in state and never emit.
+
+_LATE_DELAY_MS = 3_600_000  # 1 hour watermark delay
+_LATE_SHIFT_MS = 10_800_000  # late rows arrive 3 hours late
+
+_LATE_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, ts,
+           day(ts) AS arrival_day,
+           CASE WHEN event_id % 17 = 0
+                THEN ts - INTERVAL 3 HOUR ELSE ts END AS et
+    FROM events
+),
+batch_max AS (
+    SELECT arrival_day, max(epoch_ms(et)) AS m
+    FROM ev GROUP BY arrival_day
+),
+wm AS (
+    -- the late-row filter's watermark lags eviction by one batch:
+    -- W_{{k-1}} = max over batches <= k-2
+    SELECT arrival_day,
+           coalesce(max(m) OVER (ORDER BY arrival_day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 2 PRECEDING), 0)
+               - {_LATE_DELAY_MS} AS filter_wm_ms
+    FROM batch_max
+),
+kept AS (
+    SELECT e.event_type,
+           epoch_ms(time_bucket(INTERVAL 1 HOUR, e.et)) AS win_ms
+    FROM ev e JOIN wm w ON w.arrival_day = e.arrival_day
+    WHERE epoch_ms(time_bucket(INTERVAL 1 HOUR, e.et)) + 3600000
+          > w.filter_wm_ms
+),
+final_wm AS (
+    SELECT max(epoch_ms(et)) - {_LATE_DELAY_MS} AS wm_ms FROM ev
+)
+SELECT make_timestamp(win_ms * 1000) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM kept CROSS JOIN final_wm
+WHERE win_ms + 3600000 <= final_wm.wm_ms
+GROUP BY win_ms, event_type
+"""
+
+
+@query("streaming_late_data_drop", oracle=_LATE_ORACLE)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="dvs_late_")
+    try:
+        # one file per calendar day, discovery-ordered by day: hash
+        # the 30 distinct days over 30 tasks => exactly one part file
+        # per day directory, then flatten to sortable names with
+        # increasing mtimes (same discipline as
+        # _replayed_json_time_ordered, but the bucketing must be
+        # DETERMINISTIC — range-partition boundaries are sampled, so
+        # the oracle could not reproduce them)
+        (
+            ev.withColumn("_day", F.dayofmonth("ts"))
+            .repartition(31, "_day")
+            .write.mode("overwrite")
+            .option("timestampFormat", _REPLAY_TS_FMT)
+            .partitionBy("_day")
+            .json(tmp)
+        )
+        base = None
+        i = 0
+        for day_dir in sorted(
+            d for d in os.listdir(tmp) if d.startswith("_day=")
+        ):
+            day = int(day_dir.split("=")[1])
+            parts = [
+                f
+                for f in os.listdir(os.path.join(tmp, day_dir))
+                if f.startswith("part-")
+            ]
+            assert len(parts) == 1, (day_dir, parts)
+            dst = os.path.join(tmp, f"{day:02d}.json")
+            os.rename(os.path.join(tmp, day_dir, parts[0]), dst)
+            if base is None:
+                base = os.stat(dst).st_mtime
+            os.utime(dst, (base + day, base + day))
+            i += 1
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string"
+            )
+            .option("timestampFormat", _REPLAY_TS_FMT)
+            .option("maxFilesPerTrigger", 1)
+            .json(tmp)
+        )
+        et = F.when(
+            F.col("event_id") % 17 == 0,
+            F.timestamp_millis(F.unix_millis("ts") - _LATE_SHIFT_MS),
+        ).otherwise(F.col("ts"))
+        agg = (
+            stream.withColumn("et", et)
+            .withWatermark("et", "1 hour")
+            .groupBy(F.window("et", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        return _run_to_memory(
+            spark, agg, "late_drop_", state_partitions=8
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

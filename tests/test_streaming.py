@@ -459,3 +459,69 @@ def test_interval_join_watermark_evicts_state(spark):
         n_views,
         n_buys,
     )
+
+
+def test_windowed_agg_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
+    """Pins the watermark semantics the streaming_late_data_drop oracle
+    encodes (probed on this Spark): with per-batch watermarks W_k =
+    max(et over batches < k) - delay, eviction+emission during batch k
+    uses W_k (inclusive), but the LATE-ROW FILTER uses W_{k-1} — a
+    late row landing in the very batch that evicts its window still
+    counts; only rows whose window was emitted in an EARLIER batch are
+    dropped (numRowsDroppedByWatermark)."""
+    import json
+    import os
+    import time as _time
+
+    d = str(tmp_path)
+
+    def wr(name, rows, mt):
+        p = os.path.join(d, name)
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (mt, mt))
+
+    base = _time.time() - 1000
+    wr("01.json", [{"id": 1, "et": "2024-01-01 09:10:00"}], base + 1)
+    # batch 1: W_1 = 08:10 — nothing evictable
+    wr("02.json", [{"id": 2, "et": "2024-01-01 12:00:00"}], base + 2)
+    # batch 2: W_2 = 11:00 -> [09,10) evicted+emitted THIS batch; a
+    # late row here would still merge (filter uses W_1 = 08:10)
+    wr("03.json", [
+        {"id": 3, "et": "2024-01-01 09:40:00"},  # merges, not dropped
+        {"id": 4, "et": "2024-01-01 13:00:00"},
+    ], base + 3)
+    # batch 3: W_3 = 12:00; [09,10) emitted in batch 2 -> DROPPED
+    wr("04.json", [{"id": 5, "et": "2024-01-01 09:50:00"}], base + 4)
+
+    stream = (
+        spark.readStream.schema("id long, et timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    agg = (
+        stream.withWatermark("et", "1 hour")
+        .groupBy(F.window("et", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = "wm_semantics_pin"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    out = {r.ws.hour: r.n for r in spark.table(name).collect()}
+    # [09,10) emitted ONCE with the batch-2 late row merged in (n=2);
+    # the batch-3 row for the same window was dropped, not re-emitted
+    assert out[9] == 2, out
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert dropped == 1

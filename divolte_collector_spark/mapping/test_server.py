@@ -75,7 +75,7 @@ def run_mapping_test(
 ) -> dict[str, Any]:
     """Run one synthetic event through a mapping; return the mapped
     record as a plain dict (absent fields carry schema defaults)."""
-    base = {f.split()[0]: None for f in _EVENT_FIELDS.split(", ")}
+    base = {name: None for name in _field_types()}
     unknown = set(event) - set(base)
     if unknown:
         raise ValueError(f"unknown event fields: {sorted(unknown)}")

@@ -231,37 +231,37 @@ JOIN counts cb ON cb.doc_id = common.doc_b
 """
 
 
-def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=16, md5-based permutations) -> LSH banding
-    (8 bands x 2 rows) -> candidate pairs via band-bucket equi-join ->
-    exact Jaccard verification on candidates only.
-    Returns (doc_a, doc_b, jaccard); shared by the pair query and the
-    connected-components clustering step.
+def _lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared LSH candidate scaffold for both near-dup verifiers
+    (jaccard and containment): planted corpus -> signatures+arrays in
+    one aggregation -> band-bucket equi-join -> distinct (doc_a <
+    doc_b) candidate pairs. Returns (doc_agg [persisted], cand).
 
-    This is the scale path: no all-pairs comparison; candidate
-    generation is an equi-join on (band_id, band_key), which shuffles
-    on the band key and is O(sum of bucket^2) with tiny buckets.
+    The test parquet is one file => a 2-partition scan; shingle
+    generation (concat_ws + array_distinct per doc) is the per-row-
+    heavy step and would serialize on 2 cores (measured 3.6 s -> 1.2 s
+    at sf0.1). Spread docs across the cluster FIRST — on a real
+    many-file table this is a no-op-priced round robin of doc texts.
+
+    All K min-hashes AND the per-doc shingle arrays the verification
+    step needs come from ONE aggregation (see _lsh_doc_agg, shared
+    with the incremental index builder): one md5 per shingle row, K
+    cheap integer permutations of it as columns, a single
+    groupBy(doc_id). The exploded |tokens|-row relation is consumed
+    exactly once and never persisted — what persists is the compact
+    |docs|-row aggregate feeding the three downstream consumers
+    (bands + both verification sides). The 60-bit identity hash per
+    shingle is reused twice: its mod-2^30 residue feeds the minhash
+    permutations, and the full value stands in for the shingle STRING
+    in the verification arrays — an 8-byte long instead of a ~25-byte
+    string through the shuffle, the persisted arrays, and
+    array_intersect (collision p ~ n^2/2^61, negligible).
     """
-    planted = with_planted_dups(_docs(spark, sf_dir))
-    # The test parquet is one file => a 2-partition scan; shingle
-    # generation (concat_ws + array_distinct per doc) is the per-row-
-    # heavy step and would serialize on 2 cores (measured 3.6 s -> 1.2 s
-    # at sf0.1). Spread docs across the cluster FIRST — on a real
-    # many-file table this is a no-op-priced round robin of doc texts.
-    planted = planted.repartition(spark.sparkContext.defaultParallelism)
-    # All K min-hashes AND the per-doc shingle arrays the verification
-    # step needs in ONE aggregation (see _lsh_doc_agg, shared with the
-    # incremental index builder): one md5 per shingle row, K cheap
-    # integer permutations of it as columns, a single groupBy(doc_id).
-    # The exploded |tokens|-row relation is consumed exactly once and
-    # never persisted — what persists is the compact |docs|-row
-    # aggregate feeding the three downstream consumers (bands + both
-    # verification sides). The 60-bit identity hash per shingle is
-    # reused twice: its mod-2^30 residue feeds the minhash
-    # permutations, and the full value stands in for the shingle
-    # STRING in the verification arrays — an 8-byte long instead of a
-    # ~25-byte string through the shuffle, the persisted arrays, and
-    # array_intersect (collision p ~ n^2/2^61, negligible).
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     doc_agg = _lsh_doc_agg(planted).persist()
     band = _lsh_bands(doc_agg)
     ba = band.alias("ba")
@@ -276,6 +276,21 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
+    return doc_agg, cand
+
+
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16, md5-based permutations) -> LSH banding
+    (8 bands x 2 rows) -> candidate pairs via band-bucket equi-join ->
+    exact Jaccard verification on candidates only.
+    Returns (doc_a, doc_b, jaccard); shared by the pair query and the
+    connected-components clustering step.
+
+    This is the scale path: no all-pairs comparison; candidate
+    generation is an equi-join on (band_id, band_key), which shuffles
+    on the band key and is O(sum of bucket^2) with tiny buckets.
+    """
+    doc_agg, cand = _lsh_candidate_pairs(spark, sf_dir)
     # Exact-Jaccard verification restricted to LSH candidates only —
     # the all-pairs shingle self-join would defeat the point of LSH
     # (measured: 200x slower at sf0.1 before this restriction). The
@@ -376,33 +391,18 @@ WHERE n_common * 1000000 // least(ca.n_sh, cb.n_sh) >= {_CONTAINMENT_MIN_PPM}
 """
 
 
-@query("text_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+@query(
+    "text_containment_pairs", oracle=_CONTAINMENT_ORACLE, cache_plan=True
+)
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment near-dup pairs: LSH band candidates (shared
-    machinery with dedup_minhash_lsh), verified by the ASYMMETRIC
-    measure |A∩B| / min(|A|,|B|) — the subset/quote detector jaccard
-    can't express. Same scale shape as the jaccard verify: bucketed
-    candidates only, arrays intersected in-memory, threshold pushed
-    into the verify stage so downstream only sees real containments."""
-    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    doc_agg = _lsh_doc_agg(planted).persist()
-    band = _lsh_bands(doc_agg)
-    ba, bb = band.alias("ba"), band.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band_id") == F.col("bb.band_id"))
-            & (F.col("ba.band_key") == F.col("bb.band_key"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("doc_a"),
-            F.col("bb.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    """Containment near-dup pairs: LSH band candidates
+    (_lsh_candidate_pairs, shared with dedup_minhash_lsh), verified by
+    the ASYMMETRIC measure |A∩B| / min(|A|,|B|) — the subset/quote
+    detector jaccard can't express. Same scale shape as the jaccard
+    verify: bucketed candidates only, arrays intersected in-memory,
+    threshold pushed into the verify stage so downstream only sees
+    real containments."""
+    doc_agg, cand = _lsh_candidate_pairs(spark, sf_dir)
     doc_sh = doc_agg.select("doc_id", "shs", "n_sh")
     a = doc_sh.select(
         F.col("doc_id").alias("doc_a"),

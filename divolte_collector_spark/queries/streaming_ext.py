@@ -986,7 +986,6 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .json(tmp)
         )
         base = None
-        i = 0
         for day_dir in sorted(
             d for d in os.listdir(tmp) if d.startswith("_day=")
         ):
@@ -1002,7 +1001,6 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             if base is None:
                 base = os.stat(dst).st_mtime
             os.utime(dst, (base + day, base + day))
-            i += 1
         stream = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, event_type string"

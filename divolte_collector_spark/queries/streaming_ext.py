@@ -1029,3 +1029,47 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming dedup (C6) end to end with real state eviction ----------------
+# duplicate_flagging gates C6's batch analogue; this gates the actual
+# streaming operator (dedup_events_stream ->
+# dropDuplicatesWithinWatermark) over a time-ordered replay with a
+# realistic 45-minute watermark, so the per-key state is created,
+# consulted across micro-batches, and EVICTED as the watermark
+# advances — the reference behavior is ShortTermDuplicateMemory
+# suppressing the re-delivered event while keeping the first
+# (ShortTermDuplicateMemory.java:108-178). Duplicates are injected as
+# byte-identical copies of a deterministic 1-in-11 subset (same event
+# time => same replay file => inside any watermark), so exactly one
+# survivor per event_id exists and its payload is deterministic; the
+# oracle is a plain DISTINCT.
+
+_SDW_ORACLE = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+FROM events
+"""
+
+
+@query("streaming_dedup_watermark", oracle=_SDW_ORACLE)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.streaming.ingest import dedup_events_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    doubled = ev.unionByName(ev.filter(F.col("event_id") % 11 == 0))
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    with _replayed_json_time_ordered(spark, doubled, "ts", n_files=8) as read:
+        deduped = dedup_events_stream(
+            read(schema), time_col="ts", watermark="45 minutes",
+            keys=["event_id"],
+        ).select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+        )
+        return _run_to_memory(
+            spark, deduped, "dedup_wm_", state_partitions=8
+        )

@@ -525,3 +525,48 @@ def test_windowed_agg_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
         if p.get("stateOperators")
     )
     assert dropped == 1
+
+
+def test_streaming_dedup_watermark_evicts_state(spark):
+    """The gated streaming dedup (streaming_dedup_watermark) must
+    actually evict per-key state as the 45-minute watermark advances
+    over the time-ordered replay: rows are removed along the way and
+    the state total stays far below the stream's key count."""
+    from divolte_collector_spark.queries.streaming_ext import (
+        _await_or_die,
+        _replayed_json_time_ordered,
+    )
+    from divolte_collector_spark.session import load_table
+    from divolte_collector_spark.streaming.ingest import dedup_events_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts"
+    )
+    n_ids = ev.count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with _replayed_json_time_ordered(spark, ev, "ts", n_files=8) as read:
+        deduped = dedup_events_stream(
+            read("event_id long, ts timestamp"),
+            time_col="ts",
+            watermark="45 minutes",
+            keys=["event_id"],
+        )
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName("sdw_evict")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_die(q, 300)
+            progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progress
+    )
+    assert removed > 0, totals
+    assert max(totals) < n_ids / 2, (max(totals), n_ids)

@@ -190,8 +190,13 @@ _MH_PARAMS = [
 ]
 _SEED_VALUES = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_MH_PARAMS))
 
-_MINHASH_ORACLE = f"""
-WITH planted AS ({_PLANTED_SQL}),
+#: shared LSH-candidate CTE chain (planted corpus -> shingles -> seeded
+#: minhash signatures -> string-agg band keys -> distinct candidate
+#: pairs -> per-pair intersection counts). ONE definition for both the
+#: jaccard and containment oracles — the Spark side shares
+#: _lsh_candidate_pairs the same way, so a banding/seed change cannot
+#: drift the two gates apart.
+_LSH_CAND_SQL = f"""WITH planted AS ({_PLANTED_SQL}),
 sh AS ({_SHINGLE_SQL}),
 seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
 sh2 AS (
@@ -222,7 +227,10 @@ common AS (
     JOIN sh a ON a.doc_id = c.doc_a
     JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
     GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+{_LSH_CAND_SQL}
 SELECT common.doc_a AS doc_a, common.doc_b AS doc_b,
        round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
 FROM common
@@ -258,6 +266,15 @@ def _lsh_candidate_pairs(
     in the verification arrays — an 8-byte long instead of a ~25-byte
     string through the shuffle, the persisted arrays, and
     array_intersect (collision p ~ n^2/2^61, negligible).
+
+    Known tradeoff: each cache_plan consumer (jaccard, containment)
+    persists its OWN doc_agg, so a sweep that runs both pins two
+    byte-identical |docs|-row aggregates (~tens of MB at sf0.1). A
+    shared cross-query cache would need to integrate with the plan
+    cache's dependency frames (a memo hit must still record the
+    load_table deps in every enclosing build, or a table regeneration
+    would serve a stale scaffold) — not worth the machinery for the
+    footprint; revisit if the doc corpus ever dwarfs executor storage.
     """
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism
@@ -347,38 +364,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_MIN_PPM = 600_000
 
 _CONTAINMENT_ORACLE = f"""
-WITH planted AS ({_PLANTED_SQL}),
-sh AS ({_SHINGLE_SQL}),
-seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
-sh2 AS (
-    SELECT doc_id, shingle,
-           CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT
-                % {_MH_MOD} AS BIGINT) AS hsh
-    FROM sh
-),
-sig AS (
-    SELECT doc_id, h, min((a * hsh + b) % {_MH_P}) AS mh
-    FROM sh2 CROSS JOIN seeds
-    GROUP BY doc_id, h
-),
-band AS (
-    SELECT doc_id, h // {MINHASH_K // LSH_BANDS} AS band_id,
-           string_agg(mh::VARCHAR, '|' ORDER BY h) AS band_key
-    FROM sig GROUP BY doc_id, band_id
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-common AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS n_common
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-    GROUP BY c.doc_a, c.doc_b
-)
+{_LSH_CAND_SQL}
 SELECT common.doc_a AS doc_a, common.doc_b AS doc_b,
        CAST(n_common AS BIGINT) AS n_common,
        CAST(least(ca.n_sh, cb.n_sh) AS BIGINT) AS n_small,
@@ -418,10 +404,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     n_small = F.least(F.col("n_a"), F.col("n_b")).cast("long")
-    ppm = F.expr(
-        "size(array_intersect(shs_a, shs_b)) * 1000000L"
-        " div least(n_a, n_b)"
-    )
+    # the heavy array_intersect is evaluated ONCE; ppm derives from the
+    # named columns in a second projection
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -430,7 +414,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             n_common.alias("n_common"),
             n_small.alias("n_small"),
-            ppm.alias("containment_ppm"),
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("n_common * 1000000L div n_small"),
         )
         .filter(F.col("containment_ppm") >= _CONTAINMENT_MIN_PPM)
     )

@@ -2145,14 +2145,14 @@ def q_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vector_nn_descent_recall", oracle=_NND_RECALL_ORACLE)
-def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@K of the NN-Descent graph against the exact top-K for a
-    fixed 50-node probe set — the auditable accuracy claim for the
-    graph family, in exact integer space (hits, ppm by integer DIV).
-    The exact side is the documented kNN-baseline broadcast scan,
-    bounded to the probes; the graph side is pruned to probe rows
-    before the join."""
+def _nnd_exact_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact top-K (query_id, neighbor_id) ground truth for the
+    fixed probe set — the documented kNN-baseline broadcast scan,
+    bounded to the probes. ONE definition shared by the recall gate
+    and the convergence curve: the tiebreak (cos DESC, neighbor_id),
+    the pre-normalized cosine, and the probe bound must match the
+    DuckDB ``exact`` CTE bit for bit, and two hand-maintained copies
+    of that contract would drift."""
     from pyspark.sql import Window
 
     e = (
@@ -2168,7 +2168,7 @@ def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), "neighbor_id"
     )
-    exact = (
+    return (
         e.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -2182,6 +2182,16 @@ def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NND_K)
         .select("query_id", "neighbor_id")
     )
+
+
+@query("vector_nn_descent_recall", oracle=_NND_RECALL_ORACLE)
+def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the NN-Descent graph against the exact top-K for a
+    fixed 50-node probe set — the auditable accuracy claim for the
+    graph family, in exact integer space (hits, ppm by integer DIV).
+    The exact side is _nnd_exact_probe_pairs; the graph side is pruned
+    to probe rows before the join."""
+    exact = _nnd_exact_probe_pairs(spark, sf_dir)
     g = (
         _nnd_final_graph(spark, sf_dir)
         .filter(F.col("src") < _NND_PROBES)
@@ -2254,37 +2264,8 @@ def q_nn_descent_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     round costs one more bounded join round, not a deeper lineage.
     tests/test_scale_equivalences.py asserts the sequence is
     non-decreasing and strictly improves over the init ring."""
-    from pyspark.sql import Window
-
-    e = (
-        _emb(spark, sf_dir)
-        .select("vec_id", as_double("embedding").alias("emb"))
-        .withColumn("nrm", norm(F.col("emb")))
-    )
-    probes = e.filter(F.col("vec_id") < _NND_PROBES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), "neighbor_id"
-    )
-    exact = (
-        e.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_pre(
-                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
-            ).alias("cos"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _NND_K)
-        .select("query_id", "neighbor_id")
-    )
     # score the probe pairs once, reuse across all four round joins
-    exact = detach_result(spark, exact)
+    exact = detach_result(spark, _nnd_exact_probe_pairs(spark, sf_dir))
     denom = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     per_round = None
     for r, g in enumerate(_nnd_graphs(spark, sf_dir, _NND_CONV_ROUNDS)):

@@ -901,8 +901,13 @@ def streaming_interval_join_views(
 #   - arrival order = calendar day of `ts` (one file per day, replayed
 #     one micro-batch per file);
 #   - event time `et` = ts, except a fixed 1-in-17 subset arrives
-#     3 hours late (et = ts - 3h) — rows near the start of a day land
-#     behind the watermark established by the previous day's maximum;
+#     30 HOURS late (et = ts - 30h). The shift must clear the filter's
+#     batch lag: the late filter for day-k rows uses the watermark from
+#     day k-2 (~ day_k start - 25h), so a 3-hour shift could NEVER
+#     drop anything (review finding: the first cut of this gate gated
+#     zero drops); at 30h the subset's first ~5 hours of each day fall
+#     behind it and genuinely drop, while the rest merge late into
+#     live windows — both paths exercised and both predicted;
 #   - watermark delay 1 hour on `et`, tumbling 1-hour windows.
 # Spark semantics mirrored in SQL (empirically pinned on this Spark
 # via three controlled probes — see tests/test_streaming.py):
@@ -918,14 +923,14 @@ def streaming_interval_join_views(
 #   after that stay in state and never emit.
 
 _LATE_DELAY_MS = 3_600_000  # 1 hour watermark delay
-_LATE_SHIFT_MS = 10_800_000  # late rows arrive 3 hours late
+_LATE_SHIFT_MS = 108_000_000  # late rows arrive 30 hours late
 
 _LATE_ORACLE = f"""
 WITH ev AS (
     SELECT event_type, ts,
            day(ts) AS arrival_day,
            CASE WHEN event_id % 17 = 0
-                THEN ts - INTERVAL 3 HOUR ELSE ts END AS et
+                THEN ts - INTERVAL 30 HOUR ELSE ts END AS et
     FROM events
 ),
 batch_max AS (

@@ -224,6 +224,9 @@ def test_every_gated_query_scale_discipline(spark):
         # same exact ground-truth scan, reused across the 4-round
         # convergence curve (scored once, detached)
         "vector_nn_descent_convergence",
+        # broadcast-20-probe scan over the 16-byte packed BQ relation
+        # (the kNN-baseline shape at 1/16th the broadcast width)
+        "vector_bq_hamming_topk",
         # 20-row systematic-grid broadcast into the interval-
         # containment join (tiny-broadcast range-join shape)
         "sample_pps_systematic",

@@ -2521,3 +2521,173 @@ def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BQ_K)
         .select("query_id", "neighbor_id", "hamming", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# BQ accuracy-cost frontier: Hamming shortlist of size S -> exact
+# cosine rerank -> recall@5 vs the exact top-5, for S in
+# {10, 25, 50, 100} — the same auditable curve shape as the IVF probe
+# frontier and the NN-Descent convergence, in exact integer space.
+# Candidates are Hamming-ranked ONCE (score-once discipline); each S
+# is a rank filter, not a re-scan.
+
+_BQ_SHORTLISTS = (10, 25, 50, 100)
+
+_BQ_RERANK_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+w AS (
+    SELECT vec_id,
+           list_sum(list_transform(range(0, {_BQ_WORD_BITS}),
+               j -> CASE WHEN emb[j + 1] > 0
+                         THEN (1::BIGINT << j) ELSE 0 END)) AS w0,
+           list_sum(list_transform(range(0, {_BQ_WORD_BITS}),
+               j -> CASE WHEN emb[j + {_BQ_WORD_BITS} + 1] > 0
+                         THEN (1::BIGINT << j) ELSE 0 END)) AS w1
+    FROM e
+),
+probes AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+           FROM w WHERE vec_id < {_NND_PROBES}),
+pe AS (SELECT vec_id, emb FROM e WHERE vec_id < {_NND_PROBES}),
+hr AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS hrnk
+    FROM (SELECT p.query_id, c.vec_id AS neighbor_id,
+                 bit_count(xor(p.q0, c.w0)) + bit_count(xor(p.q1, c.w1))
+                     AS hamming
+          FROM probes p JOIN w c ON c.vec_id <> p.query_id) hs
+),
+cosed AS (
+    SELECT hr.query_id, hr.neighbor_id, hr.hrnk,
+           list_cosine_similarity(pe.emb, ce.emb) AS cos
+    FROM hr
+    JOIN pe ON pe.vec_id = hr.query_id
+    JOIN e ce ON ce.vec_id = hr.neighbor_id
+    WHERE hr.hrnk <= {max(_BQ_SHORTLISTS)}
+),
+sizes(s) AS (VALUES {", ".join(f"({s})" for s in _BQ_SHORTLISTS)}),
+sel AS (
+    SELECT s, query_id, neighbor_id FROM (
+        SELECT sizes.s, c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY sizes.s, c.query_id
+                                  ORDER BY c.cos DESC, c.neighbor_id) AS rnk
+        FROM sizes JOIN cosed c ON c.hrnk <= sizes.s) x
+    WHERE rnk <= {_NND_K}
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.emb, c.emb) DESC,
+                            c.vec_id) AS rnk
+        FROM pe p JOIN e c ON c.vec_id <> p.vec_id) x
+    WHERE rnk <= {_NND_K}
+),
+denom AS (SELECT count(*) AS n FROM exact),
+hits AS (
+    SELECT sel.s, count(*) AS n
+    FROM sel JOIN exact ex
+      ON ex.query_id = sel.query_id AND ex.neighbor_id = sel.neighbor_id
+    GROUP BY sel.s
+)
+SELECT CAST(sizes.s AS INT) AS shortlist_size,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) * 1000000 // d.n AS BIGINT) AS recall_ppm
+FROM sizes LEFT JOIN hits h ON h.s = sizes.s CROSS JOIN denom d
+"""
+
+
+@query("vector_bq_rerank_recall", oracle=_BQ_RERANK_ORACLE)
+def q_bq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of BQ-shortlist -> exact-cosine-rerank at shortlist
+    sizes 10/25/50/100 over the 50-probe set (the same probe set and
+    exact ground truth as the NN-Descent gates —
+    _nnd_exact_probe_pairs). Hamming candidates are ranked once; each
+    shortlist size is a rank filter; the rerank cosine touches at most
+    |probes| x max(S) pairs."""
+    from pyspark.sql import Window
+
+    packed = _bq_packed(spark, sf_dir)
+    probes = packed.filter(F.col("vec_id") < _NND_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    hamming = F.bit_count(F.col("q0").bitwiseXOR(F.col("w0"))) + F.bit_count(
+        F.col("q1").bitwiseXOR(F.col("w1"))
+    )
+    hw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    hr = (
+        packed.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming"),
+        )
+        .withColumn("hrnk", F.row_number().over(hw))
+        .filter(F.col("hrnk") <= max(_BQ_SHORTLISTS))
+        .select("query_id", "neighbor_id", "hrnk")
+    )
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+    pe = e.filter(F.col("vec_id") < _NND_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cosed = (
+        hr.join(F.broadcast(pe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hrnk",
+            cosine_pre(
+                F.col("q_emb"), F.col("c_emb"),
+                F.col("q_nrm"), F.col("c_nrm"),
+            ).alias("cos"),
+        )
+    )
+    sizes = F.array(*[F.lit(s) for s in _BQ_SHORTLISTS])
+    rw = Window.partitionBy("s", "query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    sel = (
+        cosed.select(
+            "*", F.explode(sizes).alias("s")
+        )
+        .filter(F.col("hrnk") <= F.col("s"))
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= _NND_K)
+        .select("s", "query_id", "neighbor_id")
+    )
+    exact = _nnd_exact_probe_pairs(spark, sf_dir)
+    denom = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        sel.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes_df = spark.createDataFrame(
+        [(s,) for s in _BQ_SHORTLISTS], "s int"
+    )
+    return (
+        sizes_df.join(hits, "s", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            F.col("s").cast("int").alias("shortlist_size"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "coalesce(n, 0L) * 1000000L div n_exact"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -134,3 +134,23 @@ def test_nn_descent_recall_curve_is_monotone(spark):
     recalls = [r.recall_ppm for r in rows]
     assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] > recalls[0], recalls
+
+
+def test_bq_rerank_recall_curve_is_monotone(spark):
+    """The gated BQ frontier (vector_bq_rerank_recall) must be
+    non-decreasing in shortlist size: a larger Hamming shortlist is a
+    superset of candidates for the exact rerank, so recall against the
+    exact top-K can only grow."""
+    from divolte_collector_spark.queries.embeddings import (
+        q_bq_rerank_recall,
+        _BQ_SHORTLISTS,
+    )
+
+    rows = sorted(
+        q_bq_rerank_recall(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.shortlist_size,
+    )
+    assert [r.shortlist_size for r in rows] == list(_BQ_SHORTLISTS)
+    recalls = [r.recall_ppm for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] > recalls[0], recalls

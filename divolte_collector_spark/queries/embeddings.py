@@ -2429,15 +2429,20 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # words, and candidate ranking is Hamming distance — bit_count(xor)
 # over the packed words, exact integers on both engines (no float
 # crosses the gate). At 100 TB this is the cheapest first-stage
-# filter: 8 bytes/vector for dim=64, SIMD-friendly popcount, and the
-# packed table broadcasts where the float table cannot.
+# filter: dim/32 packed words riding in longs (16 bytes/vector for
+# dim=64 — 2x the ideal bit footprint, the price of exact long math on
+# both engines), SIMD-friendly popcount, and the packed table
+# broadcasts where the float table cannot.
 
 _BQ_WORD_BITS = 32  # positive shifts only: 1<<j stays exact on both engines
 _BQ_K = 10
 
-_BQ_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
-w AS (
+#: ONE definition of the sign-bit quantizer for both BQ oracles (the
+#: Spark twin is _bq_packed) — and of the exact probe ground truth,
+#: shared with the NND recall/convergence oracles' inline copies by
+#: TEXT so a drift shows up as a diff, with the Spark twin
+#: _nnd_exact_probe_pairs.
+_BQ_PACK_SQL = f"""
     SELECT vec_id,
            list_sum(list_transform(range(0, {_BQ_WORD_BITS}),
                j -> CASE WHEN emb[j + 1] > 0
@@ -2445,8 +2450,11 @@ w AS (
            list_sum(list_transform(range(0, {_BQ_WORD_BITS}),
                j -> CASE WHEN emb[j + {_BQ_WORD_BITS} + 1] > 0
                          THEN (1::BIGINT << j) ELSE 0 END)) AS w1
-    FROM e
-),
+    FROM e"""
+
+_BQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+w AS ({_BQ_PACK_SQL}),
 probes AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
            FROM w WHERE vec_id < {N_QUERY_VECTORS}),
 scored AS (
@@ -2488,18 +2496,18 @@ def _bq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vector_bq_hamming_topk", oracle=_BQ_ORACLE)
-def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 by Hamming distance over binary-quantized vectors for
-    the standard 20-probe set. The packed relation is 16 bytes/vector;
-    the probe side broadcasts (same shape as the kNN exact baseline,
-    documented NLJ), the distance is two xor+bit_count long ops, and
-    the per-probe top-K is one bounded window — integer-exact end to
-    end."""
+def _bq_hamming_ranked(
+    spark: SparkSession, sf_dir: str, n_probes: int, max_rank: int
+) -> DataFrame:
+    """(query_id, neighbor_id, hamming, rnk<=max_rank): the shared BQ
+    candidate-generation contract for both gates — broadcast probe
+    scan over the packed relation, self-exclusion, xor+popcount
+    distance, (hamming, neighbor_id) tiebreak. ONE definition so the
+    top-k gate and the recall frontier can never rank differently."""
     from pyspark.sql import Window
 
     packed = _bq_packed(spark, sf_dir)
-    probes = packed.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+    probes = packed.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("query_id"),
         F.col("w0").alias("q0"),
         F.col("w1").alias("q1"),
@@ -2518,8 +2526,25 @@ def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _BQ_K)
-        .select("query_id", "neighbor_id", "hamming", F.col("rnk").cast("int").alias("rnk"))
+        .filter(F.col("rnk") <= max_rank)
+    )
+
+
+@query("vector_bq_hamming_topk", oracle=_BQ_ORACLE)
+def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by Hamming distance over binary-quantized vectors for
+    the standard 20-probe set. The packed relation is 16 bytes/vector;
+    the probe side broadcasts (same shape as the kNN exact baseline,
+    documented NLJ), the distance is two xor+bit_count long ops, and
+    the per-probe top-K is one bounded window — integer-exact end to
+    end."""
+    return _bq_hamming_ranked(
+        spark, sf_dir, N_QUERY_VECTORS, _BQ_K
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.col("rnk").cast("int").alias("rnk"),
     )
 
 
@@ -2534,16 +2559,7 @@ _BQ_SHORTLISTS = (10, 25, 50, 100)
 
 _BQ_RERANK_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-w AS (
-    SELECT vec_id,
-           list_sum(list_transform(range(0, {_BQ_WORD_BITS}),
-               j -> CASE WHEN emb[j + 1] > 0
-                         THEN (1::BIGINT << j) ELSE 0 END)) AS w0,
-           list_sum(list_transform(range(0, {_BQ_WORD_BITS}),
-               j -> CASE WHEN emb[j + {_BQ_WORD_BITS} + 1] > 0
-                         THEN (1::BIGINT << j) ELSE 0 END)) AS w1
-    FROM e
-),
+w AS ({_BQ_PACK_SQL}),
 probes AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
            FROM w WHERE vec_id < {_NND_PROBES}),
 pe AS (SELECT vec_id, emb FROM e WHERE vec_id < {_NND_PROBES}),
@@ -2607,28 +2623,9 @@ def q_bq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     |probes| x max(S) pairs."""
     from pyspark.sql import Window
 
-    packed = _bq_packed(spark, sf_dir)
-    probes = packed.filter(F.col("vec_id") < _NND_PROBES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("q0"),
-        F.col("w1").alias("q1"),
-    )
-    hamming = F.bit_count(F.col("q0").bitwiseXOR(F.col("w0"))) + F.bit_count(
-        F.col("q1").bitwiseXOR(F.col("w1"))
-    )
-    hw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    hr = (
-        packed.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            hamming.alias("hamming"),
-        )
-        .withColumn("hrnk", F.row_number().over(hw))
-        .filter(F.col("hrnk") <= max(_BQ_SHORTLISTS))
-        .select("query_id", "neighbor_id", "hrnk")
-    )
+    hr = _bq_hamming_ranked(
+        spark, sf_dir, _NND_PROBES, max(_BQ_SHORTLISTS)
+    ).select("query_id", "neighbor_id", F.col("rnk").alias("hrnk"))
     e = (
         _emb(spark, sf_dir)
         .select("vec_id", as_double("embedding").alias("emb"))

@@ -2503,10 +2503,19 @@ def _bq_hamming_ranked(
     candidate-generation contract for both gates — broadcast probe
     scan over the packed relation, self-exclusion, xor+popcount
     distance, (hamming, neighbor_id) tiebreak. ONE definition so the
-    top-k gate and the recall frontier can never rank differently."""
+    top-k gate and the recall frontier can never rank differently.
+
+    The exchange after packing is load-bearing: without a
+    materialization barrier the 64-term packing expression sits under
+    the broadcast join and is re-evaluated PER JOIN-OUTPUT ROW
+    (|vectors| x |probes| x 128 element_at — measured 41 s vs 3.8 s at
+    the 100x curve point); shuffling the 16-byte packed rows once
+    (trivial bytes) pins pack cost at O(|vectors|)."""
     from pyspark.sql import Window
 
-    packed = _bq_packed(spark, sf_dir)
+    packed = _bq_packed(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     probes = packed.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("query_id"),
         F.col("w0").alias("q0"),

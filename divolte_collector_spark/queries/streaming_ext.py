@@ -15,7 +15,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
@@ -966,22 +966,21 @@ GROUP BY win_ms, event_type
 """
 
 
-@query("streaming_late_data_drop", oracle=_LATE_ORACLE)
-def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+@contextlib.contextmanager
+def _replayed_day_files(spark: SparkSession, ev: DataFrame):
+    """One file per calendar day of ``ts``, discovery-ordered by day:
+    hash the 30 distinct days over 30 tasks => exactly one part file
+    per day directory, then flatten to sortable names with increasing
+    mtimes (same discipline as ``_replayed_json_time_ordered``, but
+    the bucketing must be DETERMINISTIC — range-partition boundaries
+    are sampled, so an oracle could not reproduce them). Yields a
+    ``read(schema) -> streaming DataFrame`` factory with
+    maxFilesPerTrigger=1. Shared by the late-data gates (tumbling and
+    sliding)."""
     import os
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type"
-    )
-    tmp = tempfile.mkdtemp(prefix="dvs_late_")
+    tmp = tempfile.mkdtemp(prefix="dvs_dayreplay_")
     try:
-        # one file per calendar day, discovery-ordered by day: hash
-        # the 30 distinct days over 30 tasks => exactly one part file
-        # per day directory, then flatten to sortable names with
-        # increasing mtimes (same discipline as
-        # _replayed_json_time_ordered, but the bucketing must be
-        # DETERMINISTIC — range-partition boundaries are sampled, so
-        # the oracle could not reproduce them)
         (
             ev.withColumn("_day", F.dayofmonth("ts"))
             .repartition(31, "_day")
@@ -1006,20 +1005,39 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             if base is None:
                 base = os.stat(dst).st_mtime
             os.utime(dst, (base + day, base + day))
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts timestamp, event_type string"
+
+        def read(schema: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("timestampFormat", _REPLAY_TS_FMT)
+                .option("maxFilesPerTrigger", 1)
+                .json(tmp)
             )
-            .option("timestampFormat", _REPLAY_TS_FMT)
-            .option("maxFilesPerTrigger", 1)
-            .json(tmp)
-        )
-        et = F.when(
-            F.col("event_id") % 17 == 0,
-            F.timestamp_millis(F.unix_millis("ts") - _LATE_SHIFT_MS),
-        ).otherwise(F.col("ts"))
+
+        yield read
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _late_shifted_et() -> Column:
+    """Event time with the deterministic 1-in-17 late subset (30 hours
+    — must clear the filter's one-day-plus-one-batch lag, see the
+    module comment)."""
+    return F.when(
+        F.col("event_id") % 17 == 0,
+        F.timestamp_millis(F.unix_millis("ts") - _LATE_SHIFT_MS),
+    ).otherwise(F.col("ts"))
+
+
+@query("streaming_late_data_drop", oracle=_LATE_ORACLE)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    with _replayed_day_files(spark, ev) as read:
+        stream = read("event_id long, ts timestamp, event_type string")
         agg = (
-            stream.withColumn("et", et)
+            stream.withColumn("et", _late_shifted_et())
             .withWatermark("et", "1 hour")
             .groupBy(F.window("et", "1 hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1032,8 +1050,6 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(
             spark, agg, "late_drop_", state_partitions=8
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --- streaming dedup (C6) end to end with real state eviction ----------------
@@ -1077,4 +1093,84 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _run_to_memory(
             spark, deduped, "dedup_wm_", state_partitions=8
+        )
+
+
+# --- sliding windows with late data -------------------------------------------
+# The third window type under a real stream (tumbling: late-drop gate;
+# session: streaming_session_windows). Sliding windows make the late
+# semantics PER (row, window) PAIR: one late row can be dropped from
+# its older window yet still counted in its newer one — probed on this
+# Spark (tests/test_streaming.py pins the tumbling probes; the sliding
+# behavior follows from the same filter applying after the window
+# expansion) and reproduced exactly by the oracle below: a 2h/1h
+# sliding row belongs to windows starting at hour(et) and hour(et)-1h;
+# each pair survives iff its window end clears the LAGGED filter
+# watermark, and emits iff its end clears the final watermark.
+
+_SLIDE_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, ts,
+           day(ts) AS arrival_day,
+           CASE WHEN event_id % 17 = 0
+                THEN ts - INTERVAL 30 HOUR ELSE ts END AS et
+    FROM events
+),
+batch_max AS (
+    SELECT arrival_day, max(epoch_ms(et)) AS m
+    FROM ev GROUP BY arrival_day
+),
+wm AS (
+    SELECT arrival_day,
+           coalesce(max(m) OVER (ORDER BY arrival_day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 2 PRECEDING), 0)
+               - {_LATE_DELAY_MS} AS filter_wm_ms
+    FROM batch_max
+),
+pairs AS (
+    SELECT e.event_type, e.arrival_day,
+           epoch_ms(time_bucket(INTERVAL 1 HOUR, e.et)) - k.k * 3600000
+               AS win_ms
+    FROM ev e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+),
+kept AS (
+    SELECT p.event_type, p.win_ms
+    FROM pairs p JOIN wm w ON w.arrival_day = p.arrival_day
+    WHERE p.win_ms + 7200000 > w.filter_wm_ms
+),
+final_wm AS (
+    SELECT max(epoch_ms(et)) - {_LATE_DELAY_MS} AS wm_ms FROM ev
+)
+SELECT make_timestamp(win_ms * 1000) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM kept CROSS JOIN final_wm
+WHERE win_ms + 7200000 <= final_wm.wm_ms
+GROUP BY win_ms, event_type
+"""
+
+
+@query("streaming_sliding_late_counts", oracle=_SLIDE_ORACLE)
+def streaming_sliding_late_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    with _replayed_day_files(spark, ev) as read:
+        stream = read("event_id long, ts timestamp, event_type string")
+        agg = (
+            stream.withColumn("et", _late_shifted_et())
+            .withWatermark("et", "1 hour")
+            .groupBy(F.window("et", "2 hours", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        return _run_to_memory(
+            spark, agg, "slide_late_", state_partitions=8
         )

@@ -103,6 +103,34 @@ def _try_parse_base36_py(s: str | None) -> int | None:
         return None
 
 
+def render_canonical(pairs: "list[tuple[str, str]]") -> str:
+    """Render pre-split lenient ``(key, value)`` pairs — the
+    ``CHECKSUM_PARAM`` entry already removed — into the canonical
+    checksum string (sort stable by key; ``k=`` groups, ``,`` after
+    each value, ``;`` closing each group). Sorts ``pairs`` in place.
+
+    This is the ONE shared renderer behind both
+    :func:`_canonical_and_expected` and the wire decoder's inlined
+    single-split parse (``sources/browser.py:decode_wire_batch``), so
+    a change to the canonicalization can never drift the two paths'
+    corrupt_event verdicts apart."""
+    pairs.sort(key=lambda kv: kv[0])  # stable: multi-values keep order
+    out: list[str] = []
+    last_key = None
+    for k, v in pairs:
+        if k != last_key:
+            if last_key is not None:
+                out.append(";")
+            out.append(k)
+            out.append("=")
+            last_key = k
+        out.append(v)
+        out.append(",")
+    if last_key is not None:
+        out.append(";")
+    return "".join(out)
+
+
 def _canonical_and_expected(
     raw_qs: str | None,
 ) -> tuple[str | None, int | None]:
@@ -134,21 +162,7 @@ def _canonical_and_expected(
     expected = _try_parse_base36_py(x_val)
     if expected is None:
         return None, None
-    pairs.sort(key=lambda kv: kv[0])  # stable: multi-values keep order
-    out: list[str] = []
-    last_key = None
-    for k, v in pairs:
-        if k != last_key:
-            if last_key is not None:
-                out.append(";")
-            out.append(k)
-            out.append("=")
-            last_key = k
-        out.append(v)
-        out.append(",")
-    if last_key is not None:
-        out.append(";")
-    return "".join(out), expected
+    return render_canonical(pairs), expected
 
 
 def checksum_verdict_py(raw_qs: str | None) -> bool:

@@ -81,7 +81,14 @@ def global_cumsum_with_total(
     width targeting ``_TARGET_BUCKETS`` — so the driver-side prefix
     loop collects ~10k bucket totals regardless of key range. A fixed
     width would make the "small" serial step grow with the key space
-    (10B row ids / 1000 = 10M rows to the driver per query). Ties in
+    (10B row ids / 1000 = 10M rows to the driver per query).
+
+    EAGER when deriving: the width derivation runs a min/max Spark
+    job over the full upstream plan AT CALL TIME (plan construction
+    is no longer lazy/free). On hot or repeated paths over expensive
+    inputs, pass an explicit ``bucket_width`` (or a precomputed
+    ``bucket`` column) to skip that extra scan — the adaptive default
+    trades one cheap aggregate for driver-side scale safety. Ties in
     ``order_col`` are broken deterministically only if the key is
     unique — supply a unique key (the usual case: a row id).
 

@@ -378,7 +378,7 @@ WHERE n_common * 1000000 // least(ca.n_sh, cb.n_sh) >= {_CONTAINMENT_MIN_PPM}
 
 
 @query(
-    "text_containment_pairs", oracle=_CONTAINMENT_ORACLE, cache_plan=True
+    "containment_pairs_text", oracle=_CONTAINMENT_ORACLE, cache_plan=True
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs: LSH band candidates
@@ -2433,9 +2433,11 @@ def q_sig_index_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     # by doc_id (not round-robin): the partitioning survives both the
-    # split filters and the shingle explode, so BOTH _lsh_doc_agg
-    # groupBys aggregate without an exchange (same rationale as
-    # minhash_verified_pairs)
+    # split filters and the shingle explode, so the _lsh_doc_agg
+    # groupBys can aggregate without an exchange — but ONLY while the
+    # repartition count matches spark.sql.shuffle.partitions (both 32
+    # in this harness); Catalyst reinstates the exchange when they
+    # differ, so treat the no-exchange claim as conditional
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )

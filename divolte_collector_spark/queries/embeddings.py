@@ -2539,7 +2539,7 @@ def _bq_hamming_ranked(
     )
 
 
-@query("vector_bq_hamming_topk", oracle=_BQ_ORACLE)
+@query("ann_bq_hamming_topk", oracle=_BQ_ORACLE)
 def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 by Hamming distance over binary-quantized vectors for
     the standard 20-probe set. The packed relation is 16 bytes/vector;
@@ -2622,7 +2622,7 @@ FROM sizes LEFT JOIN hits h ON h.s = sizes.s CROSS JOIN denom d
 """
 
 
-@query("vector_bq_rerank_recall", oracle=_BQ_RERANK_ORACLE)
+@query("ann_bq_rerank_recall", oracle=_BQ_RERANK_ORACLE)
 def q_bq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of BQ-shortlist -> exact-cosine-rerank at shortlist
     sizes 10/25/50/100 over the 50-probe set (the same probe set and

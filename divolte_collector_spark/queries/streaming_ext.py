@@ -133,12 +133,28 @@ def _run_to_memory(
     overhead times the partition count, so a 16-batch harness run at
     32 partitions spends ~all its time on empty state tasks. Purely a
     harness knob — on a real cluster the state partition count is a
-    deployment setting sized to the key cardinality."""
+    deployment setting sized to the key cardinality.
+
+    CONCURRENCY CONTRACT: the conf mutation is session-global, so any
+    query planned in this session while the stream drains would
+    silently inherit the reduced partition count. A ``newSession()``
+    clone can't isolate it (the stream plan is bound to the parent
+    session and a fresh SQLConf would drop the pinned tz/ANSI confs),
+    so instead we ASSERT the single-stream assumption the gate
+    harness guarantees: no other stream may be active when the conf
+    is taken."""
     name = prefix + uuid.uuid4().hex[:8]
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
     try:
         if state_partitions is not None:
+            active = spark.streams.active
+            if active:
+                raise RuntimeError(
+                    "_run_to_memory(state_partitions=...) requires "
+                    "exclusive session use, but streams are active: "
+                    f"{[q.name for q in active]}"
+                )
             spark.conf.set(conf_key, str(state_partitions))
         q = (
             out.writeStream.format("memory")
@@ -1029,8 +1045,8 @@ def _late_shifted_et() -> Column:
     ).otherwise(F.col("ts"))
 
 
-@query("streaming_late_data_drop", oracle=_LATE_ORACLE)
-def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("late_data_drop_streaming", oracle=_LATE_ORACLE)
+def late_data_drop_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type"
     )

@@ -255,6 +255,13 @@ from functools import lru_cache as _lru_cache
 _ID_RE_PY = _re.compile(_IDENTIFIER_RE)
 
 
+# Only payloads below this length are memoized: the cache exists for
+# repeated page-template params (short), and an unbounded per-entry
+# size would let adversarial large ``u=`` payloads pin up to
+# 65536 × payload bytes in every long-lived Python worker.
+_MINCODE_CACHE_MAX_LEN = 4096
+
+
 @_lru_cache(maxsize=1 << 16)
 def _mincode_to_json_cached(code: "str | None") -> "str | None":
     """Memoized mincode decode: event-parameter payloads repeat heavily
@@ -264,6 +271,14 @@ def _mincode_to_json_cached(code: "str | None") -> "str | None":
     from divolte_collector_spark.functions.mincode import mincode_to_json
 
     return mincode_to_json(code)
+
+
+def _mincode_to_json(code: "str | None") -> "str | None":
+    if code is not None and len(code) >= _MINCODE_CACHE_MAX_LEN:
+        from divolte_collector_spark.functions.mincode import mincode_to_json
+
+        return mincode_to_json(code)
+    return _mincode_to_json_cached(code)
 
 
 def decode_wire_batch(qs_values: "list[str | None]") -> "dict[str, list]":
@@ -296,7 +311,9 @@ def decode_wire_batch(qs_values: "list[str | None]") -> "dict[str, list]":
         try_parse_base36_long_py,
     )
     from divolte_collector_spark.functions.checksum import (
+        CHECKSUM_PARAM,
         _try_parse_base36_py,
+        render_canonical,
     )
     from divolte_collector_spark.functions.murmur import murmur3_32_signed_batch
     from divolte_collector_spark.functions.querystring import try_url_decode_py
@@ -329,7 +346,7 @@ def decode_wire_batch(qs_values: "list[str | None]") -> "dict[str, list]":
                 v_clean = "%" not in v_raw and "+" not in v_raw
                 lk = k_raw if k_clean else unquote_plus(k_raw)
                 lv = v_raw if v_clean else unquote_plus(v_raw)
-                if lk == "x":
+                if lk == CHECKSUM_PARAM:
                     if x_val is None:
                         x_val = lv
                 else:
@@ -338,27 +355,13 @@ def decode_wire_batch(qs_values: "list[str | None]") -> "dict[str, list]":
                 if sk is None or sk in first:
                     continue
                 first[sk] = v_raw if v_clean else try_url_decode_py(v_raw)
-            # canonical string + claimed checksum (identical to
-            # checksum._canonical_and_expected, which tests pin
-            # against this inlined copy)
+            # canonical string render is the SHARED helper
+            # (checksum.render_canonical) — only the single-split
+            # lenient decode above stays inlined here
             expected = _try_parse_base36_py(x_val)
             if expected is not None:
                 expecteds[i] = expected
-                lenient_pairs.sort(key=lambda kv: kv[0])
-                buf: "list[str]" = []
-                last_key = None
-                for lk, lv in lenient_pairs:
-                    if lk != last_key:
-                        if last_key is not None:
-                            buf.append(";")
-                        buf.append(lk)
-                        buf.append("=")
-                        last_key = lk
-                    buf.append(lv)
-                    buf.append(",")
-                if last_key is not None:
-                    buf.append(";")
-                canons[i] = "".join(buf)
+                canons[i] = render_canonical(lenient_pairs)
         p = first.get("p")
         s = first.get("s")
         if p is not None and _ID_RE_PY.match(p):
@@ -373,7 +376,7 @@ def decode_wire_batch(qs_values: "list[str | None]") -> "dict[str, list]":
         fv = first.get("f")
         np_c[i] = None if nv is None else nv == _TRUE_STRING
         fis_c[i] = None if fv is None else fv == _TRUE_STRING
-        params_c[i] = _mincode_to_json_cached(first.get("u"))
+        params_c[i] = _mincode_to_json(first.get("u"))
         pv_c[i] = first.get("v")
         loc_c[i] = first.get("l")
         ref_c[i] = first.get("r")

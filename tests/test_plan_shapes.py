@@ -226,10 +226,10 @@ def test_every_gated_query_scale_discipline(spark):
         "vector_nn_descent_convergence",
         # broadcast-20-probe scan over the 16-byte packed BQ relation
         # (the kNN-baseline shape at 1/16th the broadcast width)
-        "vector_bq_hamming_topk",
+        "ann_bq_hamming_topk",
         # same broadcast-probe Hamming scan PLUS the exact ground-truth
         # baseline it measures recall against (two documented NLJs)
-        "vector_bq_rerank_recall",
+        "ann_bq_rerank_recall",
         # 20-row systematic-grid broadcast into the interval-
         # containment join (tiny-broadcast range-join shape)
         "sample_pps_systematic",

@@ -137,7 +137,7 @@ def test_nn_descent_recall_curve_is_monotone(spark):
 
 
 def test_bq_rerank_recall_curve_is_monotone(spark):
-    """The gated BQ frontier (vector_bq_rerank_recall) must be
+    """The gated BQ frontier (ann_bq_rerank_recall) must be
     non-decreasing in shortlist size: a larger Hamming shortlist is a
     superset of candidates for the exact rerank, so recall against the
     exact top-K can only grow."""

@@ -462,7 +462,7 @@ def test_interval_join_watermark_evicts_state(spark):
 
 
 def test_windowed_agg_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
-    """Pins the watermark semantics the streaming_late_data_drop oracle
+    """Pins the watermark semantics the late_data_drop_streaming oracle
     encodes (probed on this Spark): with per-batch watermarks W_k =
     max(et over batches < k) - delay, eviction+emission during batch k
     uses W_k (inclusive), but the LATE-ROW FILTER uses W_{k-1} — a

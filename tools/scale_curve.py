@@ -44,7 +44,7 @@ CURVE_QUERIES = [
     "vector_index_incremental_append",  # frozen-centroid assign + probe
     "text_rerank_stage",         # corpus-wide sparse pass + Q*N rerank
     "sample_pps_systematic",     # two-phase prefix scan + 20-row grid NLJ
-    "vector_bq_hamming_topk",    # 16B/vec packed scan, broadcast probes
+    "ann_bq_hamming_topk",    # 16B/vec packed scan, broadcast probes
 ]
 # NOTE on vector_nn_descent_graph under replication: replicas are
 # verbatim vector copies, so every node's top-K converges to its own

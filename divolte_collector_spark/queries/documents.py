@@ -453,7 +453,13 @@ def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     different pair sets."""
     from divolte_collector_spark.operators.graph import connected_components
 
-    edges = minhash_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    # persist: CC's per-round actions would otherwise re-run the whole
+    # LSH + verify pipeline once per label-propagation round
+    edges = (
+        minhash_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .persist()
+    )
     return connected_components(edges, src="doc_a", dst="doc_b").select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -1494,13 +1500,22 @@ FROM ranked WHERE rnk <= {_TFIDF_TOP_K}
 @query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()  # one scalar action, the corpus row count
+    # tf is a DIAMOND: it feeds both the df aggregation and the scored
+    # join, and Catalyst plans the two subtrees independently — without
+    # the persist, the explode plus the (doc_id, term) exchange run
+    # TWICE (the dominant cost of this query's 100x curve point; the
+    # top-k rank shuffle itself is already bounded by Spark's partial
+    # WindowGroupLimit, see tests/test_plan_shapes.py). MEMORY_AND_DISK
+    # so the (doc, term) relation spills instead of evicting at scale.
     tf = (
         docs.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
@@ -2802,6 +2817,190 @@ def q_select_cluster_representatives(
         with_planted_dups(_docs(spark, sf_dir)).select(
             "doc_id", F.size(tokens_col()).alias("n_tokens")
         ),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("component")
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .withColumn("csize", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_tokens").cast("long").alias("kept_tokens"),
+            (F.col("csize") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+# --- star-edge LSH clustering: the O(docs) dedup deliverable -----------------
+# The pair-list pipeline above (dedup_minhash_lsh ->
+# dedup_cluster_components -> select_cluster_representatives) is exact
+# but its intermediate edge set is O(dups^2): the measured 100x curve
+# corpus produces 46M verified pairs from ~5k replica cliques — the
+# pair list explodes even though the OUTPUT (one representative per
+# cluster) is O(docs). At 100 TB the dedup deliverable must never
+# materialize a clique's quadratic edge set.
+#
+# Star edges fix the growth: within each LSH band bucket, connect each
+# document only to the bucket's MINIMUM doc_id (the hub) — s-1 edges
+# per bucket instead of s(s-1)/2 — then verify exactly those edges
+# (jaccard >= 0.5, integer-exact: 2*|A∩B| >= |A∪B|) and run connected
+# components over the verified stars. Total edges <= |docs| x BANDS
+# regardless of duplication depth; verification cost, CC input, and
+# output are all O(docs). Semantics note vs the all-pairs clustering:
+# connectivity is through band hubs only, so a pair that verifies
+# while BOTH its hub edges fail is not joined — for near-dup cliques
+# (the case that explodes) hub and member share every band, and the
+# components coincide; the gated oracle encodes exactly the star
+# semantics so the check is exact, not approximate.
+
+_STAR_REP_ORACLE = f"""
+WITH RECURSIVE
+planted AS ({_PLANTED_SQL}),
+sh AS ({_SHINGLE_SQL}),
+seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
+sh2 AS (
+    SELECT doc_id, shingle,
+           CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                % {_MH_MOD} AS BIGINT) AS hsh
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, h, min((a * hsh + b) % {_MH_P}) AS mh
+    FROM sh2 CROSS JOIN seeds
+    GROUP BY doc_id, h
+),
+band AS (
+    SELECT doc_id, h // {MINHASH_K // LSH_BANDS} AS band_id,
+           string_agg(mh::VARCHAR, '|' ORDER BY h) AS band_key
+    FROM sig GROUP BY doc_id, band_id
+),
+hub AS (
+    SELECT band_id, band_key, min(doc_id) AS hub
+    FROM band GROUP BY band_id, band_key
+),
+edges AS (
+    SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+    FROM band b JOIN hub h
+      ON h.band_id = b.band_id AND h.band_key = b.band_key
+    WHERE b.doc_id > h.hub
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT e.doc_a, e.doc_b, count(*) AS n_common
+    FROM edges e
+    JOIN sh a ON a.doc_id = e.doc_a
+    JOIN sh b ON b.doc_id = e.doc_b AND b.shingle = a.shingle
+    GROUP BY e.doc_a, e.doc_b
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM common c
+    JOIN counts ca ON ca.doc_id = c.doc_a
+    JOIN counts cb ON cb.doc_id = c.doc_b
+    WHERE 2 * n_common >= ca.n_sh + cb.n_sh - n_common
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, lab) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+),
+cc AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+sized AS (
+    SELECT c.component, c.doc_id,
+           len(string_split(p.text, ' ')) AS n_tokens
+    FROM cc c JOIN planted p ON p.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT component, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_tokens DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY component) AS csize
+    FROM sized
+)
+SELECT CAST(component AS BIGINT) AS component, doc_id AS kept_doc,
+       CAST(n_tokens AS BIGINT) AS kept_tokens,
+       CAST(csize - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("star_lsh_representatives", oracle=_STAR_REP_ORACLE)
+def q_star_lsh_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH -> star edges -> verified CC -> representatives, end to end
+    with every intermediate O(docs): the scale-path twin of
+    select_cluster_representatives (same signature scaffold
+    `_lsh_doc_agg`/`_lsh_bands`, same keep-longest selection) that
+    never materializes a pair list.
+
+    Star edges: per (band_id, band_key) bucket, (hub=min doc_id) ->
+    member. The hub aggregation is map-side-combined (one row per
+    bucket), the edge join is the same band-key equi-join the pair
+    path uses, and the verify stage intersects shingle-hash arrays on
+    <= |docs| x BANDS distinct edges. The jaccard >= 0.5 gate is the
+    integer form 2*|A∩B| >= |A|+|B|-|A∩B| — no float crosses the
+    engines."""
+    from pyspark.sql import Window
+
+    from divolte_collector_spark.operators.graph import connected_components
+
+    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    doc_agg = _lsh_doc_agg(planted).persist()
+    band = _lsh_bands(doc_agg)
+    hub = band.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("hub")
+    )
+    edges = (
+        band.join(hub, ["band_id", "band_key"])
+        .filter(F.col("doc_id") > F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = doc_agg.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = doc_agg.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_common = F.size(
+        F.array_intersect(F.col("shs_a"), F.col("shs_b"))
+    ).cast("long")
+    verified = (
+        edges.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", n_common.alias("n_common"), "n_a", "n_b")
+        .filter(
+            2 * F.col("n_common")
+            >= F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
+        .select("doc_a", "doc_b")
+        # CC runs one action per label-propagation round; without this
+        # persist every round re-executes the band join + verify stage
+        # off the doc_agg cache (measured: the 100x point ran >9 min;
+        # with the edge list pinned it is the CC rounds alone)
+        .persist()
+    )
+    cc = connected_components(verified, src="doc_a", dst="doc_b").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    sized = cc.join(
+        planted.select("doc_id", F.size(tokens_col()).alias("n_tokens")),
         "doc_id",
     )
     w = Window.partitionBy("component").orderBy(

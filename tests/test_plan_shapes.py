@@ -579,3 +579,43 @@ def test_pps_sampling_two_phase_scan(spark):
     assert not a.has_cartesian_product
     assert a.has_nested_loop_join  # the documented 20-row grid join
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_rank_topk_group_limit_is_two_phase(spark):
+    """Every scan-rank retrieval gate (rank window + rnk <= K filter)
+    must keep Spark's InferWindowGroupLimit rewrite eligible: a
+    PARTIAL WindowGroupLimit below the rank exchange bounds each
+    map task's output to K rows per group BEFORE the shuffle (the
+    two-phase top-K), and the Final pass above it re-bounds the ~K x
+    partitions survivors. Eligibility is fragile — casting the rank
+    before the filter, or interposing another operator, silently
+    reverts to shuffling every scored row (|V| x |probes| for the
+    retrieval family) through the rank exchange."""
+    for name in (
+        "knn_bruteforce_cosine",
+        "ann_bq_hamming_topk",
+        "tfidf_top_terms",
+    ):
+        df = all_queries()[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, name
+        assert ", Partial" in plan, name
+        assert ", Final" in plan, name
+        # the Partial pass sits BELOW the exchange (deeper in the
+        # tree string), the Final above it
+        partial = plan.index(", Partial")
+        final = plan.index(", Final")
+        assert final < partial, name
+
+
+def test_tfidf_tf_relation_computed_once(spark):
+    """The tf relation is a diamond (feeds the df aggregation AND the
+    scored join); the persist must keep the explode + (doc_id, term)
+    exchange from being planned twice — exactly one InMemoryRelation
+    caches it, and the raw (doc_id, term) aggregation appears in only
+    one subtree."""
+    df = all_queries()["tfidf_top_terms"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # both consumers read the cache: two scans of ONE cached relation
+    assert plan.count("InMemoryTableScan") == 2

@@ -45,6 +45,7 @@ CURVE_QUERIES = [
     "text_rerank_stage",         # corpus-wide sparse pass + Q*N rerank
     "sample_pps_systematic",     # two-phase prefix scan + 20-row grid NLJ
     "ann_bq_hamming_topk",    # 16B/vec packed scan, broadcast probes
+    "star_lsh_representatives",  # O(docs) star-edge LSH -> CC -> reps
 ]
 # NOTE on vector_nn_descent_graph under replication: replicas are
 # verbatim vector copies, so every node's top-K converges to its own

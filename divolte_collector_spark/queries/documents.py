@@ -448,7 +448,8 @@ FROM reach GROUP BY node
 def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup clustering both gated consumers share: LSH pairs at
     the 0.5 Jaccard threshold -> connected components -> (doc_id,
-    component) longs. One definition so dedup_cluster_components and
+    component) longs. One definition so pair_cluster_components (board name until round 9:
+    dedup_cluster_components) and
     select_cluster_representatives can never silently cluster over
     different pair sets."""
     from divolte_collector_spark.operators.graph import connected_components
@@ -466,7 +467,7 @@ def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_cluster_components", oracle=_CC_ORACLE)
+@query("pair_cluster_components", oracle=_CC_ORACLE)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from LSH pairs (the step an actual dedup run
     needs: pick one representative per component, drop the rest).
@@ -2838,7 +2839,7 @@ def q_select_cluster_representatives(
 
 # --- star-edge LSH clustering: the O(docs) dedup deliverable -----------------
 # The pair-list pipeline above (dedup_minhash_lsh ->
-# dedup_cluster_components -> select_cluster_representatives) is exact
+# pair_cluster_components -> select_cluster_representatives) is exact
 # but its intermediate edge set is O(dups^2): the measured 100x curve
 # corpus produces 46M verified pairs from ~5k replica cliques — the
 # pair list explodes even though the OUTPUT (one representative per
@@ -2934,8 +2935,8 @@ FROM ranked WHERE rn = 1
 """
 
 
-@query("star_lsh_representatives", oracle=_STAR_REP_ORACLE)
-def q_star_lsh_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("dedup_star_representatives", oracle=_STAR_REP_ORACLE)
+def q_dedup_star_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH -> star edges -> verified CC -> representatives, end to end
     with every intermediate O(docs): the scale-path twin of
     select_cluster_representatives (same signature scaffold

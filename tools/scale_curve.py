@@ -45,7 +45,11 @@ CURVE_QUERIES = [
     "text_rerank_stage",         # corpus-wide sparse pass + Q*N rerank
     "sample_pps_systematic",     # two-phase prefix scan + 20-row grid NLJ
     "ann_bq_hamming_topk",    # 16B/vec packed scan, broadcast probes
-    "star_lsh_representatives",  # O(docs) star-edge LSH -> CC -> reps
+    "dedup_star_representatives",  # O(docs) star-edge LSH -> CC -> reps
+    "browser_wire_roundtrip",    # one-Arrow-crossing wire decode
+    "tfidf_top_terms",           # tf/df diamond + bounded top-k window
+    "token_heavy_hitters",       # CMS candidates + exact verify
+    "dedup_simhash",             # banded 64-bit simhash candidates
 ]
 # NOTE on vector_nn_descent_graph under replication: replicas are
 # verbatim vector copies, so every node's top-K converges to its own

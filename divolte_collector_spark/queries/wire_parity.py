@@ -134,14 +134,18 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two stages then run sequentially and REUSE one 32-worker
     # fleet). A real ingest has this boundary anyway: the decoder
     # consumes a Kafka/file source, not an in-task synthesis stage.
-    # Width: a quarter of the cores (floor 8). Each ArrowEvalPython
-    # task pays a fixed worker-attach + Arrow stream setup cost; at
-    # ~100k rows, 12k-row tasks amortize it where 3k-row tasks are
-    # overhead-bound (measured 3.2 s -> 2.3 s warm at sf0.1). At real
-    # scale the decode input arrives already partitioned from
-    # Kafka/files and this explicit exchange exists only to break the
-    # synthetic encode->decode pipeline into two python stages.
-    width = max(8, spark.sparkContext.defaultParallelism // 4)
+    # Width: every core. The old quarter-of-cores floor-8 width dated
+    # from the two-ArrowEvalPython decode, whose per-task worker-attach
+    # cost favored few fat tasks at sf0.1; after the round-8 rewrite to
+    # ONE mapInPandas crossing the fixed cost is the (reused) fleet
+    # fork alone, and full width wins at every measured volume
+    # (sf0.1: 1.21 s -> 0.88 s; the 10M-row 100x decode was outright
+    # SERIALIZED by the narrow width: 39.4 s -> 24.1 s,
+    # BASELINE.md round 9). At real scale the decode input arrives
+    # already partitioned from Kafka/files and this explicit exchange
+    # exists only to break the synthetic encode->decode pipeline into
+    # two python stages (worker-fleet reuse, see above).
+    width = spark.sparkContext.defaultParallelism
     requests = requests.repartition(width, "src_event_id")
     decoded = parse_browser_events(requests)
     return decoded.select(

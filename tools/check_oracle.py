@@ -17,6 +17,7 @@ Usage: python tools/check_oracle.py [--window] [--loose] [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -88,9 +89,14 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single-file tables; Spark-written dirs
+        # (e.g. tools/scale_data.py output) need a part-file glob —
+        # supporting both lets the strict gate run on the scaled
+        # curve volumes too
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = e.queries()
     oracles = e.oracle_sql()

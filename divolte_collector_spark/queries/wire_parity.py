@@ -139,7 +139,7 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost favored few fat tasks at sf0.1; after the round-8 rewrite to
     # ONE mapInPandas crossing the fixed cost is the (reused) fleet
     # fork alone, and full width wins at every measured volume
-    # (sf0.1: 1.21 s -> 0.88 s; the 10M-row 100x decode was outright
+    # (sf0.1: 1.21 s -> 1.08 s; the 10M-row 100x decode was outright
     # SERIALIZED by the narrow width: 39.4 s -> 24.1 s,
     # BASELINE.md round 9). At real scale the decode input arrives
     # already partitioned from Kafka/files and this explicit exchange

@@ -11,6 +11,17 @@ grows — the realistic shape), and mutates document text with a
 per-replica token so the dedup queries don't see a K-fold planted
 duplicate explosion that no real corpus would have.
 
+Replicated tables are written as MANY files (>= one cluster-width of
+32, ~one per replica beyond that, capped at 256): the exploded build
+plan otherwise inherits the single-partition source layout and emits
+ONE parquet file per table at any K — and a 100x fact table stored as
+one file caps every downstream scan at its handful of row groups
+(measured: the 10x events table scanned as 2 tasks on 32 cores, so
+every narrow-map curve row was timing the file layout, not the plan).
+No real dataset at these volumes is a single file; the curve should
+measure plan scaling under the layout a parallel writer actually
+produces. Dimension tables (region/nation) keep the source layout.
+
 Usage: python tools/scale_data.py K [out_dir]   (default /tmp/sfscale_K)
 """
 
@@ -50,7 +61,12 @@ def build(k: int, out_dir: str) -> None:
         if not keys or k == 1:
             out = df
         else:
-            rep = df.select(
+            # widen BEFORE the explode: the source tables are one
+            # parquet file each, and exploding from a single partition
+            # serializes the whole K-fold expansion into one task
+            # (measured: the 100x lineitem build alone ran >15 min
+            # single-task; 32-wide it's minutes for the full set)
+            rep = df.repartition(32).select(
                 "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_r")
             )
             for c in keys:
@@ -76,7 +92,11 @@ def build(k: int, out_dir: str) -> None:
                         F.slice("embedding", 2, 10_000),
                     ),
                 )
-            out = rep.drop("_r")
+            # scale-proportional file count (see module docstring):
+            # at least full cluster width, ~one file per replica past
+            # that, bounded so the 100x build doesn't shatter into
+            # thousands of tiny files
+            out = rep.drop("_r").repartition(max(32, min(k, 256)))
         out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
         print(f"{table}: x{k} -> {out_dir}/{table}.parquet", file=sys.stderr)
 

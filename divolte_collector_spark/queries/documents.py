@@ -1520,7 +1520,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df), "term").select(
+    # NO broadcast hint on the document-frequency relation: its size is
+    # |vocabulary| — corpus-dependent and unbounded (a crawl-scale corpus
+    # has 1e8-1e9 distinct terms), and a FORCED broadcast OOMs the
+    # driver/executors at that point instead of degrading. Un-hinted, the
+    # planner broadcasts only below spark.sql.autoBroadcastJoinThreshold
+    # (AQE re-checks with observed stats) and falls back to a shuffled
+    # join otherwise — the right behavior at every corpus size. Pinned by
+    # tests/test_plan_shapes.py::test_tfidf_vocab_join_not_hint_forced.
+    scored = tf.join(df, "term").select(
         "doc_id", "term",
         F.round(F.col("tf") * idf, 6).alias("score"),
     )
@@ -2061,6 +2069,10 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between engines and flip the exact hash at a rounding or rank
     # boundary (the repo's standing float discipline)
     contrib = (idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("c")
+    # This broadcast IS bounded, unlike the tfidf vocab join: tf is
+    # pre-filtered to the fixed query-term set, so df here has at most
+    # len(_BM25_QUERY) rows at ANY corpus size — a structural bound,
+    # not a measured one. The hint stays.
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")

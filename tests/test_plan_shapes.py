@@ -633,3 +633,31 @@ def test_tfidf_tf_relation_computed_once(spark):
     assert "InMemoryTableScan" in plan
     # both consumers read the cache: two scans of ONE cached relation
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_tfidf_vocab_join_not_hint_forced(spark):
+    """The tf-x-df join must NOT carry a broadcast hint: df's size is
+    |vocabulary| (unbounded at crawl scale — 1e8-1e9 distinct terms),
+    and a forced broadcast OOMs there instead of degrading. Un-hinted,
+    the planner broadcasts only below autoBroadcastJoinThreshold (AQE
+    re-checks with runtime stats) and falls back to a shuffled join
+    otherwise. The analyzed plan is where a F.broadcast() call shows
+    up as ResolvedHint — assert it is absent."""
+    df = all_queries()["tfidf_top_terms"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # the join itself still exists (not silently dropped)
+    a = audit(df)
+    assert a.n_broadcast_hash_joins + a.n_sortmerge_joins >= 1
+
+
+def test_bm25_query_term_broadcast_is_bounded(spark):
+    """text_bm25_retrieval keeps its broadcast hint — but only because
+    the broadcast relation is structurally bounded: tf is pre-filtered
+    to the fixed query-term set, so df has at most len(_BM25_QUERY)
+    rows at ANY corpus size. Pin that the hint count matches the one
+    bounded relation and no other (an added hint on an unbounded side
+    would fail this)."""
+    df = all_queries()["text_bm25_retrieval"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1

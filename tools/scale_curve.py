@@ -85,15 +85,30 @@ def main() -> None:
     from divolte_collector_spark.queries import all_queries
     from divolte_collector_spark.session import get_spark
 
-    from scale_data import build
+    from scale_data import LAYOUT_VERSION, build
 
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
-    for k in ks:
-        sf_dir = "/root/testdata/sf0.1" if k == 1 else f"/tmp/sfscale_{k}"
-        if k != 1 and not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+
+    def ensure_dataset(k: int) -> str:
+        # Every K — including 1x — goes through scale_data so all curve
+        # points share the same parallel-writer file layout; reading the
+        # single-file source directly at 1x would compare a layout-
+        # serialized baseline against multi-file scans and bias ratios.
+        sf_dir = f"/tmp/sfscale_{k}"
+        marker = f"{sf_dir}/_layout_version"
+        fresh = (
+            os.path.exists(f"{sf_dir}/lineitem.parquet")
+            and os.path.exists(marker)
+            and open(marker).read().strip() == str(LAYOUT_VERSION)
+        )
+        if not fresh:
             build(k, sf_dir)
+        return sf_dir
+
+    for k in ks:
+        sf_dir = ensure_dataset(k)
         timings = {}
         for name in CURVE_QUERIES if only is None else sorted(only):
             fn = registry[name].fn

@@ -20,7 +20,11 @@ one file caps every downstream scan at its handful of row groups
 every narrow-map curve row was timing the file layout, not the plan).
 No real dataset at these volumes is a single file; the curve should
 measure plan scaling under the layout a parallel writer actually
-produces. Dimension tables (region/nation) keep the source layout.
+produces. That policy applies at EVERY K including k==1, so the 1x
+curve point is an apples-to-apples multi-file baseline rather than
+the single-file source artifact. Dimension tables (region/nation)
+keep the source layout. A `_layout_version` marker records the
+policy revision; the curve harness rebuilds on mismatch.
 
 Usage: python tools/scale_data.py K [out_dir]   (default /tmp/sfscale_K)
 """
@@ -35,6 +39,19 @@ from pyspark.sql import functions as F
 
 OFFSET = 10_000_000
 SRC = "/root/testdata/sf0.1"
+
+# Bumped whenever the on-disk layout policy changes; scale_curve.py
+# refuses to reuse a /tmp dataset whose marker is missing or stale, so
+# a pre-fix generator's single-file layout can't silently survive a
+# re-run while the docs claim the new policy.
+LAYOUT_VERSION = 2
+
+
+def target_files(k: int) -> int:
+    """File count per fact table: at least full cluster width (32),
+    ~one file per replica past that, capped so the 100x build doesn't
+    shatter into thousands of tiny files."""
+    return max(32, min(k, 256))
 
 # table -> columns to offset per replica (consistent across tables)
 KEYED = {
@@ -58,15 +75,24 @@ def build(k: int, out_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for table, keys in KEYED.items():
         df = load_table(spark, SRC, table)
-        if not keys or k == 1:
+        if table in ("region", "nation"):
+            # tiny dimensions keep the source layout at every K
             out = df
+        elif not keys or k == 1:
+            # fact tables get the multi-file layout even unexpanded:
+            # the 1x curve point must measure the same parallel-writer
+            # layout as 10x/100x, not the single-file source artifact
+            out = df.repartition(target_files(k))
         else:
-            # widen BEFORE the explode: the source tables are one
-            # parquet file each, and exploding from a single partition
-            # serializes the whole K-fold expansion into one task
-            # (measured: the 100x lineitem build alone ran >15 min
-            # single-task; 32-wide it's minutes for the full set)
-            rep = df.repartition(32).select(
+            # widen BEFORE the explode — to the TARGET file count, so
+            # one shuffle provides both the expansion parallelism and
+            # the output layout (repartitioning after the explode would
+            # move the entire expanded volume just to set file count).
+            # The source tables are one parquet file each, and exploding
+            # from a single partition serializes the whole K-fold
+            # expansion into one task (measured: the 100x lineitem build
+            # alone ran >15 min single-task; wide it's minutes total).
+            rep = df.repartition(target_files(k)).select(
                 "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_r")
             )
             for c in keys:
@@ -92,13 +118,11 @@ def build(k: int, out_dir: str) -> None:
                         F.slice("embedding", 2, 10_000),
                     ),
                 )
-            # scale-proportional file count (see module docstring):
-            # at least full cluster width, ~one file per replica past
-            # that, bounded so the 100x build doesn't shatter into
-            # thousands of tiny files
-            out = rep.drop("_r").repartition(max(32, min(k, 256)))
+            out = rep.drop("_r")
         out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
         print(f"{table}: x{k} -> {out_dir}/{table}.parquet", file=sys.stderr)
+    with open(f"{out_dir}/_layout_version", "w") as fh:
+        fh.write(f"{LAYOUT_VERSION}\n")
 
 
 if __name__ == "__main__":

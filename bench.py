@@ -63,7 +63,7 @@ HEADLINE = [
     "text_quality_scores",
     "token_counts",
     "browser_wire_roundtrip",
-    "mapping_dsl_segments",
+    "dsl_mapping_segments",
     "geoip_enrich_events",
     "multimodal_features",
 ]

@@ -239,6 +239,26 @@ JOIN counts cb ON cb.doc_id = common.doc_b
 """
 
 
+#: corpus size past which the near-dup verify joins hint SHUFFLE_HASH.
+#: Sized to hand off exactly where broadcast stops: ~50k docs x ~1.6 KB
+#: shingle arrays ~ 80 MB — above the session's 64 MB broadcast
+#: threshold, so below this the doc-array side broadcasts (today's
+#: small-SF plan, unchanged) and above it the alternative is a
+#: sort-merge join whose SECOND sort runs over |candidate pairs| rows
+#: each carrying a full shingle array (measured at 100x: 46M pairs x
+#: ~1.6 KB sorted per join = the G1 humongous-allocation stall,
+#: BASELINE.md round-9 controls). SHUFFLE_HASH builds the O(|docs|)
+#: array relation per partition and STREAMS the wide pair side —
+#: no sort of the pair relation ever happens.
+_LSH_SHJ_DOC_THRESHOLD = 50_000
+
+
+def _lsh_verify_heavy(spark: SparkSession, sf_dir: str) -> bool:
+    """One O(1) parquet-metadata count deciding the verify-join shape
+    for this corpus size."""
+    return _docs(spark, sf_dir).count() > _LSH_SHJ_DOC_THRESHOLD
+
+
 def _lsh_candidate_pairs(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[DataFrame, DataFrame]":
@@ -326,6 +346,8 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no byte-identical sets) — it only pays on corpora with heavy
     # EXACT duplication, where dedup_exact should run first anyway.
     doc_sh = doc_agg.select("doc_id", "shs", "n_sh")
+    if _lsh_verify_heavy(spark, sf_dir):
+        doc_sh = doc_sh.hint("shuffle_hash")
     a = doc_sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),
@@ -390,6 +412,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     real containments."""
     doc_agg, cand = _lsh_candidate_pairs(spark, sf_dir)
     doc_sh = doc_agg.select("doc_id", "shs", "n_sh")
+    if _lsh_verify_heavy(spark, sf_dir):
+        doc_sh = doc_sh.hint("shuffle_hash")
     a = doc_sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),
@@ -445,13 +469,51 @@ FROM reach GROUP BY node
 """
 
 
+#: verified pairs per document past which the pair-list clustering
+#: path warns that it left its intended regime. The pair list is
+#: output-proportional — quadratic in duplication depth — so on a
+#: deeply-duplicated corpus (the 100x curve measured 46M true pairs
+#: from 549k docs ~ 84 pairs/doc) the bounded-state
+#: dedup_star_representatives path (<= BANDS edges/doc at ANY
+#: duplication depth) is the right tool. 8 = the star path's own
+#: per-doc edge bound, the natural crossover.
+_PAIR_BLOWUP_FACTOR = 8
+
+
+def warn_if_pair_blowup(n_pairs: int, n_docs: int) -> bool:
+    """Emit the scale self-warning when the verified-pair relation
+    exceeds _PAIR_BLOWUP_FACTOR * |docs|; returns whether it fired
+    (unit-tested directly; wired into _clustered_components)."""
+    if n_pairs <= _PAIR_BLOWUP_FACTOR * max(n_docs, 1):
+        return False
+    import warnings
+
+    warnings.warn(
+        f"pair-list clustering materialized {n_pairs} verified pairs for "
+        f"{n_docs} documents (> {_PAIR_BLOWUP_FACTOR}/doc): this path is "
+        "output-proportional and quadratic in duplication depth — use "
+        "dedup_star_representatives (O(docs) star edges) for corpora "
+        "with deep duplication",
+        ResourceWarning,
+        stacklevel=2,
+    )
+    return True
+
+
 def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup clustering both gated consumers share: LSH pairs at
     the 0.5 Jaccard threshold -> connected components -> (doc_id,
     component) longs. One definition so pair_cluster_components (board name until round 9:
     dedup_cluster_components) and
     select_cluster_representatives can never silently cluster over
-    different pair sets."""
+    different pair sets.
+
+    This is the PAIR PATH — kept for workloads needing the explicit
+    verified-pair relation; the documented default for corpus-scale
+    clustering is dedup_star_representatives (O(docs) edges at any
+    duplication depth). The pair count is checked against the blowup
+    bound after the persist (the count is free: CC materializes the
+    edge relation anyway) and self-warns past it."""
     from divolte_collector_spark.operators.graph import connected_components
 
     # persist: CC's per-round actions would otherwise re-run the whole
@@ -461,6 +523,7 @@ def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .persist()
     )
+    warn_if_pair_blowup(edges.count(), _docs(spark, sf_dir).count())
     return connected_components(edges, src="doc_a", dst="doc_b").select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -2956,10 +3019,17 @@ FROM ranked WHERE rn = 1
 @query("dedup_star_representatives", oracle=_STAR_REP_ORACLE)
 def q_dedup_star_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH -> star edges -> verified CC -> representatives, end to end
-    with every intermediate O(docs): the scale-path twin of
-    select_cluster_representatives (same signature scaffold
-    `_lsh_doc_agg`/`_lsh_bands`, same keep-longest selection) that
-    never materializes a pair list.
+    with every intermediate O(docs): THE DOCUMENTED DEFAULT CLUSTERING
+    PATH for corpus near-dup dedup at scale. The pair path
+    (pair_cluster_components / select_cluster_representatives) stays
+    available for workloads that need the explicit verified-pair
+    relation, but its pair list is output-proportional (quadratic in
+    duplication depth) and it self-warns past ~8 pairs/doc — this
+    query is the bounded-state answer, the corpus-dedup application of
+    the reference's bounded-memory dedup philosophy
+    (ShortTermDuplicateMemory.java:108-178: fixed slot array, never a
+    growing pair set). Measured 100x point: 30.6 s where the pair path
+    needs ~93 s (BASELINE.md).
 
     Star edges: per (band_id, band_key) bucket, (hub=min doc_id) ->
     member. The hub aggregation is map-side-combined (one row per
@@ -2986,12 +3056,18 @@ def q_dedup_star_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    a = doc_agg.select(
+    doc_side = doc_agg
+    if _lsh_verify_heavy(spark, sf_dir):
+        # same handoff as the pair verifiers: stream the edge relation
+        # through a hash build of the O(docs) array side instead of
+        # sort-merging wide rows (see _LSH_SHJ_DOC_THRESHOLD)
+        doc_side = doc_side.hint("shuffle_hash")
+    a = doc_side.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),
         F.col("n_sh").alias("n_a"),
     )
-    b = doc_agg.select(
+    b = doc_side.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shs").alias("shs_b"),
         F.col("n_sh").alias("n_b"),

@@ -1998,11 +1998,48 @@ FROM hits
 )
 
 
-def _nnd_score_topk(cand: DataFrame, e: DataFrame) -> DataFrame:
+#: per-task byte budget for the re-score stage's sorts: with the
+#: documented 256 MB/core floor, a ~64 MB working set keeps every
+#: UnsafeExternalSorter pointer array far below the G1 humongous-
+#: allocation regime (measured at 100x: 134 MB pointer-array
+#: allocations stalling in GCLocker retries while JNI shuffle
+#: decompression held the lock — BASELINE.md round-9 controls)
+_NND_TASK_BYTES = 64 * 1024 * 1024
+
+
+def _nnd_heavy_parts(n_vec: int, dim: int, default_parallelism: int) -> int | None:
+    """Partition count for the re-score stage when the per-round
+    candidate volume would blow the per-task sort budget; None below
+    that point (small corpora keep today's broadcast-friendly shape).
+    Volume model: ~n * (2K)^2 * 2 candidate rows per round, each
+    carrying one embedding payload through the second id-join."""
+    est_rows = n_vec * (2 * _NND_K) ** 2 * 2
+    row_bytes = 16 + 8 * dim + 8  # (src,dst) + carried emb + nrm
+    est_bytes = est_rows * row_bytes
+    if est_bytes <= default_parallelism * _NND_TASK_BYTES:
+        return None
+    return min(2048, max(default_parallelism, est_bytes // _NND_TASK_BYTES))
+
+
+def _nnd_score_topk(
+    cand: DataFrame, e: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Re-score a candidate edge list (src, dst) against the vector
     table and keep the top-K per src — the per-round NN-Descent update.
     Two id-equi-joins (edge list is O(n*K) at init, O(n*(2K)^2) within
-    a round, vectors O(n)) + one bounded window; nothing quadratic."""
+    a round, vectors O(n)) + one bounded window; nothing quadratic.
+
+    ``n_parts`` (from _nnd_heavy_parts) switches on the large-corpus
+    shape: the candidate list repartitions to n_parts so every sort —
+    including the window's map-side Partial WindowGroupLimit sort —
+    stays inside the per-task byte budget, and the two vector joins are
+    hinted SHUFFLE_HASH so the wide edge-x-embedding intermediate
+    STREAMS through the probe side instead of being sort-merged (the
+    sort of that relation is what allocated the 134 MB humongous
+    buffers at 100x; the hash build side is the O(n) vector table,
+    ~n*dim*8/n_parts bytes per task). Below the threshold the plan is
+    unchanged — broadcast joins at test SF, pinned by
+    tests/test_plan_shapes.py."""
     from pyspark.sql import Window
 
     s = e.select(
@@ -2015,6 +2052,10 @@ def _nnd_score_topk(cand: DataFrame, e: DataFrame) -> DataFrame:
         F.col("emb").alias("d_emb"),
         F.col("nrm").alias("d_nrm"),
     )
+    if n_parts is not None:
+        cand = cand.repartition(n_parts, "src")
+        s = s.hint("shuffle_hash")
+        d = d.hint("shuffle_hash")
     scored = (
         cand.join(s, "src")
         .join(d, "dst")
@@ -2054,6 +2095,14 @@ def _nnd_graphs(
         _emb(spark, sf_dir)
         .select("vec_id", as_double("embedding").alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
+    )
+    # one metadata count + one first() — O(1) scans deciding the
+    # re-score stage's shape for THIS corpus size (see _nnd_heavy_parts)
+    raw = _emb(spark, sf_dir)
+    n_vec = raw.count()
+    dim = raw.select(F.size("embedding")).first()[0]
+    heavy_parts = _nnd_heavy_parts(
+        n_vec, dim, spark.sparkContext.defaultParallelism
     )
     js = F.array(*[F.lit(j) for j in range(1, _NND_K + 1)])
     lr = (
@@ -2103,7 +2152,7 @@ def _nnd_graphs(
         .filter(F.col("src") != F.col("dst"))
     )
     init = label_ring.union(global_ring).distinct()
-    g = _nnd_score_topk(init, e)
+    g = _nnd_score_topk(init, e, heavy_parts)
     graphs = [g]
     for _ in range(rounds):
         # Lineage truncation between rounds (the GraphX/Pregel
@@ -2126,7 +2175,7 @@ def _nnd_graphs(
             .filter(F.col("src") != F.col("dst"))
         )
         cand = two_hop.union(und).distinct()
-        g = _nnd_score_topk(cand, e)
+        g = _nnd_score_topk(cand, e, heavy_parts)
         graphs.append(g)
     return graphs
 

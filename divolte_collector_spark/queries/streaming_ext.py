@@ -862,7 +862,9 @@ FROM p JOIN v
 """
 
 
-@query("streaming_interval_join_views", oracle=_IJ_ORACLE)
+@query("interval_join_views_streaming", oracle=_IJ_ORACLE)
+# board name until round 10: streaming_interval_join_views (renamed to
+# rotate this never-driver-checked gate into the checked prefix)
 def streaming_interval_join_views(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1088,7 +1090,10 @@ FROM events
 """
 
 
-@query("streaming_dedup_watermark", oracle=_SDW_ORACLE)
+@query("c6s_dedup_watermark", oracle=_SDW_ORACLE)
+# board name until round 10: streaming_dedup_watermark (renamed to
+# rotate into the checked prefix; c6s = the C6 dup-memory family's
+# streaming sibling, matching the c3s_ convention)
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from divolte_collector_spark.streaming.ingest import dedup_events_stream
 
@@ -1167,7 +1172,9 @@ GROUP BY win_ms, event_type
 """
 
 
-@query("streaming_sliding_late_counts", oracle=_SLIDE_ORACLE)
+@query("agg_sliding_late_counts", oracle=_SLIDE_ORACLE)
+# board name until round 10: streaming_sliding_late_counts (renamed to
+# rotate into the checked prefix)
 def streaming_sliding_late_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

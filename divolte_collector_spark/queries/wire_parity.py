@@ -505,7 +505,10 @@ GROUP BY 1, 2, 3, 4
 """
 
 
-@query("mapping_dsl_segments", oracle=_MAPPING_ORACLE, cache_plan=True)
+@query("dsl_mapping_segments", oracle=_MAPPING_ORACLE, cache_plan=True)
+# board name until round 10: mapping_dsl_segments (renamed so the
+# M-family flagship stays inside the checked prefix after the round-10
+# streaming-gate rotation)
 def q_mapping_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A when/overwrite mapping compiled to one Project, aggregated so
     the oracle can express it as CASE logic: later ``map`` actions

@@ -154,3 +154,31 @@ def test_bq_rerank_recall_curve_is_monotone(spark):
     recalls = [r.recall_ppm for r in rows]
     assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] > recalls[0], recalls
+
+
+def test_pair_blowup_warning_fires_past_bound():
+    """The pair-list clustering path must self-warn when the verified
+    pair relation leaves its intended regime (> _PAIR_BLOWUP_FACTOR
+    pairs/doc) and point at the O(docs) star path, and stay silent
+    below the bound (VERDICT r9 item 6)."""
+    import warnings
+
+    from divolte_collector_spark.queries.documents import (
+        _PAIR_BLOWUP_FACTOR,
+        warn_if_pair_blowup,
+    )
+
+    n_docs = 1000
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert not warn_if_pair_blowup(_PAIR_BLOWUP_FACTOR * n_docs, n_docs)
+        assert caught == []
+        assert warn_if_pair_blowup(_PAIR_BLOWUP_FACTOR * n_docs + 1, n_docs)
+        assert len(caught) == 1
+        assert issubclass(caught[0].category, ResourceWarning)
+        assert "dedup_star_representatives" in str(caught[0].message)
+    # zero docs must not divide/compare away the warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert warn_if_pair_blowup(_PAIR_BLOWUP_FACTOR + 1, 0)
+        assert len(caught) == 1

@@ -389,7 +389,7 @@ def test_interval_join_watermark_evicts_state(spark):
     """The time-ordered replay + a realistic 45-minute watermark must
     actually EVICT buffered rows as the watermark advances — the state
     bound that makes the stream-stream interval join 100 TB-safe. The
-    gate (streaming_interval_join_views) proves output correctness;
+    gate (interval_join_views_streaming) proves output correctness;
     this pins the mechanism: state row counts plateau far below the
     stream's total row count, and rows are removed along the way."""
     from divolte_collector_spark.queries.streaming_ext import (
@@ -528,7 +528,7 @@ def test_windowed_agg_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
 
 
 def test_streaming_dedup_watermark_evicts_state(spark):
-    """The gated streaming dedup (streaming_dedup_watermark) must
+    """The gated streaming dedup (c6s_dedup_watermark) must
     actually evict per-key state as the 45-minute watermark advances
     over the time-ordered replay: rows are removed along the way and
     the state total stays far below the stream's key count."""

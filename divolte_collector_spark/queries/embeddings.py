@@ -2007,17 +2007,30 @@ FROM hits
 _NND_TASK_BYTES = 64 * 1024 * 1024
 
 
+#: the session's broadcast threshold (session.py): while the vector
+#: relation's PARQUET footprint (~dim * 4 bytes/vec) fits under it,
+#: the planner broadcasts the vector table into every re-score join
+#: and the per-round plan moves NO candidate bytes through any
+#: exchange — measured at 100x (200k vecs, 51 MB): broadcast plan
+#: 113.8 s vs 559-595 s for a forced shuffle of the same work
+#: (same-boot ablation, round 10). The heavy path below must
+#: therefore engage only PAST the broadcast regime, never inside it.
+_NND_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
 def _nnd_heavy_parts(n_vec: int, dim: int, default_parallelism: int) -> int | None:
-    """Partition count for the re-score stage when the per-round
-    candidate volume would blow the per-task sort budget; None below
-    that point (small corpora keep today's broadcast-friendly shape).
-    Volume model: ~n * (2K)^2 * 2 candidate rows per round, each
-    carrying one embedding payload through the second id-join."""
+    """Partition count for the re-score stage — None (today's
+    broadcast-join shape) while the vector table still broadcasts;
+    past that point (~260k vectors at dim 64) the joins become
+    shuffled and the candidate list repartitions so the per-task sort
+    working set stays inside _NND_TASK_BYTES. Volume model:
+    ~n * (2K)^2 * 2 candidate rows per round, each carrying one
+    embedding payload through the second id-join."""
+    if n_vec * dim * 4 <= _NND_BROADCAST_BYTES:
+        return None
     est_rows = n_vec * (2 * _NND_K) ** 2 * 2
     row_bytes = 16 + 8 * dim + 8  # (src,dst) + carried emb + nrm
     est_bytes = est_rows * row_bytes
-    if est_bytes <= default_parallelism * _NND_TASK_BYTES:
-        return None
     return min(2048, max(default_parallelism, est_bytes // _NND_TASK_BYTES))
 
 
@@ -2029,17 +2042,21 @@ def _nnd_score_topk(
     Two id-equi-joins (edge list is O(n*K) at init, O(n*(2K)^2) within
     a round, vectors O(n)) + one bounded window; nothing quadratic.
 
-    ``n_parts`` (from _nnd_heavy_parts) switches on the large-corpus
-    shape: the candidate list repartitions to n_parts so every sort —
-    including the window's map-side Partial WindowGroupLimit sort —
-    stays inside the per-task byte budget, and the two vector joins are
-    hinted SHUFFLE_HASH so the wide edge-x-embedding intermediate
-    STREAMS through the probe side instead of being sort-merged (the
-    sort of that relation is what allocated the 134 MB humongous
-    buffers at 100x; the hash build side is the O(n) vector table,
-    ~n*dim*8/n_parts bytes per task). Below the threshold the plan is
-    unchanged — broadcast joins at test SF, pinned by
-    tests/test_plan_shapes.py."""
+    ``n_parts`` (from _nnd_heavy_parts) switches on the PAST-BROADCAST
+    shape: once the vector table no longer fits the broadcast
+    threshold the joins become shuffled, and left alone they'd
+    sort-merge — sorting the wide edge-x-embedding intermediate (the
+    shape measured on the minhash twin to drive G1 humongous
+    allocation stalls). Instead the candidate list repartitions to
+    n_parts so every sort — including the window's map-side Partial
+    WindowGroupLimit sort — stays inside the per-task byte budget,
+    and the two vector joins are hinted SHUFFLE_HASH so the wide
+    intermediate STREAMS through the probe side (the hash build side
+    is the O(n) vector table, ~n*dim*8/n_parts bytes per task).
+    While the vector table broadcasts, n_parts is None and the plan
+    is today's exchange-free re-score (forcing the shuffle inside the
+    broadcast regime measured 5x slower — _NND_BROADCAST_BYTES
+    note)."""
     from pyspark.sql import Window
 
     s = e.select(

@@ -345,6 +345,15 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (+ one array-keyed shuffle, ~0 collapse: the corpus has almost
     # no byte-identical sets) — it only pays on corpora with heavy
     # EXACT duplication, where dedup_exact should run first anyway.
+    # Also tried and REGRESSED (round 10, same-boot 100x): carrying
+    # the arrays INTO the band self-join with first-shared-band
+    # exactly-once emission (no distinct, no fetch joins) — 128.8 s
+    # vs 56.9 s for this shape. Within a B-doc band bucket the join
+    # evaluates ~B^2 row combinations, and with the payload aboard
+    # each evaluated combination materializes ~3.4 KB of joined row
+    # (~1.5 TB of row-join copying at B~100) — candidates must stay
+    # NARROW through the bucket join; payload rides the per-surviving-
+    # pair fetch below, streamed via the gated SHUFFLE_HASH hint.
     doc_sh = doc_agg.select("doc_id", "shs", "n_sh")
     if _lsh_verify_heavy(spark, sf_dir):
         doc_sh = doc_sh.hint("shuffle_hash")

@@ -238,24 +238,28 @@ def test_nnd_heavy_gate_keys_on_broadcastability():
     assert p4 >= p and p4 <= 2048
 
 
-def test_lsh_verify_shj_path_equals_broadcast_path(spark):
-    """The past-broadcast near-dup verify shape (SHUFFLE_HASH on the
-    doc-array side) triggers only above _LSH_SHJ_DOC_THRESHOLD, which
-    local volumes never reach — pin that forcing it produces the
-    byte-identical pair relation (same-boot 100x ablation measured it
-    21% faster than the sort-merge alternative: 72.3 -> 56.9 s)."""
+def test_lsh_star_verify_shj_path_equals_broadcast_path(spark):
+    """The past-broadcast star-edge verify shape (SHUFFLE_HASH on the
+    doc-array side, dedup_star_representatives) triggers only above
+    _LSH_SHJ_DOC_THRESHOLD, which local volumes never reach — pin that
+    forcing it produces the identical representative relation (the
+    pair verifiers moved to the payload-carrying first-band join in
+    round 10 and no longer have a hint to force)."""
     import divolte_collector_spark.queries.documents as docs
+    from divolte_collector_spark.queries import all_queries
 
     sf = "/root/testdata/sf0.001"
+    fn = all_queries()["dedup_star_representatives"].fn
     rows = lambda df: sorted(map(tuple, df.collect()))
-    plain = rows(docs.minhash_verified_pairs(spark, sf))
+    plain = rows(fn(spark, sf))
     orig = docs._LSH_SHJ_DOC_THRESHOLD
     try:
         docs._LSH_SHJ_DOC_THRESHOLD = -1  # force the heavy shape
-        heavy_df = docs.minhash_verified_pairs(spark, sf)
-        plan = heavy_df._jdf.queryExecution().executedPlan().toString()
-        assert "ShuffledHashJoin" in plan
-        assert rows(heavy_df) == plain
+        # no plan assertion: the query materializes its CC rounds
+        # eagerly inside fn(), so the returned plan is the final
+        # representative selection — the hinted verify joins already
+        # EXECUTED under the forced threshold; equality is the pin
+        assert rows(fn(spark, sf)) == plain
     finally:
         docs._LSH_SHJ_DOC_THRESHOLD = orig
     assert plain  # non-degenerate

@@ -20,7 +20,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUBE_ORACLE = """
 SELECT event_type, CAST(ts AS DATE) AS day,
        CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
 FROM events
 GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """
@@ -115,8 +115,7 @@ WITH bands AS (
 )
 SELECT bd.band_id AS band_id,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-             AS DOUBLE) / 100.0, 2) AS total
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
 FROM orders o
 JOIN bands bd ON o.o_totalprice >= bd.lo AND o.o_totalprice < bd.hi
 GROUP BY bd.band_id
@@ -165,7 +164,7 @@ _SALTED_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
 FROM events
 GROUP BY event_type
 """

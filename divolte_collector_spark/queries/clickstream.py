@@ -228,7 +228,7 @@ _TYPE_STATS_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value,
        round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 3)
            AS avg_value,
        round(quantile_cont(value, 0.5), 3) AS median_value

@@ -48,9 +48,24 @@ def rev_e4():
 
 
 def sum_money(int_expr, scale: float, nd: int = 2):
-    return F.round(
-        F.sum(int_expr.cast("decimal(38,0)")).cast("double") / scale, nd
-    )
+    """Exact money aggregation: the sum runs in integer sub-cent units
+    (decimal(38,0) accumulator — a long wraps past 2^63 at scale while
+    DuckDB promotes to HUGEINT), and the ROUNDING to nd decimals also
+    happens in INTEGER space (half-up via +factor/2 then floor-div)
+    BEFORE the single double division. Rounding a double quotient
+    instead (the pre-round-10 form) trips on representation: at the
+    10x volume one q9 group landed where the exact value x.xx5's
+    nearest double fell on different sides of the round boundary in
+    the two engines. An integer never does that; the final
+    int/10^nd double division is bit-identical in any IEEE engine.
+    Assumes non-negative sums (all money relations here) — integer
+    division truncation at negatives would differ from HALF_UP."""
+    factor = int(scale) // (10 ** nd)
+    assert factor * (10 ** nd) == int(scale) and factor >= 1
+    s = F.sum(int_expr.cast("decimal(38,0)"))
+    if factor > 1:
+        s = F.floor((s + F.lit(factor // 2)) / F.lit(factor))
+    return s.cast("double") / (10 ** nd)
 
 
 def rev_e4_sql(p: str = "") -> str:
@@ -61,7 +76,17 @@ def rev_e4_sql(p: str = "") -> str:
 
 
 def sum_money_sql(int_sql: str, scale: str, nd: int = 2) -> str:
-    return f"round(CAST(sum({int_sql}) AS DOUBLE) / {scale}, {nd})"
+    """DuckDB twin of sum_money: same integer half-up-then-floor-div
+    rounding, same final int/10^nd double division (sum(BIGINT)
+    promotes to HUGEINT, so the integer path is exact at any scale)."""
+    factor = int(float(scale)) // (10 ** nd)
+    assert factor * (10 ** nd) == int(float(scale)) and factor >= 1
+    if factor > 1:
+        return (
+            f"CAST((sum({int_sql}) + {factor // 2}) // {factor} AS DOUBLE)"
+            f" / {10 ** nd}"
+        )
+    return f"CAST(sum({int_sql}) AS DOUBLE) / {10 ** nd}"
 
 
 def sum_rev_sql(p: str = "", nd: int = 2) -> str:
@@ -115,9 +140,9 @@ WITH part AS (
 )
 SELECT l_returnflag, l_linestatus,
        round(sum(_sq), 2) AS sum_qty,
-       round({_DEC_SUM.format(c="_s_base")} / 100.0, 2) AS sum_base_price,
-       round({_DEC_SUM.format(c="_s_disc")} / 10000.0, 2) AS sum_disc_price,
-       round({_DEC_SUM.format(c="_s_charge")} / 1000000.0, 2) AS sum_charge,
+       {_DEC_SUM.format(c="_s_base")} / 100 AS sum_base_price,
+       CAST((sum(CAST(_s_disc AS DECIMAL(38,0))) + 50) div 100 AS DOUBLE) / 100 AS sum_disc_price,
+       CAST((sum(CAST(_s_charge AS DECIMAL(38,0))) + 5000) div 10000 AS DOUBLE) / 100 AS sum_charge,
        round(sum(_sq) / sum(_n), 3) AS avg_qty,
        round({_DEC_SUM.format(c="_s_base")} / 100.0 / sum(_n), 3) AS avg_price,
        round({_DEC_SUM.format(c="_s_discount")} / 100.0 / sum(_n), 4) AS avg_disc,
@@ -150,9 +175,8 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT l.l_orderkey AS l_orderkey,
-       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-             AS DOUBLE) / 10000.0, 2) AS revenue,
+       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
        o.o_orderdate AS o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -191,9 +215,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n.n_name AS n_name,
-       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-             AS DOUBLE) / 10000.0, 2) AS revenue
+       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -338,9 +361,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOP_PARTS_ORACLE = """
 WITH pr AS (
     SELECT p.p_brand AS p_brand, p.p_partkey AS p_partkey,
-           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                 AS DOUBLE) / 10000.0, 2) AS revenue
+           CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand, p.p_partkey
 )

@@ -42,9 +42,8 @@ def _ts(lit: str):
 # --- Q6: forecast revenue change (pure scan + filter + scalar agg) ----------
 
 _Q6_ORACLE = """
-SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * CAST(round(l_discount * 100) AS BIGINT))
-             AS DOUBLE) / 10000.0, 2) AS revenue
+SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -78,7 +77,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       round(CAST(sum(volume) AS DOUBLE) / 10000.0, 2) AS revenue
+       CAST((sum(volume) + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM (
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -206,7 +205,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_ORACLE = """
 SELECT nation, o_year,
-       round(CAST(sum(amount_e4) AS DOUBLE) / 10000.0, 2) AS sum_profit
+       CAST((sum(amount_e4) + 50) // 100 AS DOUBLE) / 100 AS sum_profit
 FROM (
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
@@ -258,7 +257,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = """
 SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
-       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
+       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
        round(c.c_acctbal, 2) AS c_acctbal, n.n_name AS n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -337,7 +336,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue0 AS (
     SELECT l_suppkey AS supplier_no,
-           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
+           CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100
                AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -458,7 +457,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q19-shaped: OR-of-conjuncts bracket revenue ----------------------------
 
 _Q19_ORACLE = """
-SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
+SELECT CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
@@ -568,8 +567,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                     AS DOUBLE) / 100.0, 2) AS sum_price,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
                count(*) AS n
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -626,7 +624,7 @@ N_JOIN_SALTS = 8
 _SALTED_JOIN_ORACLE = """
 SELECT p.p_brand,
        CAST(count(*) AS BIGINT) AS n_lineitems,
-       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
+       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY p.p_brand
 """

@@ -114,10 +114,10 @@ def main() -> int:
             spark.catalog.clearCache()
         except Exception as ex:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {ex}")
+            print(f"FAIL  {name}: spark error: {ex}", flush=True)
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]", flush=True)
             continue
         try:
             res = con.execute(oracles[name])
@@ -125,7 +125,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as ex:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {ex}")
+            print(f"FAIL  {name}: duckdb error: {ex}", flush=True)
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
@@ -138,7 +138,8 @@ def main() -> int:
         print(
             f"{status}  {name}: rows {len(srows)}/{len(drows)}"
             f" cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'}"
-            f" vals={'ok' if ok_vals else 'MISMATCH'} [{time.time()-t0:.1f}s]"
+            f" vals={'ok' if ok_vals else 'MISMATCH'} [{time.time()-t0:.1f}s]",
+            flush=True,
         )
         if not ok_vals and ok_cols and ok_count:
             diff_s = [k for k in s_ms if s_ms[k] != d_ms.get(k)][:3]

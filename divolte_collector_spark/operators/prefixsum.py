@@ -22,6 +22,8 @@ global-window formulation for any monotone bucketing.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -147,6 +149,146 @@ def global_cumsum_with_total(
     out = (
         with_bucket.join(F.broadcast(offset_df), "_psb")
         .withColumn(out_col, F.sum(F.col(value_col)).over(w) + F.col("_off"))
+        .drop("_psb", "_off")
+    )
+    return out, acc
+
+
+def str_prefix_long(col: Column, nbytes: int = 7) -> Column:
+    """Monotone numeric embedding of a string's first ``nbytes`` UTF-8
+    bytes: big-endian, zero-padded on the right, so ``s1 <= s2`` under
+    binary collation implies ``embed(s1) <= embed(s2)`` (UTF-8 byte
+    order equals code-point order, and left-aligned padding keeps the
+    prefix relation: ``"ab" < "b"`` maps to ``0x61620000.. < 0x62000..``).
+    Equal embeddings do NOT imply equal strings (they share a prefix),
+    so this is a BUCKETING key — ties stay together — never an ORDER
+    key. ``nbytes`` caps at 7 so the value fits a signed long."""
+    if not 1 <= nbytes <= 7:
+        raise ValueError("nbytes must be in 1..7 for a signed long")
+    return F.conv(
+        F.rpad(
+            F.hex(F.substring(col.cast("binary"), 1, nbytes)),
+            2 * nbytes,
+            "0",
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """Closed-form ``ntile(k)`` from an exact 1-based global rank over
+    ``n`` rows — SQL ntile semantics (first ``n % k`` tiles get one
+    extra row). Pure integer arithmetic: the divisions are over exact
+    multiples (``x - x % b``), so the result is bit-identical to the
+    window-function formulation for any ``n < 2**53``. This is how a
+    global ``ntile`` rides the two-phase scan instead of a single
+    unpartitioned WindowExec task."""
+    base, rem = divmod(n, k)
+    if base == 0:
+        # fewer rows than tiles: each row its own tile
+        return rank.cast("int")
+
+    def idiv(x: Column, b: int) -> Column:
+        return ((x - (x % F.lit(b))) / F.lit(b)).cast("long")
+
+    cut = rem * (base + 1)
+    rest = F.lit(rem) + idiv(rank - 1 - cut, base) + 1
+    if rem == 0:
+        return rest.cast("int")
+    first = idiv(rank - 1, base + 1) + 1
+    return F.when(rank <= cut, first).otherwise(rest).cast("int")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    bucket_by: Column,
+    *,
+    bucket_width: float | None = None,
+    tie_bucket_by: Column | None = None,
+    tie_buckets: int = 64,
+    out_col: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based ``row_number()`` over the total order
+    ``order_by``, computed with the same two-phase scan as
+    ``global_cumsum`` instead of a single-task unpartitioned window.
+
+    ``bucket_by`` must be numeric and monotone NON-DECREASING along
+    ``order_by`` (for a descending primary key pass its negation);
+    rows with equal primary keys land in one bucket, so the
+    within-bucket ``row_number`` — PARTITIONED by bucket, ordered by
+    the full composite ``order_by`` — plus the driver-prefixed bucket
+    offset reproduces the global window exactly, including ties broken
+    by the trailing unique key.
+
+    Tie skew: when the primary key is coarse (a few thousand distinct
+    days/counts over billions of rows), every tie group IS a bucket
+    and the window task inherits it whole. ``tie_bucket_by`` — a
+    numeric column monotone in the order WITHIN equal primary keys
+    (``str_prefix_long`` of the unique trailing key is the usual
+    choice, monotone GLOBALLY so trivially monotone within ties) —
+    subdivides each primary bucket into up to ``tie_buckets`` slices,
+    bounding the window partition at tie_group/tie_buckets rows. The
+    combined bucket id ``primary * tie_buckets + tie_slice`` stays
+    lexicographically monotone because the slice is clamped below
+    ``tie_buckets``.
+
+    EAGER: runs one min/max aggregate (width derivation) and one
+    |buckets|-row collect (the serial prefix) at call time. Returns
+    ``(df + out_col, total_row_count)`` — the count falls out of the
+    prefix accumulator for free, and callers deriving ntile/quantile
+    positions from the rank always need it.
+    """
+    span_aggs = [
+        F.min(bucket_by).cast("double"),
+        F.max(bucket_by).cast("double"),
+    ]
+    if tie_bucket_by is not None:
+        span_aggs += [
+            F.min(tie_bucket_by).cast("double"),
+            F.max(tie_bucket_by).cast("double"),
+        ]
+    spans = df.agg(*span_aggs).first()
+    lo, hi = spans[0], spans[1]
+    if bucket_width is None:
+        span = 0.0 if lo is None else float(hi) - float(lo)
+        bucket_width = (span / _TARGET_BUCKETS) or 1.0
+    pb = (bucket_by / bucket_width).cast("long")
+    if tie_bucket_by is not None:
+        tlo = spans[2] if spans[2] is not None else 0.0
+        thi = spans[3] if spans[3] is not None else 0.0
+        twidth = ((float(thi) - float(tlo)) / tie_buckets) or 1.0
+        tb = F.least(
+            ((tie_bucket_by - F.lit(float(tlo))) / twidth).cast("long"),
+            F.lit(tie_buckets - 1),
+        )
+        b = pb * tie_buckets + F.coalesce(tb, F.lit(0))
+    else:
+        b = pb
+    _NULL_BUCKET = -(1 << 62)
+    with_bucket = df.withColumn("_psb", F.coalesce(b, F.lit(_NULL_BUCKET)))
+
+    totals = (
+        with_bucket.groupBy("_psb").agg(F.count(F.lit(1)).alias("_t")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_psb"]):
+        offsets[row["_psb"]] = acc
+        acc += row["_t"]
+
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in offsets.items()] or [(0, 0)],
+        "_psb long, _off long",
+    )
+    w = Window.partitionBy("_psb").orderBy(*order_by)
+    out = (
+        with_bucket.join(F.broadcast(offset_df), "_psb")
+        .withColumn(
+            out_col, F.row_number().over(w).cast("long") + F.col("_off")
+        )
         .drop("_psb", "_off")
     )
     return out, acc

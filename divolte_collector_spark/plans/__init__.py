@@ -9,6 +9,16 @@ asserts them per query and ``tools/plan_audit.py`` dumps them for
 review.
 """
 
-from divolte_collector_spark.plans.audit import PlanAudit, audit, explain_formatted
+from divolte_collector_spark.plans.audit import (
+    PlanAudit,
+    audit,
+    explain_formatted,
+    unpartitioned_unbounded_windows,
+)
 
-__all__ = ["PlanAudit", "audit", "explain_formatted"]
+__all__ = [
+    "PlanAudit",
+    "audit",
+    "explain_formatted",
+    "unpartitioned_unbounded_windows",
+]

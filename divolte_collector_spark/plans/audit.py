@@ -69,3 +69,71 @@ def audit(df: DataFrame) -> PlanAudit:
         pushed_filters=[p for p in pushed if p],
         read_schemas=schemas,
     )
+
+
+def unpartitioned_unbounded_windows(df: DataFrame) -> list[str]:
+    """Every physical Window node whose partition spec is EMPTY and
+    whose input subtree contains no Limit — i.e. a single-task sort of
+    a potentially unbounded relation, the one window shape that cannot
+    survive a 100 TB input. Used by the repo-wide plan guard
+    (tests/test_plan_shapes.py): any gated query producing one must
+    either move to the two-phase scan (operators/prefixsum.py) or be
+    explicitly allowlisted with a boundedness argument.
+
+    Traversal covers AQE wrappers (``initialPlan``) and cached
+    relations (``InMemoryTableScanExec`` → ``relation().cachedPlan()``)
+    so a global window cannot hide behind a persist. ``WindowGroupLimit``
+    nodes are exempt: their Partial pass bounds each task's output to
+    K rows before any exchange, so the Final global pass sorts K*tasks
+    rows, not the relation.
+    """
+    hits: list[str] = []
+    seen: set[tuple] = set()
+
+    def bounded_below(node) -> bool:
+        """True if every row path into ``node`` passes a Limit."""
+        stack = [node]
+        while stack:
+            p = stack.pop()
+            cls = p.getClass().getSimpleName()
+            if "Limit" in cls or "TakeOrderedAndProject" in cls:
+                return True
+        # (a Limit on ONE branch of a join does not bound the other —
+        # conservatively require a Limit on the direct spine: stop
+        # descending at multi-child nodes)
+            it = p.children().iterator()
+            kids = []
+            while it.hasNext():
+                kids.append(it.next())
+            if len(kids) == 1:
+                stack.extend(kids)
+        return False
+
+    def walk(p) -> None:
+        oid = p.hashCode()
+        cls = p.getClass().getSimpleName()
+        if (
+            "Window" in cls
+            and "GroupLimit" not in cls
+            and hasattr(p, "partitionSpec")
+            and p.partitionSpec().length() == 0
+        ):
+            it = p.children().iterator()
+            child = it.next() if it.hasNext() else None
+            if child is None or not bounded_below(child):
+                key = (oid, cls)
+                if key not in seen:
+                    seen.add(key)
+                    hits.append(f"{cls}: {p.simpleStringWithNodeId()}")
+        it = p.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+        if cls == "AdaptiveSparkPlanExec":
+            walk(p.initialPlan())
+        if cls == "InMemoryTableScanExec":
+            walk(p.relation().cachedPlan())
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            walk(p.child())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return hits

@@ -407,10 +407,16 @@ def q_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- RFM user segmentation --------------------------------------------------
 # The classic recency/frequency/monetary marketing segmentation over
 # the event stream: one aggregation shuffle compresses events to a
-# per-user row, then the quintile windows rank the AGGREGATE (user
-# count rows, not event count — the global ntile never sees the fact
-# table, so the single-ordering window is bounded by the user
-# dimension). Monetary rides integer cents (sum of exact longs), the
+# per-user row, then each quintile comes from the TWO-PHASE global
+# scan (operators/prefixsum.py) — exact global rank via a bucketed,
+# PARTITIONED window plus driver-prefixed offsets, ntile(5) derived
+# closed-form from (rank, n_users). A literal `ntile OVER (ORDER BY
+# …)` would collapse the user dimension into one window task; at 1B
+# users that single sort is the scale-killer, and "users ≪ events"
+# only shrinks it, never bounds it. The coarse keys (recency_days has
+# ~hundreds of distinct values) are tie-subdivided by a monotone
+# user_id byte-prefix so no window partition inherits a whole tie
+# group. Monetary rides integer cents (sum of exact longs), the
 # cross-engine-exact trick the bot-score query established: a double
 # SUM's addition order can drift in the last ulp between engines, an
 # integer sum cannot.
@@ -455,6 +461,11 @@ FROM s
 
 @query("user_rfm_segments", oracle=_RFM_ORACLE)
 def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.operators.prefixsum import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("frequency"),
@@ -462,27 +473,43 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
     )
     g = ev.agg(F.max("ts").alias("gmax"))
-    r = u.crossJoin(F.broadcast(g)).select(
-        "user_id", "frequency", "monetary_cents",
-        F.datediff(F.to_date("gmax"), F.to_date("last_ts"))
-        .cast("int")
-        .alias("recency_days"),
+    r = (
+        u.crossJoin(F.broadcast(g))
+        .select(
+            "user_id", "frequency", "monetary_cents",
+            F.datediff(F.to_date("gmax"), F.to_date("last_ts"))
+            .cast("int")
+            .alias("recency_days"),
+        )
+        .persist()  # three rank scans + the assembly spine read it
     )
-    s = r.select(
-        "*",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), "user_id"))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), "user_id"))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary_cents"), "user_id"))
-        .cast("int")
-        .alias("m_score"),
-    )
+    # the tie key is the numeric user id itself — already monotone;
+    # a string id would ride str_prefix_long instead
+    uid_slice = F.col("user_id")
+    s = r
+    for key, descending, score in (
+        ("recency_days", True, "r_score"),
+        ("frequency", False, "f_score"),
+        ("monetary_cents", False, "m_score"),
+    ):
+        kcol = F.col(key)
+        ranked, n = global_row_number(
+            r.select("user_id", key),
+            [kcol.desc() if descending else kcol.asc(), F.col("user_id")],
+            (-kcol) if descending else kcol,
+            tie_bucket_by=uid_slice,
+            out_col="_rank",
+        )
+        # join back on the unique user key: the rank scans run on slim
+        # 2-column projections of the persisted aggregate, and the
+        # score joins all share one user_id partitioning
+        s = s.join(
+            ranked.select(
+                "user_id",
+                ntile_from_rank(F.col("_rank"), n, 5).alias(score),
+            ),
+            "user_id",
+        )
     seg = (
         F.when(
             (F.col("r_score") >= 4)
@@ -790,10 +817,15 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The skew DIAGNOSTIC that motivates the salted formulations: how
 # concentrated is event volume across users? Gini over per-user event
 # counts via the sorted-rank formula G = (2*sum(i*c_i)/(n*sum(c)) -
-# (n+1)/n), computed with INTEGER sums over the user aggregate (rank
-# windows run on |users| rows, never events). Ties rank
-# deterministically (count, then user_id), which the rank-sum formula
-# is invariant to.
+# (n+1)/n), computed with INTEGER sums over the user aggregate. The
+# exact global rank i comes from the two-phase scan
+# (operators/prefixsum.py global_row_number) — a literal row_number
+# OVER (ORDER BY c, user_id) is one window task over ALL users, the
+# exact single-sort trap this query exists to diagnose. Per-user
+# counts are Zipf-coarse (millions of users share c=1), so the rank
+# scan tie-subdivides each count bucket by a monotone user_id
+# byte-prefix; the rank-sum formula is invariant to the (count,
+# user_id) tie order either way.
 
 _GINI_ORACLE = """
 WITH per_user AS (
@@ -816,15 +848,20 @@ FROM ranked
 
 @query("user_activity_gini", oracle=_GINI_ORACLE)
 def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from divolte_collector_spark.operators.prefixsum import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    ranked = per_user.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy("c", "user_id"))
-        .cast("long")
-        .alias("i"),
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()  # span probe + bucket totals + the ranked scan read it
+    ranked, _ = global_row_number(
+        per_user,
+        [F.col("c").asc(), F.col("user_id")],
+        F.col("c"),
+        tie_bucket_by=F.col("user_id"),  # numeric id: monotone as-is
+        out_col="i",
     )
+    ranked = ranked.select("c", "i")
     n = F.count(F.lit(1))
     return ranked.agg(
         n.alias("n_users"),

@@ -661,3 +661,61 @@ def test_bm25_query_term_broadcast_is_bounded(spark):
     df = all_queries()["text_bm25_retrieval"].fn(spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1
+
+
+# --- repo-wide guard: no unpartitioned window over an unbounded relation ----
+# rfm/gini carried a global ntile/row_number for TEN rounds of
+# per-query pins before the two-phase rewrite; only a universal audit
+# catches the next one at introduction time.
+
+
+def test_unpartitioned_window_detector_catches_the_bad_shape(spark):
+    """Self-check before the sweep: the detector must flag a literal
+    global window, pass a partitioned one, and exempt a provably
+    bounded (post-limit) input — otherwise a silently-broken detector
+    makes the repo-wide guard vacuous."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from divolte_collector_spark.plans import unpartitioned_unbounded_windows
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("k")))
+    assert unpartitioned_unbounded_windows(bad)
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("k"))
+    )
+    assert not unpartitioned_unbounded_windows(good)
+    bounded = df.limit(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("k"))
+    )
+    assert not unpartitioned_unbounded_windows(bounded)
+    # and it sees through a persist: a cached global window still flags
+    cached = bad.persist()
+    try:
+        assert unpartitioned_unbounded_windows(cached.select("k", "rn"))
+    finally:
+        cached.unpersist()
+
+
+def test_no_gated_query_has_unpartitioned_unbounded_window(spark):
+    """EVERY gated query's physical plan is free of WindowExec nodes
+    with an empty partition spec over an un-limited input — the
+    single-task global sort that cannot survive a 100 TB relation.
+    Queries needing a global order ride operators/prefixsum.py's
+    two-phase scan (global_cumsum / global_row_number / closed-form
+    ntile) instead. The allowlist is EMPTY as of round 11; add a name
+    here only with a written boundedness argument."""
+    from divolte_collector_spark.plans import unpartitioned_unbounded_windows
+
+    ALLOWLIST: dict[str, str] = {}
+    offenders = {}
+    for name, rq in sorted(all_queries().items()):
+        df = rq.fn(spark, SF)
+        hits = unpartitioned_unbounded_windows(df)
+        if hits and name not in ALLOWLIST:
+            offenders[name] = hits
+        spark.catalog.clearCache()
+    assert not offenders, offenders

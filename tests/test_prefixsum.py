@@ -96,3 +96,107 @@ def test_adaptive_bucket_width_bounds_driver_step(spark):
     )
     got2 = {r.k: r.cumsum for r in global_cumsum(df2, "k", "v").collect()}
     assert got2[0.099] == 100
+
+
+# --- global_row_number / ntile_from_rank / str_prefix_long ------------------
+
+
+def test_global_row_number_matches_global_window(spark):
+    from divolte_collector_spark.operators.prefixsum import global_row_number
+
+    df = spark.createDataFrame(
+        [(i % 13, f"u{i:04d}") for i in range(400)], "k int, uid string"
+    )
+    got, n = global_row_number(
+        df, [F.col("k").asc(), F.col("uid")], F.col("k"), out_col="rn"
+    )
+    assert n == 400
+    want = {
+        (r.k, r.uid): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "uid"))
+        ).collect()
+    }
+    assert {(r.k, r.uid): r.rn for r in got.collect()} == want
+
+
+def test_global_row_number_descending_with_tie_subdivision(spark):
+    from divolte_collector_spark.operators.prefixsum import (
+        global_row_number,
+        str_prefix_long,
+    )
+
+    # coarse primary key (3 distinct values over 300 rows) forces the
+    # tie-slice path to carry the ordering work across sub-buckets
+    df = spark.createDataFrame(
+        [(i % 3, f"user-{i:05d}") for i in range(300)], "k int, uid string"
+    )
+    got, n = global_row_number(
+        df,
+        [F.col("k").desc(), F.col("uid")],
+        -F.col("k"),
+        tie_bucket_by=str_prefix_long(F.col("uid")),
+        tie_buckets=8,
+        out_col="rn",
+    )
+    assert n == 300
+    want = {
+        (r.k, r.uid): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("k"), "uid"))
+        ).collect()
+    }
+    assert {(r.k, r.uid): r.rn for r in got.collect()} == want
+
+
+def test_global_row_number_empty_input(spark):
+    from divolte_collector_spark.operators.prefixsum import global_row_number
+
+    df = spark.createDataFrame([], "k int, uid string")
+    got, n = global_row_number(
+        df, [F.col("k"), F.col("uid")], F.col("k"), out_col="rn"
+    )
+    assert n == 0
+    assert got.count() == 0
+    assert "rn" in got.columns
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    from divolte_collector_spark.operators.prefixsum import ntile_from_rank
+
+    # n chosen to exercise rem == 0, rem > 0, and n < k
+    for n, k in [(100, 5), (103, 5), (3, 5), (7, 3), (1, 4)]:
+        df = spark.range(1, n + 1).select(F.col("id").alias("rank"))
+        got = {
+            r.rank: r.t
+            for r in df.select(
+                "rank", ntile_from_rank(F.col("rank"), n, k).alias("t")
+            ).collect()
+        }
+        want = {
+            r.rank: r.t
+            for r in df.select(
+                "rank", F.ntile(k).over(Window.orderBy("rank")).alias("t")
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_str_prefix_long_is_monotone_and_prefix_stable(spark):
+    from divolte_collector_spark.operators.prefixsum import str_prefix_long
+
+    words = [
+        "", "a", "ab", "abc", "abcdefg", "abcdefgh", "abd", "b", "ba",
+        "z" * 12,
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    vals = {
+        r.s: r.v
+        for r in df.select("s", str_prefix_long(F.col("s")).alias("v")).collect()
+    }
+    ordered = sorted(words)
+    for a, b in zip(ordered, ordered[1:]):
+        assert vals[a] <= vals[b], (a, b)
+    # strings sharing a 7-byte prefix collapse to one value (a tie
+    # bucket), never reorder
+    assert vals["abcdefgh"] == vals["abcdefg"]

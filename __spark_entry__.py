@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from divolte_collector_spark.queries import all_queries
+from divolte_collector_spark.queries import alias_map, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,3 +36,14 @@ def oracle_sql() -> dict[str, str]:
         for name, rq in sorted(all_queries().items())
         if rq.oracle is not None
     }
+
+
+def aliases() -> dict[str, str]:
+    """Former board name -> canonical name for every rename a window
+    rotation ever performed. Not part of the driver contract; kept so
+    external consumers pinned to an old name can resolve it
+    (``queries()[aliases().get(name, name)]``). Alias keys are
+    deliberately absent from ``queries()`` — including them would
+    reshuffle the driver's sorted 50-name checked window and spend
+    window slots re-checking the same query twice."""
+    return alias_map()

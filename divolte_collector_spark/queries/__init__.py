@@ -44,9 +44,20 @@ class RegisteredQuery:
     name: str
     fn: QueryFn
     oracle: str | None  # DuckDB ANSI SQL; None => rows-only driver check
+    aliases: tuple[str, ...] = ()  # former board names, still resolvable
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
+
+# former name -> canonical name. Window rotations RENAME queries (the
+# driver checks the first 50 names in sort order, so moving a query
+# into the checked prefix is a rename); every historical name stays
+# registered here so external consumers pinned to an old board name
+# keep resolving. Aliases deliberately do NOT appear in all_queries():
+# the driver board would otherwise re-check the same query under two
+# names (wasting checked-window slots), and alphabetically-early old
+# names would silently reshuffle the window.
+_ALIASES: dict[str, str] = {}
 
 # (app_id, sf_dir, name) -> (DataFrame, ((path, signature), ...))
 _PLAN_CACHE: dict = {}
@@ -105,13 +116,20 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
 
 
 def query(
-    name: str, oracle: str | None = None, cache_plan: bool = False
+    name: str,
+    oracle: str | None = None,
+    cache_plan: bool = False,
+    aliases: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in _REGISTRY:
+        if name in _REGISTRY or name in _ALIASES:
             raise ValueError(f"duplicate query name: {name}")
         wrapped = _with_plan_cache(name, fn) if cache_plan else fn
-        _REGISTRY[name] = RegisteredQuery(name, wrapped, oracle)
+        _REGISTRY[name] = RegisteredQuery(name, wrapped, oracle, tuple(aliases))
+        for a in aliases:
+            if a in _REGISTRY or a in _ALIASES:
+                raise ValueError(f"alias collides with existing name: {a}")
+            _ALIASES[a] = name
         return fn
 
     return deco
@@ -134,3 +152,16 @@ def all_queries() -> dict[str, RegisteredQuery]:
     )
 
     return dict(_REGISTRY)
+
+
+def alias_map() -> dict[str, str]:
+    """Former board name -> canonical name, for every rename any
+    window rotation ever performed."""
+    all_queries()  # force registration side effects
+    return dict(_ALIASES)
+
+
+def get_query(name: str) -> RegisteredQuery:
+    """Resolve a query by canonical name OR any former board name."""
+    qs = all_queries()
+    return qs[_ALIASES.get(name, name)]

@@ -170,7 +170,11 @@ GROUP BY event_type
 """
 
 
-@query("hot_key_salted_agg", oracle=_SALTED_ORACLE)
+@query(
+    "hot_key_salted_agg",
+    oracle=_SALTED_ORACLE,
+    aliases=("salted_hot_key_agg",),
+)
 def q_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_type", "user_id", "value")
     per_user = ev.groupBy("event_type", "user_id").agg(

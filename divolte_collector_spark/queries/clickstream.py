@@ -155,7 +155,11 @@ GROUP BY user_id
 """
 
 
-@query("session_bounce_rate", oracle=_BOUNCE_ORACLE)
+@query(
+    "session_bounce_rate",
+    oracle=_BOUNCE_ORACLE,
+    aliases=("bounce_sessions",),
+)
 def q_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = session_stats(_events(spark, sf_dir))
     return s.groupBy("user_id").agg(
@@ -199,7 +203,11 @@ GROUP BY a.day
 """
 
 
-@query("retention_day1", oracle=_RETENTION_ORACLE)
+@query(
+    "retention_day1",
+    oracle=_RETENTION_ORACLE,
+    aliases=("day1_retention",),
+)
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         _events(spark, sf_dir)
@@ -236,7 +244,11 @@ FROM events GROUP BY event_type
 """
 
 
-@query("stats_event_type", oracle=_TYPE_STATS_ORACLE)
+@query(
+    "stats_event_type",
+    oracle=_TYPE_STATS_ORACLE,
+    aliases=("event_type_stats",),
+)
 def q_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
@@ -364,7 +376,11 @@ GROUP BY e.event_id, e.user_id
 """
 
 
-@query("reusable_asof_operator_last_view", oracle=_ASOF_OP_ORACLE)
+@query(
+    "reusable_asof_operator_last_view",
+    oracle=_ASOF_OP_ORACLE,
+    aliases=("asof_operator_last_view",),
+)
 def q_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reusable operators/asof.py join (union + single window, no
     pairwise explosion) applied to purchases<-views; the oracle is the

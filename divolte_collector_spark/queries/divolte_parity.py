@@ -66,7 +66,11 @@ FROM events
 """
 
 
-@query("event_querystring_multimap", oracle=_QS_ORACLE)
+@query(
+    "event_querystring_multimap",
+    oracle=_QS_ORACLE,
+    aliases=("querystring_multimap",),
+)
 def q_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construct a synthetic URL per event, then recover every field
     exclusively by *parsing* it with the engine's URI + multimap

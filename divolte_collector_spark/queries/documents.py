@@ -135,7 +135,11 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
 """
 
 
-@query("text_dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+@query(
+    "text_dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    aliases=("dedup_ngram_jaccard",),
+)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism
@@ -253,10 +257,32 @@ JOIN counts cb ON cb.doc_id = common.doc_b
 _LSH_SHJ_DOC_THRESHOLD = 50_000
 
 
+# (app_id, sf_dir) -> (documents path signature, heavy?) — the
+# join-shape decision is a pure function of the corpus, so one count
+# action per (application, table generation) suffices; without the
+# memo EVERY cache_plan build of the three heavy-gated queries re-ran
+# the count job (cheap metadata-only, but a scheduler round-trip per
+# build). Signature-keyed like the table cache: a regenerated
+# documents table changes its signature and forces a recount.
+_LSH_HEAVY_CACHE: dict = {}
+
+
 def _lsh_verify_heavy(spark: SparkSession, sf_dir: str) -> bool:
-    """One O(1) parquet-metadata count deciding the verify-join shape
-    for this corpus size."""
-    return _docs(spark, sf_dir).count() > _LSH_SHJ_DOC_THRESHOLD
+    """One O(1) parquet-metadata count per (app, table generation)
+    deciding the verify-join shape for this corpus size."""
+    from divolte_collector_spark import session as sess
+
+    app_id = spark.sparkContext.applicationId
+    sig = sess._path_signature(f"{sf_dir}/documents.parquet")
+    key = (app_id, sf_dir)
+    hit = _LSH_HEAVY_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    for k in [k for k in _LSH_HEAVY_CACHE if k[0] != app_id]:
+        del _LSH_HEAVY_CACHE[k]
+    heavy = _docs(spark, sf_dir).count() > _LSH_SHJ_DOC_THRESHOLD
+    _LSH_HEAVY_CACHE[key] = (sig, heavy)
+    return heavy
 
 
 def _lsh_candidate_pairs(
@@ -409,7 +435,10 @@ WHERE n_common * 1000000 // least(ca.n_sh, cb.n_sh) >= {_CONTAINMENT_MIN_PPM}
 
 
 @query(
-    "containment_pairs_text", oracle=_CONTAINMENT_ORACLE, cache_plan=True
+    "containment_pairs_text",
+    oracle=_CONTAINMENT_ORACLE,
+    cache_plan=True,
+    aliases=("text_containment_pairs",),
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs: LSH band candidates
@@ -539,7 +568,11 @@ def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pair_cluster_components", oracle=_CC_ORACLE)
+@query(
+    "pair_cluster_components",
+    oracle=_CC_ORACLE,
+    aliases=("dedup_cluster_components",),
+)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from LSH pairs (the step an actual dedup run
     needs: pick one representative per component, drop the rest).
@@ -951,7 +984,11 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundaries); it stays a narrow map over the scan — no shuffle.
 
 
-@query("udtf_document_chunks", oracle=_CHUNK_ORACLE)
+@query(
+    "udtf_document_chunks",
+    oracle=_CHUNK_ORACLE,
+    aliases=("document_chunks_udtf",),
+)
 def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
@@ -1570,7 +1607,11 @@ FROM ranked WHERE rnk <= {_TFIDF_TOP_K}
 """
 
 
-@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+@query(
+    "doc_tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    aliases=("tfidf_top_terms",),
+)
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -3025,7 +3066,11 @@ FROM ranked WHERE rn = 1
 """
 
 
-@query("dedup_star_representatives", oracle=_STAR_REP_ORACLE)
+@query(
+    "dedup_star_representatives",
+    oracle=_STAR_REP_ORACLE,
+    aliases=("star_lsh_representatives",),
+)
 def q_dedup_star_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH -> star edges -> verified CC -> representatives, end to end
     with every intermediate O(docs): THE DOCUMENTED DEFAULT CLUSTERING

@@ -190,7 +190,11 @@ FROM pairs WHERE cos >= 0.4
 """
 
 
-@query("vector_near_dup_exact", oracle=_NEAR_DUP_ORACLE)
+@query(
+    "vector_near_dup_exact",
+    oracle=_NEAR_DUP_ORACLE,
+    aliases=("embedding_near_dup",),
+)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs.  All-pairs at test SF; the
     documented scale path is the bucketed variant (ann_ivf_bucketed)
@@ -457,7 +461,11 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@query("refined_ivf_kmeans", oracle=_KMEANS2_ORACLE)
+@query(
+    "refined_ivf_kmeans",
+    oracle=_KMEANS2_ORACLE,
+    aliases=("ann_ivf_kmeans2",),
+)
 def q_ivf_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations through the SAME lloyd_iterate loop the
     one-iteration query uses — proving the iteration knob against a
@@ -1730,7 +1738,11 @@ FROM cand c JOIN hits h ON h.probes = c.probes
 """
 
 
-@query("ann_recall_probe_frontier", oracle=_FRONTIER_ORACLE)
+@query(
+    "ann_recall_probe_frontier",
+    oracle=_FRONTIER_ORACLE,
+    aliases=("vector_recall_probe_frontier",),
+)
 def q_recall_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF recall/cost frontier. Scale shape: candidates
     are scored ONCE with their probe_rank attached (the rank of the
@@ -2007,26 +2019,52 @@ FROM hits
 _NND_TASK_BYTES = 64 * 1024 * 1024
 
 
-#: the session's broadcast threshold (session.py): while the vector
-#: relation's PARQUET footprint (~dim * 4 bytes/vec) fits under it,
-#: the planner broadcasts the vector table into every re-score join
-#: and the per-round plan moves NO candidate bytes through any
-#: exchange — measured at 100x (200k vecs, 51 MB): broadcast plan
-#: 113.8 s vs 559-595 s for a forced shuffle of the same work
-#: (same-boot ablation, round 10). The heavy path below must
-#: therefore engage only PAST the broadcast regime, never inside it.
-_NND_BROADCAST_BYTES = 64 * 1024 * 1024
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's LIVE autoBroadcastJoinThreshold in bytes — read
+    from the conf at call time, never duplicated as a module constant
+    (a constant silently diverges the moment session.py or a user
+    conf changes the threshold, flipping the heavy-path gate onto the
+    wrong side of the regime boundary). "-1" (broadcast disabled)
+    maps to 0 so every size gates onto the shuffled shape."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    v = raw.strip().lower().removesuffix("b")
+    mult = 1
+    if v and v[-1] in units:
+        mult = units[v[-1]]
+        v = v[:-1]
+    n = int(v) * mult
+    return max(0, n)
 
 
-def _nnd_heavy_parts(n_vec: int, dim: int, default_parallelism: int) -> int | None:
+def _nnd_heavy_parts(
+    n_vec: int, dim: int, default_parallelism: int, broadcast_bytes: int
+) -> int | None:
     """Partition count for the re-score stage — None (today's
     broadcast-join shape) while the vector table still broadcasts;
-    past that point (~260k vectors at dim 64) the joins become
-    shuffled and the candidate list repartitions so the per-task sort
-    working set stays inside _NND_TASK_BYTES. Volume model:
-    ~n * (2K)^2 * 2 candidate rows per round, each carrying one
-    embedding payload through the second id-join."""
-    if n_vec * dim * 4 <= _NND_BROADCAST_BYTES:
+    past that point (~260k vectors at dim 64 under the session's
+    64 MB threshold) the joins become shuffled and the candidate list
+    repartitions so the per-task sort working set stays inside
+    _NND_TASK_BYTES. Volume model: ~n * (2K)^2 * 2 candidate rows per
+    round, each carrying one embedding payload through the second
+    id-join.
+
+    ``broadcast_bytes`` is the live threshold
+    (_broadcast_threshold_bytes). The 4-bytes/float size model tracks
+    the PARQUET footprint the planner's scan statistics start from;
+    the deliberate margin is that the as_double+norm relation the
+    join actually ships is ~2x that — so this gate flips to the
+    shuffled shape BEFORE the planner would stop broadcasting, never
+    after (the failure mode that matters: an un-hinted sort-merge of
+    the wide candidate rows. Flipping early costs the measured ~5x
+    only if the planner would still have broadcast — the half-
+    threshold band — and the equivalence tests pin both shapes
+    correct either way). Broadcast regime: measured at 100x (200k
+    vecs, 51 MB): broadcast plan 113.8 s vs 559-595 s for a forced
+    shuffle of the same work (same-boot ablation, round 10). The
+    heavy path must therefore engage only PAST the broadcast regime,
+    never inside it."""
+    if n_vec * dim * 4 <= broadcast_bytes:
         return None
     est_rows = n_vec * (2 * _NND_K) ** 2 * 2
     row_bytes = 16 + 8 * dim + 8  # (src,dst) + carried emb + nrm
@@ -2117,9 +2155,20 @@ def _nnd_graphs(
     # re-score stage's shape for THIS corpus size (see _nnd_heavy_parts)
     raw = _emb(spark, sf_dir)
     n_vec = raw.count()
-    dim = raw.select(F.size("embedding")).first()[0]
-    heavy_parts = _nnd_heavy_parts(
-        n_vec, dim, spark.sparkContext.defaultParallelism
+    # guard the dim probe: first() is None on an EMPTY embeddings
+    # table, and the pipeline must degrade to empty results (the
+    # broadcast shape), not raise before any query logic runs
+    dim_row = raw.select(F.size("embedding")).first()
+    dim = dim_row[0] if dim_row else 0
+    heavy_parts = (
+        _nnd_heavy_parts(
+            n_vec,
+            dim,
+            spark.sparkContext.defaultParallelism,
+            _broadcast_threshold_bytes(spark),
+        )
+        if n_vec
+        else None
     )
     js = F.array(*[F.lit(j) for j in range(1, _NND_K + 1)])
     lr = (
@@ -2321,7 +2370,11 @@ FROM per_round CROSS JOIN denom
 )
 
 
-@query("vector_nn_descent_convergence", oracle=_NND_CONVERGENCE_ORACLE)
+@query(
+    "ann_nnd_convergence",
+    oracle=_NND_CONVERGENCE_ORACLE,
+    aliases=("vector_nn_descent_convergence",),
+)
 def q_nn_descent_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K vs NN-Descent round (0 = scored init ring, then 3
     rounds): the gated monotone accuracy curve for the graph-ANN
@@ -2605,7 +2658,11 @@ def _bq_hamming_ranked(
     )
 
 
-@query("ann_bq_hamming_topk", oracle=_BQ_ORACLE)
+@query(
+    "ann_bq_hamming_topk",
+    oracle=_BQ_ORACLE,
+    aliases=("vector_bq_hamming_topk",),
+)
 def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 by Hamming distance over binary-quantized vectors for
     the standard 20-probe set. The packed relation is 16 bytes/vector;
@@ -2688,7 +2745,11 @@ FROM sizes LEFT JOIN hits h ON h.s = sizes.s CROSS JOIN denom d
 """
 
 
-@query("ann_bq_rerank_recall", oracle=_BQ_RERANK_ORACLE)
+@query(
+    "ann_bq_rerank_recall",
+    oracle=_BQ_RERANK_ORACLE,
+    aliases=("vector_bq_rerank_recall",),
+)
 def q_bq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of BQ-shortlist -> exact-cosine-rerank at shortlist
     sizes 10/25/50/100 over the 50-probe set (the same probe set and

@@ -181,7 +181,11 @@ FROM (
 """
 
 
-@query("c3s_stateful_session_labels", oracle=_ORACLE)
+@query(
+    "c3s_stateful_session_labels",
+    oracle=_ORACLE,
+    aliases=("stateful_session_labels",),
+)
 def stateful_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the applyInPandasWithState labeler over the events table as
     a stream (availableNow) and emit (event_id, first_in_session).
@@ -471,7 +475,11 @@ FROM events
 """
 
 
-@query("e2e_kafka_roundtrip", oracle=_KAFKA_RT_ORACLE)
+@query(
+    "e2e_kafka_roundtrip",
+    oracle=_KAFKA_RT_ORACLE,
+    aliases=("streaming_kafka_emulated_roundtrip",),
+)
 def streaming_kafka_emulated_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -537,7 +545,11 @@ FROM events
 """
 
 
-@query("e2e_gcs_compose_roundtrip", oracle=_GCS_RT_ORACLE)
+@query(
+    "e2e_gcs_compose_roundtrip",
+    oracle=_GCS_RT_ORACLE,
+    aliases=("streaming_gcs_compose_roundtrip",),
+)
 def streaming_gcs_compose_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -693,7 +705,11 @@ FROM events
 """.replace("{fp}", _pubsub_fingerprint(_PUBSUB_SCHEMA))
 
 
-@query("e2e_pubsub_roundtrip", oracle=_PUBSUB_RT_ORACLE)
+@query(
+    "e2e_pubsub_roundtrip",
+    oracle=_PUBSUB_RT_ORACLE,
+    aliases=("streaming_pubsub_emulated_roundtrip",),
+)
 def streaming_pubsub_emulated_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -862,7 +878,11 @@ FROM p JOIN v
 """
 
 
-@query("interval_join_views_streaming", oracle=_IJ_ORACLE)
+@query(
+    "interval_join_views_streaming",
+    oracle=_IJ_ORACLE,
+    aliases=("streaming_interval_join_views",),
+)
 # board name until round 10: streaming_interval_join_views (renamed to
 # rotate this never-driver-checked gate into the checked prefix)
 def streaming_interval_join_views(
@@ -1047,7 +1067,11 @@ def _late_shifted_et() -> Column:
     ).otherwise(F.col("ts"))
 
 
-@query("late_data_drop_streaming", oracle=_LATE_ORACLE)
+@query(
+    "late_data_drop_streaming",
+    oracle=_LATE_ORACLE,
+    aliases=("streaming_late_data_drop",),
+)
 def late_data_drop_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type"
@@ -1090,7 +1114,11 @@ FROM events
 """
 
 
-@query("c6s_dedup_watermark", oracle=_SDW_ORACLE)
+@query(
+    "c6s_dedup_watermark",
+    oracle=_SDW_ORACLE,
+    aliases=("streaming_dedup_watermark",),
+)
 # board name until round 10: streaming_dedup_watermark (renamed to
 # rotate into the checked prefix; c6s = the C6 dup-memory family's
 # streaming sibling, matching the c3s_ convention)
@@ -1172,7 +1200,11 @@ GROUP BY win_ms, event_type
 """
 
 
-@query("agg_sliding_late_counts", oracle=_SLIDE_ORACLE)
+@query(
+    "agg_sliding_late_counts",
+    oracle=_SLIDE_ORACLE,
+    aliases=("streaming_sliding_late_counts",),
+)
 # board name until round 10: streaming_sliding_late_counts (renamed to
 # rotate into the checked prefix)
 def streaming_sliding_late_counts(

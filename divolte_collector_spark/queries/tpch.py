@@ -58,8 +58,12 @@ def sum_money(int_expr, scale: float, nd: int = 2):
     nearest double fell on different sides of the round boundary in
     the two engines. An integer never does that; the final
     int/10^nd double division is bit-identical in any IEEE engine.
-    Assumes non-negative sums (all money relations here) — integer
-    division truncation at negatives would differ from HALF_UP."""
+    floor((s + half)/f) is round-half-toward-+inf — for the
+    non-negative money relations here that IS HALF_UP, and for a
+    signed aggregate it still matches the DuckDB twin exactly (both
+    engines floor: `//` there, F.floor here, and the q1 SQL text uses
+    the same floor form rather than Spark's truncating `div` — no
+    formulation in this family is sign-sensitive)."""
     factor = int(scale) // (10 ** nd)
     assert factor * (10 ** nd) == int(scale) and factor >= 1
     s = F.sum(int_expr.cast("decimal(38,0)"))
@@ -141,8 +145,8 @@ WITH part AS (
 SELECT l_returnflag, l_linestatus,
        round(sum(_sq), 2) AS sum_qty,
        {_DEC_SUM.format(c="_s_base")} / 100 AS sum_base_price,
-       CAST((sum(CAST(_s_disc AS DECIMAL(38,0))) + 50) div 100 AS DOUBLE) / 100 AS sum_disc_price,
-       CAST((sum(CAST(_s_charge AS DECIMAL(38,0))) + 5000) div 10000 AS DOUBLE) / 100 AS sum_charge,
+       CAST(floor((sum(CAST(_s_disc AS DECIMAL(38,0))) + 50) / 100) AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(floor((sum(CAST(_s_charge AS DECIMAL(38,0))) + 5000) / 10000) AS DOUBLE) / 100 AS sum_charge,
        round(sum(_sq) / sum(_n), 3) AS avg_qty,
        round({_DEC_SUM.format(c="_s_base")} / 100.0 / sum(_n), 3) AS avg_price,
        round({_DEC_SUM.format(c="_s_discount")} / 100.0 / sum(_n), 4) AS avg_disc,

@@ -53,7 +53,12 @@ FROM events
 """
 
 
-@query("browser_wire_roundtrip", oracle=_WIRE_ORACLE, cache_plan=True)
+@query(
+    "browser_wire_roundtrip",
+    oracle=_WIRE_ORACLE,
+    cache_plan=True,
+    aliases=("wire_browser_roundtrip",),
+)
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each event as a /csc-event query string (base36 client
     time and viewport, mincode ``u=``, murmur3_32 ``x=`` checksum),
@@ -505,7 +510,12 @@ GROUP BY 1, 2, 3, 4
 """
 
 
-@query("dsl_mapping_segments", oracle=_MAPPING_ORACLE, cache_plan=True)
+@query(
+    "dsl_mapping_segments",
+    oracle=_MAPPING_ORACLE,
+    cache_plan=True,
+    aliases=("mapping_dsl_segments",),
+)
 # board name until round 10: mapping_dsl_segments (renamed so the
 # M-family flagship stays inside the checked prefix after the round-10
 # streaming-gate rotation)
@@ -571,7 +581,11 @@ _UA_BY_TYPE = {
 }
 
 
-@query("browser_ua_classify", oracle=_UA_ORACLE)
+@query(
+    "browser_ua_classify",
+    oracle=_UA_ORACLE,
+    aliases=("ua_classify",),
+)
 def q_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic UA classification: a fixed UA string per event
     type, classified by the pandas-UDF parser; the oracle pins the
@@ -615,7 +629,11 @@ FROM events
 """
 
 
-@query("event_uri_decompose", oracle=_URI_ORACLE)
+@query(
+    "event_uri_decompose",
+    oracle=_URI_ORACLE,
+    aliases=("uri_decompose",),
+)
 def q_uri_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference §2.6 (UriValueProducer): build a messy URL per event —
     encoded path segment, multi-valued query param, conditional port
@@ -748,7 +766,11 @@ FROM events
 """
 
 
-@query("wire_params_jsonpath", oracle=_JSONPATH_ORACLE)
+@query(
+    "wire_params_jsonpath",
+    oracle=_JSONPATH_ORACLE,
+    aliases=("event_params_jsonpath_filter",),
+)
 def q_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-JsonPath parity (event-param-jsonpath-mapping.groovy;
     DslRecordMapping.java:587-593 compiles jayway paths incl.
@@ -793,7 +815,11 @@ FROM events WHERE event_type IS NOT NULL
 """
 
 
-@query("e2e_wirelog_roundtrip", oracle=_WIRELOG_ORACLE)
+@query(
+    "e2e_wirelog_roundtrip",
+    oracle=_WIRELOG_ORACLE,
+    aliases=("wirelog_source_roundtrip",),
+)
 def q_wirelog_source_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -223,7 +223,7 @@ def test_every_gated_query_scale_discipline(spark):
         "vector_nn_descent_recall",
         # same exact ground-truth scan, reused across the 4-round
         # convergence curve (scored once, detached)
-        "vector_nn_descent_convergence",
+        "ann_nnd_convergence",
         # broadcast-20-probe scan over the 16-byte packed BQ relation
         # (the kNN-baseline shape at 1/16th the broadcast width)
         "ann_bq_hamming_topk",
@@ -498,7 +498,7 @@ def test_nn_descent_rounds_are_equi_joins(spark):
     # graph AND the exact probe set are detached, so the final plan is
     # four bounded hit-count joins over scans — adding a round extends
     # the curve without deepening any lineage
-    cdf = all_queries()["vector_nn_descent_convergence"].fn(spark, SF)
+    cdf = all_queries()["ann_nnd_convergence"].fn(spark, SF)
     c = audit(cdf)
     assert not c.has_cartesian_product
     plan_c = explain_formatted(cdf)
@@ -608,7 +608,7 @@ def test_rank_topk_group_limit_is_two_phase(spark):
     for name in (
         "knn_bruteforce_cosine",
         "ann_bq_hamming_topk",
-        "tfidf_top_terms",
+        "doc_tfidf_top_terms",
     ):
         df = all_queries()[name].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -628,7 +628,7 @@ def test_tfidf_tf_relation_computed_once(spark):
     exchange from being planned twice — exactly one InMemoryRelation
     caches it, and the raw (doc_id, term) aggregation appears in only
     one subtree."""
-    df = all_queries()["tfidf_top_terms"].fn(spark, SF)
+    df = all_queries()["doc_tfidf_top_terms"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     # both consumers read the cache: two scans of ONE cached relation
@@ -643,7 +643,7 @@ def test_tfidf_vocab_join_not_hint_forced(spark):
     re-checks with runtime stats) and falls back to a shuffled join
     otherwise. The analyzed plan is where a F.broadcast() call shows
     up as ResolvedHint — assert it is absent."""
-    df = all_queries()["tfidf_top_terms"].fn(spark, SF)
+    df = all_queries()["doc_tfidf_top_terms"].fn(spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
     # the join itself still exists (not silently dropped)

@@ -117,7 +117,7 @@ def test_cms_min_upper_bounds_every_true_count(spark):
 
 
 def test_nn_descent_recall_curve_is_monotone(spark):
-    """The gated convergence curve (vector_nn_descent_convergence) must
+    """The gated convergence curve (ann_nnd_convergence) must
     be non-decreasing round over round and strictly better than the
     init ring by the final round: each round's per-node top-K is taken
     over a candidate superset of the previous round's edges, so
@@ -228,14 +228,45 @@ def test_nnd_heavy_gate_keys_on_broadcastability():
     count must scale with candidate bytes once it does."""
     from divolte_collector_spark.queries.embeddings import _nnd_heavy_parts
 
+    THRESH = 64 * 1024 * 1024  # the session default, passed explicitly
     # 200k x dim64 = 51 MB parquet-equivalent: broadcastable -> None
-    assert _nnd_heavy_parts(200_000, 64, 32) is None
+    assert _nnd_heavy_parts(200_000, 64, 32, THRESH) is None
     # 1M x dim64 = 256 MB: past broadcast -> a bounded partition count
-    p = _nnd_heavy_parts(1_000_000, 64, 32)
+    p = _nnd_heavy_parts(1_000_000, 64, 32, THRESH)
     assert p is not None and 32 <= p <= 2048
     # monotone in corpus size, capped
-    p4 = _nnd_heavy_parts(4_000_000, 64, 32)
+    p4 = _nnd_heavy_parts(4_000_000, 64, 32, THRESH)
     assert p4 >= p and p4 <= 2048
+    # a lowered live threshold moves the boundary with it (the gate
+    # reads the conf, not a copy of session.py's value)
+    assert _nnd_heavy_parts(200_000, 64, 32, 16 * 1024 * 1024) is not None
+    # broadcast disabled (-1 -> 0 bytes): everything takes the
+    # shuffled shape
+    assert _nnd_heavy_parts(10_000, 64, 32, 0) is not None
+
+
+def test_broadcast_threshold_parse(spark):
+    """_broadcast_threshold_bytes parses the conf's size-string forms
+    and maps 'broadcast disabled' to 0."""
+    from divolte_collector_spark.queries.embeddings import (
+        _broadcast_threshold_bytes,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        for raw, want in [
+            ("67108864", 64 << 20),
+            ("64MB", 64 << 20),
+            ("10m", 10 << 20),
+            ("1g", 1 << 30),
+            ("512k", 512 << 10),
+            ("-1", 0),
+        ]:
+            spark.conf.set(key, raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, orig)
 
 
 def test_lsh_star_verify_shj_path_equals_broadcast_path(spark):
@@ -263,3 +294,41 @@ def test_lsh_star_verify_shj_path_equals_broadcast_path(spark):
     finally:
         docs._LSH_SHJ_DOC_THRESHOLD = orig
     assert plain  # non-degenerate
+
+
+def test_lsh_verify_heavy_counts_once_per_table_generation(spark):
+    """The verify-join shape decision runs exactly ONE count action
+    per (application, sf_dir, documents generation): repeat calls hit
+    the signature-keyed memo, and a changed table signature forces a
+    recount (the same invalidation contract as the table cache)."""
+    import divolte_collector_spark.queries.documents as docs
+
+    sf = "/root/testdata/sf0.001"
+    calls = {"n": 0}
+    # patch the CONCRETE DataFrame class (Spark 4's classic subclass
+    # defines its own count; patching the abstract base misses it)
+    cls = type(docs._docs(spark, sf))
+    orig_count = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    docs._LSH_HEAVY_CACHE.clear()
+    cls.count = counting
+    try:
+        a = docs._lsh_verify_heavy(spark, sf)
+        b = docs._lsh_verify_heavy(spark, sf)
+        c = docs._lsh_verify_heavy(spark, sf)
+        assert a == b == c
+        assert calls["n"] == 1
+        # a regenerated table (different signature) must recount
+        key = (spark.sparkContext.applicationId, sf)
+        sig, heavy = docs._LSH_HEAVY_CACHE[key]
+        docs._LSH_HEAVY_CACHE[key] = (("stale",), heavy)
+        assert docs._lsh_verify_heavy(spark, sf) == a
+        assert calls["n"] == 2
+        assert docs._LSH_HEAVY_CACHE[key][0] == sig
+    finally:
+        cls.count = orig_count
+        docs._LSH_HEAVY_CACHE.clear()

@@ -47,7 +47,7 @@ CURVE_QUERIES = [
     "ann_bq_hamming_topk",    # 16B/vec packed scan, broadcast probes
     "dedup_star_representatives",  # O(docs) star-edge LSH -> CC -> reps
     "browser_wire_roundtrip",    # one-Arrow-crossing wire decode
-    "tfidf_top_terms",           # tf/df diamond + bounded top-k window
+    "doc_tfidf_top_terms",       # tf/df diamond + bounded top-k window
     "token_heavy_hitters",       # CMS candidates + exact verify
     "dedup_simhash",             # banded 64-bit simhash candidates
 ]

@@ -232,7 +232,15 @@ def global_row_number(
     bounding the window partition at tie_group/tie_buckets rows. The
     combined bucket id ``primary * tie_buckets + tie_slice`` stays
     lexicographically monotone because the slice is clamped below
-    ``tie_buckets``.
+    ``tie_buckets``. Slicing engages ONLY in the coarse-integral-key
+    regime (integral key, observed span within the driver budget,
+    no explicit ``bucket_width``), where each primary bucket is an
+    exact key value — a bucket spanning two distinct keys would let
+    the trailing-key slice reorder rows across the primary order. On
+    fine-grained keys the hint is ignored: width bucketing already
+    bounds partitions at ~n/10k rows there, and the pathological
+    tie mass (a handful of distinct values over billions of rows)
+    is by construction a coarse key.
 
     EAGER: runs one min/max aggregate (width derivation) and one
     |buckets|-row collect (the serial prefix) at call time. Returns
@@ -251,11 +259,41 @@ def global_row_number(
         ]
     spans = df.agg(*span_aggs).first()
     lo, hi = spans[0], spans[1]
-    if bucket_width is None:
-        span = 0.0 if lo is None else float(hi) - float(lo)
-        bucket_width = (span / _TARGET_BUCKETS) or 1.0
-    pb = (bucket_by / bucket_width).cast("long")
-    if tie_bucket_by is not None:
+    span = 0.0 if lo is None else float(hi) - float(lo)
+
+    # Tie slicing is SOUND only while two distinct primary keys can
+    # never share a primary bucket — otherwise the slice (a function
+    # of the TRAILING key) would reorder rows across the primary
+    # ordering and corrupt ranks. That holds exactly when the key is
+    # integral and each bucket spans <= 1 key value, so slices engage
+    # on the COARSE-integral-key regime (the one where tie mass
+    # concentrates by pigeonhole: a few thousand distinct
+    # days/counts over billions of rows) via exact-VALUE primary
+    # buckets, capped so the composite bucket count stays within the
+    # driver budget. Fine-grained keys keep the width bucketing with
+    # no slices — there each bucket already holds ~n/_TARGET_BUCKETS
+    # rows of many values and the window partitions are bounded
+    # without help.
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    integral = isinstance(
+        df.select(bucket_by.alias("_b")).schema[0].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    slice_cap = max(64, _TARGET_BUCKETS // tie_buckets)
+    slicing = (
+        tie_bucket_by is not None
+        and integral
+        and bucket_width is None
+        and span <= slice_cap
+    )
+    if slicing:
+        pb = bucket_by.cast("long")  # exact value: ties own the bucket
         tlo = spans[2] if spans[2] is not None else 0.0
         thi = spans[3] if spans[3] is not None else 0.0
         twidth = ((float(thi) - float(tlo)) / tie_buckets) or 1.0
@@ -265,7 +303,9 @@ def global_row_number(
         )
         b = pb * tie_buckets + F.coalesce(tb, F.lit(0))
     else:
-        b = pb
+        if bucket_width is None:
+            bucket_width = (span / _TARGET_BUCKETS) or 1.0
+        b = (bucket_by / bucket_width).cast("long")
     _NULL_BUCKET = -(1 << 62)
     with_bucket = df.withColumn("_psb", F.coalesce(b, F.lit(_NULL_BUCKET)))
 

@@ -719,3 +719,23 @@ def test_no_gated_query_has_unpartitioned_unbounded_window(spark):
             offenders[name] = hits
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_rfm_and_gini_rank_scans_are_partitioned(spark):
+    """The round-11 rewrite criterion: user_rfm_segments (3x ntile)
+    and user_activity_gini (row_number) must rank via the bucketed
+    two-phase scan — windows PARTITIONED on the scan bucket, offsets
+    broadcast, and no unpartitioned WindowExec anywhere (the repo-wide
+    guard asserts the same globally; this pins the specific shape so
+    a regression names the query, not just the sweep)."""
+    from divolte_collector_spark.plans import unpartitioned_unbounded_windows
+
+    for name in ("user_rfm_segments", "user_activity_gini"):
+        df = all_queries()[name].fn(spark, SF)
+        assert not unpartitioned_unbounded_windows(df), name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_psb" in plan, name       # the bucketed scan column
+        a = audit(df)
+        assert a.n_broadcast_hash_joins >= 1, name  # offset dimension
+        assert not a.has_cartesian_product, name
+        spark.catalog.clearCache()

@@ -200,3 +200,60 @@ def test_str_prefix_long_is_monotone_and_prefix_stable(spark):
     # strings sharing a 7-byte prefix collapse to one value (a tie
     # bucket), never reorder
     assert vals["abcdefgh"] == vals["abcdefg"]
+
+
+def test_global_row_number_fine_key_with_tie_hint_stays_exact(spark):
+    from divolte_collector_spark.operators.prefixsum import (
+        global_row_number,
+        str_prefix_long,
+    )
+
+    # fine-grained primary key (span >> driver budget) WITH a tie hint:
+    # slicing must disengage — a width bucket spanning two distinct
+    # keys would let the trailing-key slice reorder rows across the
+    # primary order (the exact regression this pins: ranks were
+    # corrupted when slices applied on multi-value buckets)
+    rows = [((i * 7919) % 1_000_003, f"u{i:05d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, uid string")
+    got, n = global_row_number(
+        df,
+        [F.col("k").asc(), F.col("uid")],
+        F.col("k"),
+        tie_bucket_by=str_prefix_long(F.col("uid")),
+        out_col="rn",
+    )
+    assert n == 500
+    want = {
+        (r.k, r.uid): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "uid"))
+        ).collect()
+    }
+    assert {(r.k, r.uid): r.rn for r in got.collect()} == want
+
+
+def test_global_row_number_float_key_ignores_tie_hint(spark):
+    from divolte_collector_spark.operators.prefixsum import (
+        global_row_number,
+        str_prefix_long,
+    )
+
+    # non-integral primary key: exact-value bucketing is unsafe, so the
+    # tie hint is ignored and results stay identical to the window
+    rows = [(float(i % 9) / 3.0, f"u{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k double, uid string")
+    got, n = global_row_number(
+        df,
+        [F.col("k").asc(), F.col("uid")],
+        F.col("k"),
+        tie_bucket_by=str_prefix_long(F.col("uid")),
+        out_col="rn",
+    )
+    assert n == 300
+    want = {
+        (r.k, r.uid): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "uid"))
+        ).collect()
+    }
+    assert {(r.k, r.uid): r.rn for r in got.collect()} == want

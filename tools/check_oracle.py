@@ -10,8 +10,11 @@ DEFAULT; ``--loose`` restores the old 9-significant-digit float
 normalization, which HID the three-round geoip DECIMAL drift and the
 q9 half-cent summation flip — use it only for diagnosis.
 
-Usage: python tools/check_oracle.py [--window] [--loose] [sf_dir] [query ...]
-(--window = only the driver-checked first 50 sorted names)
+Usage: python tools/check_oracle.py [--window] [--loose]
+           [--skip-oracle-infeasible] [sf_dir] [query ...]
+(--window = only the driver-checked first 50 sorted names;
+ --skip-oracle-infeasible = skip the named rows whose DUCKDB oracle —
+ not the engine — is computationally infeasible at scaled volumes)
 """
 
 from __future__ import annotations
@@ -30,6 +33,39 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+# Rows whose ORACLE (the DuckDB twin, not the Spark engine) is
+# deliberately super-linear and stops being runnable on scaled
+# volumes (tools/scale_data.py 10x/100x). The engine side of each row
+# stays sub-quadratic and is separately measured on the scale curve;
+# the EXACT-parity gate for these rows is the driver SF family
+# (sf0.001/0.01/0.1), where the quadratic oracle is affordable.
+# --skip-oracle-infeasible names them explicitly so a scaled sweep is
+# "all 184 minus THIS list", never a silent truncation.
+ORACLE_INFEASIBLE = {
+    "vector_near_dup_exact": (
+        "the gated query IS the deliberately quadratic exact-recall "
+        "baseline; its oracle is |vectors|^2 list-cosines in DuckDB "
+        "(~4e10 multiply-adds at 10x) - the LSH sibling "
+        "embedding_near_dup_lsh covers the family at scale"
+    ),
+    "ann_nnd_convergence": (
+        "the oracle SIMULATES 4 NN-Descent rounds as chained, "
+        "multiply-referenced CTEs; DuckDB materializes every round's "
+        "O(n*(2K)^2) scored candidate relation (measured: >55 GB "
+        "resident, >25 min, not finished at 10x before being stopped) "
+        "- the engine side stays on the scale curve, exact parity "
+        "gated at the driver SFs"
+    ),
+    "vector_nn_descent_graph": (
+        "same chained graph-round CTE oracle as ann_nnd_convergence "
+        "(2 rounds) - same materialized-candidate blowup in DuckDB"
+    ),
+    "vector_nn_descent_recall": (
+        "same chained graph-round CTE oracle as ann_nnd_convergence "
+        "plus the probes-x-corpus exact baseline - same blowup"
+    ),
+}
 
 
 def norm_cell(v, strict=False):
@@ -71,11 +107,11 @@ def norm_rows(cols, rows, strict=False):
 
 
 def main() -> int:
-    args = [
-        a for a in sys.argv[1:] if a not in ("--window", "--strict", "--loose")
-    ]
+    flags = ("--window", "--strict", "--loose", "--skip-oracle-infeasible")
+    args = [a for a in sys.argv[1:] if a not in flags]
     window_only = "--window" in sys.argv[1:]
     strict = "--loose" not in sys.argv[1:]
+    skip_infeasible = "--skip-oracle-infeasible" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -103,6 +139,24 @@ def main() -> int:
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if skip_infeasible and name in ORACLE_INFEASIBLE:
+            # the ENGINE side still runs (rows-only, like a no-oracle
+            # row) — only the DuckDB twin is skipped
+            t0 = time.time()
+            try:
+                n = fn(spark, sf_dir).count()
+                spark.catalog.clearCache()
+            except Exception as ex:
+                failures.append(name)
+                print(f"FAIL  {name}: spark error: {ex}", flush=True)
+                continue
+            print(
+                f"SKIP  {name}: {n} rows, oracle skipped as infeasible "
+                f"at this volume ({ORACLE_INFEASIBLE[name]}) "
+                f"[{time.time()-t0:.1f}s]",
+                flush=True,
+            )
             continue
         t0 = time.time()
         try:

@@ -463,7 +463,7 @@ FROM s
 """
 
 
-@query("user_rfm_segments", oracle=_RFM_ORACLE)
+@query("user_rfm_segments", oracle=_RFM_ORACLE, cache_plan=True)
 def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from divolte_collector_spark.operators.prefixsum import (
         global_row_number,
@@ -850,7 +850,7 @@ FROM ranked
 """
 
 
-@query("user_activity_gini", oracle=_GINI_ORACLE)
+@query("user_activity_gini", oracle=_GINI_ORACLE, cache_plan=True)
 def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from divolte_collector_spark.operators.prefixsum import global_row_number
 

@@ -13,6 +13,8 @@ from divolte_collector_spark.plans.audit import (
     PlanAudit,
     audit,
     explain_formatted,
+    rowwise_python_nodes,
+    unbounded_loop_joins,
     unpartitioned_unbounded_windows,
 )
 
@@ -20,5 +22,7 @@ __all__ = [
     "PlanAudit",
     "audit",
     "explain_formatted",
+    "rowwise_python_nodes",
+    "unbounded_loop_joins",
     "unpartitioned_unbounded_windows",
 ]

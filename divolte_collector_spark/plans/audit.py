@@ -71,6 +71,105 @@ def audit(df: DataFrame) -> PlanAudit:
     )
 
 
+def _iter_children(p):
+    it = p.children().iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+def _structurally_bounded(node) -> bool:
+    """True when ``node``'s output row count is bounded by the QUERY
+    STRUCTURE rather than the input volume — the property that makes a
+    nested-loop/cartesian side safe at any data scale.
+
+    Bounding constructs:
+    - Limit / TakeOrderedAndProject / CollectLimit: at most K rows.
+    - LocalTableScan / OneRowRelation: driver-literal relations
+      (probe grids, fixed query sets) whose size is written in the
+      program text.
+    - RangeExec: ``spark.range(n)`` with a literal n.
+    - a global aggregate (grouping expressions EMPTY): exactly one
+      row out of the final pass (scalar subqueries plan as these).
+    - a join/union of bounded inputs is bounded (K1 x K2 / K1 + K2);
+      any other multi-child node requires ALL children bounded.
+    - a single-child node is bounded iff its child is.
+
+    A plain Filter/Scan is NOT bounded: its output scales with input.
+    """
+    cls = node.getClass().getSimpleName()
+    if "Limit" in cls or cls == "TakeOrderedAndProjectExec":
+        return True
+    if cls in ("LocalTableScanExec", "OneRowRelationExec", "RangeExec", "RDDScanExec"):
+        # RDDScanExec appears for OneRowRelation/empty relations in
+        # some versions; RangeExec's numElements is a plan literal.
+        return True
+    if "Aggregate" in cls and hasattr(node, "groupingExpressions"):
+        if node.groupingExpressions().length() == 0:
+            return True
+    if cls == "AdaptiveSparkPlanExec":
+        return _structurally_bounded(node.initialPlan())
+    if cls == "InMemoryTableScanExec":
+        return _structurally_bounded(node.relation().cachedPlan())
+    if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+        return _structurally_bounded(node.child())
+    if cls.startswith("BroadcastQueryStage") or cls.startswith("ShuffleQueryStage"):
+        return _structurally_bounded(node.plan())
+    kids = list(_iter_children(node))
+    if not kids:
+        return False
+    return all(_structurally_bounded(k) for k in kids)
+
+
+def unbounded_loop_joins(df: DataFrame) -> list[str]:
+    """Every CartesianProduct node, plus every BroadcastNestedLoopJoin
+    whose BROADCAST side is not structurally bounded — the two join
+    shapes whose cost is |left| x |right| and therefore cannot survive
+    a 100 TB relation unless one side's size is a property of the
+    query text (a scalar subquery, a literal probe grid, a top-K).
+    Companion to :func:`unpartitioned_unbounded_windows`; swept over
+    every gated query by tests/test_plan_shapes.py."""
+    hits: list[str] = []
+    seen: set[int] = set()
+
+    def walk(p) -> None:
+        cls = p.getClass().getSimpleName()
+        oid = p.hashCode()
+        if cls == "CartesianProductExec" and oid not in seen:
+            seen.add(oid)
+            hits.append(f"{cls}: {p.simpleStringWithNodeId()}")
+        if cls == "BroadcastNestedLoopJoinExec" and oid not in seen:
+            kids = list(_iter_children(p))
+            build = str(p.buildSide())
+            side = kids[0] if build == "BuildLeft" else kids[1]
+            if not _structurally_bounded(side):
+                seen.add(oid)
+                hits.append(
+                    f"{cls}[{build}]: {p.simpleStringWithNodeId()}"
+                )
+        for k in _iter_children(p):
+            walk(k)
+        if cls == "AdaptiveSparkPlanExec":
+            walk(p.initialPlan())
+        if cls == "InMemoryTableScanExec":
+            walk(p.relation().cachedPlan())
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            walk(p.child())
+        if cls.startswith("BroadcastQueryStage") or cls.startswith("ShuffleQueryStage"):
+            walk(p.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return hits
+
+
+def rowwise_python_nodes(df: DataFrame) -> list[str]:
+    """Every BatchEvalPython node — a row-at-a-time (pickled, non-
+    Arrow) Python UDF in the plan. The repo's policy is Arrow-only
+    Python crossings (ArrowEvalPython / mapInPandas); a pickled UDF is
+    10-100x slower per row and must never reach a gated plan."""
+    plan = explain_formatted(df)
+    return re.findall(r"^\(\d+\) BatchEvalPython.*$", plan, flags=re.M)
+
+
 def unpartitioned_unbounded_windows(df: DataFrame) -> list[str]:
     """Every physical Window node whose partition spec is EMPTY and
     whose input subtree contains no Limit — i.e. a single-task sort of

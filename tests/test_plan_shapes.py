@@ -700,22 +700,102 @@ def test_unpartitioned_window_detector_catches_the_bad_shape(spark):
         cached.unpersist()
 
 
-def test_no_gated_query_has_unpartitioned_unbounded_window(spark):
-    """EVERY gated query's physical plan is free of WindowExec nodes
-    with an empty partition spec over an un-limited input — the
-    single-task global sort that cannot survive a 100 TB relation.
-    Queries needing a global order ride operators/prefixsum.py's
-    two-phase scan (global_cumsum / global_row_number / closed-form
-    ntile) instead. The allowlist is EMPTY as of round 11; add a name
-    here only with a written boundedness argument."""
-    from divolte_collector_spark.plans import unpartitioned_unbounded_windows
+def test_loop_join_detector_calibration(spark):
+    """Self-check for the round-11 guards: the loop-join detector
+    must flag a genuine unbounded cross join, accept one whose
+    broadcast side is structurally bounded (limit / local relation /
+    scalar aggregate), and the row-wise-Python detector must flag a
+    pickled UDF while passing an Arrow one."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
-    ALLOWLIST: dict[str, str] = {}
+    from divolte_collector_spark.plans import (
+        rowwise_python_nodes,
+        unbounded_loop_joins,
+    )
+
+    # sides must be real scans: spark.range is a literal RangeExec,
+    # which the boundedness check (correctly) accepts
+    a = spark.read.parquet(f"{SF}/nation.parquet").select(
+        F.col("n_nationkey").alias("x")
+    )
+    b = spark.read.parquet(f"{SF}/region.parquet").select(
+        F.col("r_regionkey").alias("y")
+    )
+    bad = a.crossJoin(F.broadcast(b))
+    assert unbounded_loop_joins(bad)
+    bounded = a.crossJoin(F.broadcast(b.limit(5)))
+    assert not unbounded_loop_joins(bounded)
+    scalar = a.crossJoin(F.broadcast(b.agg(F.max("y").alias("m"))))
+    assert not unbounded_loop_joins(scalar)
+
+    pickled = F.udf(lambda v: v + 1, LongType(), useArrow=False)
+    assert rowwise_python_nodes(a.select(pickled(F.col("x"))))
+    arrow = F.udf(lambda v: v + 1, LongType(), useArrow=True)
+    assert not rowwise_python_nodes(a.select(arrow(F.col("x"))))
+
+
+#: BNLJ sides that are SEMANTICALLY bounded but not structurally
+#: provable from the plan: a filter on a literal key range over a
+#: unique key. Each entry is (query, why its loop join is safe at any
+#: corpus size). vector_near_dup_exact is the one deliberate
+#: exception: the quadratic exact-recall baseline, whose documented
+#: scale answer is the LSH sibling (ORACLE_INFEASIBLE names it too).
+_LOOP_JOIN_ALLOWLIST: dict = {
+    name: (
+        "broadcast side is filter(vec_id < N_QUERY_VECTORS) on the "
+        "unique vec_id key - at most N_QUERY probe rows, a literal "
+        "in the program text"
+    )
+    for name in (
+        "ann_bq_hamming_topk",
+        "ann_bq_rerank_recall",
+        "ann_recall_probe_frontier",
+        "knn_bruteforce_cosine",
+        "rank_fusion_rrf",
+        "recall_ann_vs_exact",
+        "timeseries_similarity_topk",
+        "vector_nn_descent_recall",
+    )
+}
+_LOOP_JOIN_ALLOWLIST["vector_near_dup_exact"] = (
+    "the deliberately quadratic exact-recall baseline (per-family "
+    "ground truth; the scale path is embedding_near_dup_lsh)"
+)
+
+
+def test_no_gated_query_has_unpartitioned_unbounded_window(spark):
+    """EVERY gated query's physical plan is swept for the three shapes
+    that cannot survive a 100 TB relation:
+
+    - WindowExec with an empty partition spec over un-limited input
+      (single-task global sort) — queries needing a global order ride
+      operators/prefixsum.py's two-phase scan instead; allowlist EMPTY
+      as of round 11;
+    - CartesianProduct, or BroadcastNestedLoopJoin whose broadcast
+      side is not structurally bounded — allowlisted only with a
+      written boundedness argument (_LOOP_JOIN_ALLOWLIST);
+    - BatchEvalPython (pickled row-at-a-time UDF) — the policy is
+      Arrow-only Python crossings, no exceptions.
+
+    One plan build per query; three guards per plan."""
+    from divolte_collector_spark.plans import (
+        rowwise_python_nodes,
+        unbounded_loop_joins,
+        unpartitioned_unbounded_windows,
+    )
+
+    WINDOW_ALLOWLIST: dict[str, str] = {}
     offenders = {}
     for name, rq in sorted(all_queries().items()):
         df = rq.fn(spark, SF)
-        hits = unpartitioned_unbounded_windows(df)
-        if hits and name not in ALLOWLIST:
+        hits = []
+        if name not in WINDOW_ALLOWLIST:
+            hits += unpartitioned_unbounded_windows(df)
+        if name not in _LOOP_JOIN_ALLOWLIST:
+            hits += unbounded_loop_joins(df)
+        hits += rowwise_python_nodes(df)
+        if hits:
             offenders[name] = hits
         spark.catalog.clearCache()
     assert not offenders, offenders

@@ -257,3 +257,71 @@ def test_global_row_number_float_key_ignores_tie_hint(spark):
         ).collect()
     }
     assert {(r.k, r.uid): r.rn for r in got.collect()} == want
+
+
+# --- property: the scan is the window, for ANY key/hint/direction ---------
+# The tie-slicing defect that motivated the coarse-integral gate was
+# caught by the rfm oracle on a specific key distribution; this fuzz
+# walks the regime space (coarse/fine/negative/float keys, asc/desc,
+# hint on/off, duplicate-heavy and unique) so the next regime bug is
+# caught at the primitive, not by whichever query happens to hit it.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key_pools = st.one_of(
+    st.integers(min_value=1, max_value=4),      # coarse: giant tie groups
+    st.integers(min_value=30, max_value=200),   # fine-ish
+)
+
+
+@st.composite
+def _rn_case(draw):
+    pool = draw(_key_pools)
+    n = draw(st.integers(min_value=1, max_value=90))
+    lo = draw(st.integers(min_value=-(10**6), max_value=10**6))
+    step = draw(st.integers(min_value=1, max_value=10**5))
+    keys = [lo + step * draw(st.integers(0, pool - 1)) for _ in range(n)]
+    as_float = draw(st.booleans())
+    desc = draw(st.booleans())
+    hint = draw(st.booleans())
+    return keys, as_float, desc, hint
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_rn_case())
+def test_global_row_number_property_matches_window(spark, case):
+    from divolte_collector_spark.operators.prefixsum import (
+        global_row_number,
+        str_prefix_long,
+    )
+
+    keys, as_float, desc, hint = case
+    rows = [
+        ((float(k) / 7.0 if as_float else k), f"u{i:05d}")
+        for i, k in enumerate(keys)
+    ]
+    df = spark.createDataFrame(
+        rows, f"k {'double' if as_float else 'long'}, uid string"
+    )
+    order = [F.col("k").desc() if desc else F.col("k").asc(), F.col("uid")]
+    bucket_by = -F.col("k") if desc else F.col("k")
+    got, n = global_row_number(
+        df,
+        order,
+        bucket_by,
+        tie_bucket_by=str_prefix_long(F.col("uid")) if hint else None,
+        tie_buckets=4,
+        out_col="rn",
+    )
+    assert n == len(rows)
+    w = Window.orderBy(F.desc("k") if desc else F.asc("k"), "uid")
+    want = {
+        r.uid: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert {r.uid: r.rn for r in got.collect()} == want

@@ -100,8 +100,13 @@ def _structurally_bounded(node) -> bool:
     if "Limit" in cls or cls == "TakeOrderedAndProjectExec":
         return True
     if cls in ("LocalTableScanExec", "OneRowRelationExec", "RangeExec", "RDDScanExec"):
-        # RDDScanExec appears for OneRowRelation/empty relations in
-        # some versions; RangeExec's numElements is a plan literal.
+        # RangeExec's numElements is a plan literal. RDDScanExec is a
+        # DOCUMENTED TRADEOFF: PySpark's createDataFrame(local rows)
+        # plans as "Scan ExistingRDD", indistinguishable from an
+        # arbitrary RDD-backed frame — but the engine's DataFrame-first
+        # policy means RDD scans only ever arise here from
+        # driver-literal relations (probe grids, offset dimensions);
+        # a hand-built big RDD would itself be the policy violation.
         return True
     if "Aggregate" in cls and hasattr(node, "groupingExpressions"):
         if node.groupingExpressions().length() == 0:

@@ -737,31 +737,36 @@ def test_loop_join_detector_calibration(spark):
 
 #: BNLJ sides that are SEMANTICALLY bounded but not structurally
 #: provable from the plan: a filter on a literal key range over a
-#: unique key. Each entry is (query, why its loop join is safe at any
-#: corpus size). vector_near_dup_exact is the one deliberate
+#: unique key. Each entry is query -> (allowed loop-join count, why
+#: it is safe at any corpus size) — the count is part of the
+#: contract, so an allowlisted query growing an ADDITIONAL loop join
+#: still fails the sweep. The recall-comparison queries broadcast the
+#: same bounded probe relation at MULTIPLE stages (rank_fusion_rrf:
+#: dense arm + sparse fusion; ann_bq_rerank_recall: Hamming shortlist
+#: + exact rerank + ground truth). vector_near_dup_exact is the one
+#: deliberate
 #: exception: the quadratic exact-recall baseline, whose documented
 #: scale answer is the LSH sibling (ORACLE_INFEASIBLE names it too).
-_LOOP_JOIN_ALLOWLIST: dict = {
-    name: (
-        "broadcast side is filter(vec_id < N_QUERY_VECTORS) on the "
-        "unique vec_id key - at most N_QUERY probe rows, a literal "
-        "in the program text"
-    )
-    for name in (
-        "ann_bq_hamming_topk",
-        "ann_bq_rerank_recall",
-        "ann_recall_probe_frontier",
-        "knn_bruteforce_cosine",
-        "rank_fusion_rrf",
-        "recall_ann_vs_exact",
-        "timeseries_similarity_topk",
-        "vector_nn_descent_recall",
-    )
-}
-_LOOP_JOIN_ALLOWLIST["vector_near_dup_exact"] = (
-    "the deliberately quadratic exact-recall baseline (per-family "
-    "ground truth; the scale path is embedding_near_dup_lsh)"
+_PROBE_SIDE_WHY = (
+    "broadcast side is filter(vec_id < N_QUERY_VECTORS) on the "
+    "unique vec_id key - at most N_QUERY probe rows, a literal "
+    "in the program text"
 )
+_LOOP_JOIN_ALLOWLIST: dict = {
+    "ann_bq_hamming_topk": (1, _PROBE_SIDE_WHY),
+    "ann_bq_rerank_recall": (3, _PROBE_SIDE_WHY),
+    "ann_recall_probe_frontier": (1, _PROBE_SIDE_WHY),
+    "knn_bruteforce_cosine": (1, _PROBE_SIDE_WHY),
+    "rank_fusion_rrf": (2, _PROBE_SIDE_WHY),
+    "recall_ann_vs_exact": (1, _PROBE_SIDE_WHY),
+    "timeseries_similarity_topk": (1, _PROBE_SIDE_WHY),
+    "vector_nn_descent_recall": (1, _PROBE_SIDE_WHY),
+    "vector_near_dup_exact": (
+        1,
+        "the deliberately quadratic exact-recall baseline (per-family "
+        "ground truth; the scale path is embedding_near_dup_lsh)",
+    ),
+}
 
 
 def test_no_gated_query_has_unpartitioned_unbounded_window(spark):
@@ -792,8 +797,13 @@ def test_no_gated_query_has_unpartitioned_unbounded_window(spark):
         hits = []
         if name not in WINDOW_ALLOWLIST:
             hits += unpartitioned_unbounded_windows(df)
-        if name not in _LOOP_JOIN_ALLOWLIST:
-            hits += unbounded_loop_joins(df)
+        lj = unbounded_loop_joins(df)
+        allowed = _LOOP_JOIN_ALLOWLIST.get(name, (0, ""))[0]
+        if len(lj) > allowed:
+            # the allowlist covers a FIXED count of documented loop
+            # joins per query; any join beyond it is a new defect the
+            # entry must not mask
+            hits += lj[allowed:]
         hits += rowwise_python_nodes(df)
         if hits:
             offenders[name] = hits

@@ -200,6 +200,33 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     return F.when(rank <= cut, first).otherwise(rest).cast("int")
 
 
+# (app_id, table_path, label) -> (table signature, spans tuple,
+# offsets dict, total). The two eager jobs global_row_number runs at
+# plan-construction (span min/max + |buckets| totals collect) are a
+# pure function of the input relation, so callers whose input derives
+# from ONE table can memoize them per (application, table generation)
+# — the same signature-keyed pattern as the LSH corpus-size memo
+# (queries/documents.py _LSH_HEAVY_CACHE). A regenerated table
+# changes its signature and forces a fresh scan; a repeated build
+# (plan cache disabled, bench --cold, repeated service calls) skips
+# both jobs.
+_GRN_MEMO: dict = {}
+
+
+def _grn_span(df: DataFrame, span_aggs: list) -> tuple:
+    """Eager job 1: min/max span probe (separated for testability)."""
+    return tuple(df.agg(*span_aggs).first())
+
+
+def _grn_bucket_totals(with_bucket: DataFrame) -> list:
+    """Eager job 2: per-bucket row counts (separated for testability)."""
+    return (
+        with_bucket.groupBy("_psb")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .collect()
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_by: Sequence[Column],
@@ -209,6 +236,7 @@ def global_row_number(
     tie_bucket_by: Column | None = None,
     tie_buckets: int = 64,
     out_col: str = "rn",
+    memo: tuple[str, str] | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global 1-based ``row_number()`` over the total order
     ``order_by``, computed with the same two-phase scan as
@@ -247,7 +275,29 @@ def global_row_number(
     ``(df + out_col, total_row_count)`` — the count falls out of the
     prefix accumulator for free, and callers deriving ntile/quantile
     positions from the rank always need it.
+
+    ``memo=(table_path, label)`` memoizes BOTH eager jobs per
+    (application, table generation): valid only when ``df`` is a pure
+    deterministic function of the single table at ``table_path`` and
+    ``label`` uniquely names this derivation (the caller's contract —
+    two different inputs sharing a label would serve wrong offsets).
     """
+    spans = offsets = None
+    acc = 0
+    memo_key = sig = None
+    if memo is not None:
+        from divolte_collector_spark import session as sess
+
+        table_path, label = memo
+        sig = sess._path_signature(table_path)
+        app_id = df.sparkSession.sparkContext.applicationId
+        for k in [k for k in _GRN_MEMO if k[0] != app_id]:
+            del _GRN_MEMO[k]
+        memo_key = (app_id, table_path, label)
+        hit = _GRN_MEMO.get(memo_key)
+        if hit is not None and hit[0] == sig:
+            spans, offsets, acc = hit[1], hit[2], hit[3]
+
     span_aggs = [
         F.min(bucket_by).cast("double"),
         F.max(bucket_by).cast("double"),
@@ -257,7 +307,8 @@ def global_row_number(
             F.min(tie_bucket_by).cast("double"),
             F.max(tie_bucket_by).cast("double"),
         ]
-    spans = df.agg(*span_aggs).first()
+    if spans is None:
+        spans = _grn_span(df, span_aggs)
     lo, hi = spans[0], spans[1]
     span = 0.0 if lo is None else float(hi) - float(lo)
 
@@ -309,14 +360,15 @@ def global_row_number(
     _NULL_BUCKET = -(1 << 62)
     with_bucket = df.withColumn("_psb", F.coalesce(b, F.lit(_NULL_BUCKET)))
 
-    totals = (
-        with_bucket.groupBy("_psb").agg(F.count(F.lit(1)).alias("_t")).collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(totals, key=lambda r: r["_psb"]):
-        offsets[row["_psb"]] = acc
-        acc += row["_t"]
+    if offsets is None:
+        totals = _grn_bucket_totals(with_bucket)
+        offsets = {}
+        acc = 0
+        for row in sorted(totals, key=lambda r: r["_psb"]):
+            offsets[row["_psb"]] = acc
+            acc += row["_t"]
+        if memo_key is not None:
+            _GRN_MEMO[memo_key] = (sig, spans, dict(offsets), acc)
 
     spark = df.sparkSession
     offset_df = spark.createDataFrame(

@@ -12,6 +12,7 @@ review.
 from divolte_collector_spark.plans.audit import (
     PlanAudit,
     audit,
+    bounded_local_relation,
     explain_formatted,
     rowwise_python_nodes,
     unbounded_loop_joins,
@@ -21,6 +22,7 @@ from divolte_collector_spark.plans.audit import (
 __all__ = [
     "PlanAudit",
     "audit",
+    "bounded_local_relation",
     "explain_formatted",
     "rowwise_python_nodes",
     "unbounded_loop_joins",

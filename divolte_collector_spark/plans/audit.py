@@ -77,6 +77,66 @@ def _iter_children(p):
         yield it.next()
 
 
+def _iter_subqueries(p):
+    """Plans attached to EXPRESSIONS of ``p`` (scalar / IN subqueries):
+    ``QueryPlan.subqueries`` yields each ``BaseSubqueryExec``'s plan, a
+    subtree the ``children()`` walk never reaches."""
+    it = p.subqueries().iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+#: rows accepted from a driver-literal relation before it stops
+#: counting as structurally bounded: beyond this a "literal" probe
+#: grid is big enough that broadcasting it into a loop join is a real
+#: scale cost, and the query must earn an allowlist entry instead
+_LOCAL_RELATION_CAP = 10_000
+
+#: output-attribute exprId sets of REGISTERED driver-literal
+#: relations, -> row count. PySpark's createDataFrame(local rows)
+#: plans as RDDScanExec ("Scan ExistingRDD"), indistinguishable in
+#: the plan from an arbitrary RDD-backed frame, so boundedness cannot
+#: be read off the node; builders that feed a loop join register the
+#: relation here via bounded_local_relation(). Insertion-ordered with
+#: a hard cap so a long-lived session cannot grow it without bound.
+_BOUNDED_LOCAL_IDS: dict[tuple, int] = {}
+_BOUNDED_LOCAL_IDS_CAP = 4096
+
+
+def _output_expr_ids(plan_node) -> tuple:
+    """Sorted (id, jvmId) pairs of a plan node's output attributes —
+    stable from analysis through execution, so a relation registered
+    at build time is recognizable in the executed plan."""
+    ids = []
+    it = plan_node.output().iterator()
+    while it.hasNext():
+        e = it.next().exprId()
+        ids.append((e.id(), str(e.jvmId())))
+    return tuple(sorted(ids))
+
+
+def bounded_local_relation(spark, data, schema) -> DataFrame:
+    """``createDataFrame`` plus registration with the loop-join guard:
+    the returned frame's output attributes are recorded with the
+    relation's ROW COUNT, so ``_structurally_bounded`` can accept it
+    as a loop-join broadcast side on evidence instead of trusting
+    every RDD scan (the round-11 loophole). Raises when the relation
+    exceeds ``_LOCAL_RELATION_CAP`` — a driver-literal relation that
+    big should not exist, let alone feed a nested-loop join."""
+    data = list(data)
+    if len(data) > _LOCAL_RELATION_CAP:
+        raise ValueError(
+            f"bounded_local_relation: {len(data)} rows exceeds the "
+            f"{_LOCAL_RELATION_CAP}-row driver-literal cap"
+        )
+    df = spark.createDataFrame(data, schema)
+    key = _output_expr_ids(df._jdf.queryExecution().analyzed())
+    _BOUNDED_LOCAL_IDS[key] = len(data)
+    while len(_BOUNDED_LOCAL_IDS) > _BOUNDED_LOCAL_IDS_CAP:
+        del _BOUNDED_LOCAL_IDS[next(iter(_BOUNDED_LOCAL_IDS))]
+    return df
+
+
 def _structurally_bounded(node) -> bool:
     """True when ``node``'s output row count is bounded by the QUERY
     STRUCTURE rather than the input volume — the property that makes a
@@ -99,15 +159,23 @@ def _structurally_bounded(node) -> bool:
     cls = node.getClass().getSimpleName()
     if "Limit" in cls or cls == "TakeOrderedAndProjectExec":
         return True
-    if cls in ("LocalTableScanExec", "OneRowRelationExec", "RangeExec", "RDDScanExec"):
-        # RangeExec's numElements is a plan literal. RDDScanExec is a
-        # DOCUMENTED TRADEOFF: PySpark's createDataFrame(local rows)
-        # plans as "Scan ExistingRDD", indistinguishable from an
-        # arbitrary RDD-backed frame — but the engine's DataFrame-first
-        # policy means RDD scans only ever arise here from
-        # driver-literal relations (probe grids, offset dimensions);
-        # a hand-built big RDD would itself be the policy violation.
+    if cls == "LocalTableScanExec":
+        # the literal rows live on the node — bound them (an AQE
+        # empty-relation conversion also lands here, trivially small)
+        return node.rows().length() <= _LOCAL_RELATION_CAP
+    if cls in ("OneRowRelationExec", "RangeExec", "EmptyRelationExec"):
+        # RangeExec's numElements is a plan literal
         return True
+    if cls == "RDDScanExec":
+        # PySpark's createDataFrame(local rows) plans as "Scan
+        # ExistingRDD", indistinguishable from an arbitrary RDD-backed
+        # frame — bounded ONLY when the builder registered it (with
+        # its row count) via bounded_local_relation(); an unregistered
+        # RDD scan falls to the allowlist like any other opaque side.
+        # (Closes the round-11 loophole: a 100k-row createDataFrame
+        # no longer passes the loop-join guard silently.)
+        n = _BOUNDED_LOCAL_IDS.get(_output_expr_ids(node))
+        return n is not None and n <= _LOCAL_RELATION_CAP
     if "Aggregate" in cls and hasattr(node, "groupingExpressions"):
         if node.groupingExpressions().length() == 0:
             return True
@@ -140,8 +208,13 @@ def unbounded_loop_joins(df: DataFrame) -> list[str]:
         cls = p.getClass().getSimpleName()
         oid = p.hashCode()
         if cls == "CartesianProductExec" and oid not in seen:
-            seen.add(oid)
-            hits.append(f"{cls}: {p.simpleStringWithNodeId()}")
+            # same acceptance as the BNLJ branch: K1 x K2 of two
+            # structurally bounded sides (a literal grid cross a
+            # scalar aggregate) is constant-size at any data scale
+            kids = list(_iter_children(p))
+            if not all(_structurally_bounded(k) for k in kids):
+                seen.add(oid)
+                hits.append(f"{cls}: {p.simpleStringWithNodeId()}")
         if cls == "BroadcastNestedLoopJoinExec" and oid not in seen:
             kids = list(_iter_children(p))
             build = str(p.buildSide())
@@ -153,6 +226,10 @@ def unbounded_loop_joins(df: DataFrame) -> list[str]:
                 )
         for k in _iter_children(p):
             walk(k)
+        # ADVICE r11: a loop join inside a scalar/IN subquery plan is
+        # attached to an EXPRESSION, not a child — recurse there too
+        for sq in _iter_subqueries(p):
+            walk(sq)
         if cls == "AdaptiveSparkPlanExec":
             walk(p.initialPlan())
         if cls == "InMemoryTableScanExec":
@@ -232,6 +309,10 @@ def unpartitioned_unbounded_windows(df: DataFrame) -> list[str]:
         it = p.children().iterator()
         while it.hasNext():
             walk(it.next())
+        # ADVICE r11: windows inside scalar/IN subquery plans hang off
+        # expressions; sweep them like the loop-join detector does
+        for sq in _iter_subqueries(p):
+            walk(sq)
         if cls == "AdaptiveSparkPlanExec":
             walk(p.initialPlan())
         if cls == "InMemoryTableScanExec":

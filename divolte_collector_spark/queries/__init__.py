@@ -67,6 +67,20 @@ def invalidate_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
+def release_caches(spark: SparkSession) -> int:
+    """Cache-ownership release point (the convention: gated queries
+    persist only through ``session.track_persist``, so every cached
+    relation the engine created is released here — a long-lived
+    session calls this between workloads instead of the blunt
+    ``spark.catalog.clearCache()``, which would also evict caches the
+    CALLER owns). Drops prepared plans too (they reference the
+    unpersisted frames). Returns the number of relations released."""
+    from divolte_collector_spark import session as sess
+
+    invalidate_plan_cache()
+    return sess.release_tracked_persists(spark)
+
+
 def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
     def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         from divolte_collector_spark import session as sess
@@ -88,7 +102,7 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
         key = (app_id, sf_dir, name)
         hit = _PLAN_CACHE.get(key)
         if hit is not None:
-            df, deps = hit
+            df, deps, pins = hit
             if all(sess._path_signature(p) == sig for p, sig in deps):
                 # keep load_table's per-call conf guarantee on the hit
                 # path too (the plan's lazy casts evaluate under the
@@ -99,14 +113,24 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
                 # be incomplete and survive a table regeneration
                 for frame in sess._DEP_STACK:
                     frame.extend(deps)
+                for frame in sess._PIN_STACK:
+                    frame.extend(pins)
                 return df
             del _PLAN_CACHE[key]
+            # the evicted plan's persisted intermediates are no longer
+            # reachable through any live prepared plan — unpersist
+            # them now, or a resident service that rebuilds after each
+            # table regeneration accumulates one dead cached relation
+            # per rebuild (VERDICT r11 item 4)
+            sess.discard_pins(spark, pins)
         frame = sess.push_dep_frame()
+        pin_frame = sess.push_pin_frame()
         try:
             df = fn(spark, sf_dir)
         finally:
             sess.pop_dep_frame(frame)
-        _PLAN_CACHE[key] = (df, tuple(frame))
+            sess.pop_pin_frame(pin_frame)
+        _PLAN_CACHE[key] = (df, tuple(frame), tuple(pin_frame))
         return df
 
     prepared.__name__ = getattr(fn, "__name__", name)

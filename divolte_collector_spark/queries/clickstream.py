@@ -18,7 +18,7 @@ from divolte_collector_spark.operators.sessionize import (
 )
 from divolte_collector_spark.queries import query
 from divolte_collector_spark.queries.tpch import cents, sum_money
-from divolte_collector_spark.session import load_table
+from divolte_collector_spark.session import load_table, track_persist
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,12 +209,11 @@ GROUP BY a.day
     aliases=("day1_retention",),
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    du = (
+    du = track_persist(  # both sides of the self-join; without it the
+        # events scan + distinct executes twice (no AQE subtree reuse)
         _events(spark, sf_dir)
         .select(F.to_date(F.col("ts")).alias("day"), "user_id")
         .distinct()
-        .persist()  # both sides of the self-join; without it the
-        # events scan + distinct executes twice (no AQE subtree reuse)
     )
     nxt = du.select(
         F.col("user_id").alias("b_user"), F.col("day").alias("b_day")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
 from divolte_collector_spark.queries._persist import detach_result
-from divolte_collector_spark.session import load_table
+from divolte_collector_spark.session import load_table, track_persist
 
 PLANT_OFFSET = 1_000_000
 MINHASH_K = 16
@@ -144,10 +144,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism
     )  # single-file scan: parallelize shingle generation (see minhash)
-    sh = planted.select(
-        "doc_id", F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle")
-    ).persist()  # three consumers (counts + both self-join sides);
-    # the shingle explode would otherwise run three times
+    sh = track_persist(  # three consumers (counts + both self-join
+        # sides); the shingle explode would otherwise run three times
+        planted.select(
+            "doc_id",
+            F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle"),
+        )
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -325,7 +328,7 @@ def _lsh_candidate_pairs(
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism
     )
-    doc_agg = _lsh_doc_agg(planted).persist()
+    doc_agg = track_persist(_lsh_doc_agg(planted))
     band = _lsh_bands(doc_agg)
     ba = band.alias("ba")
     bb = band.alias("bb")
@@ -556,10 +559,8 @@ def _clustered_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist: CC's per-round actions would otherwise re-run the whole
     # LSH + verify pipeline once per label-propagation round
-    edges = (
-        minhash_verified_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.5)
-        .persist()
+    edges = track_persist(
+        minhash_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
     )
     warn_if_pair_blowup(edges.count(), _docs(spark, sf_dir).count())
     return connected_components(edges, src="doc_a", dst="doc_b").select(
@@ -1314,10 +1315,12 @@ def q_duplicate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = planted.select(
-        "doc_id",
-        F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle"),
-    ).persist()  # both sides of the count-join read it
+    sh = track_persist(  # both sides of the count-join read it
+        planted.select(
+            "doc_id",
+            F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle"),
+        )
+    )
     owners = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.sum((F.col("n_docs") > 1).cast("long"))
     n = F.count(F.lit(1))
@@ -2600,7 +2603,7 @@ def q_sig_index_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(f"{base}/docs")
 
         # ---- ingest: ONLY the batch pays signature cost ----
-        batch_agg = _lsh_doc_agg(batch).persist()
+        batch_agg = track_persist(_lsh_doc_agg(batch))
         idx_bands = spark.read.parquet(f"{base}/bands")
         cand = (
             _lsh_bands(batch_agg)
@@ -3099,7 +3102,7 @@ def q_dedup_star_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
         spark.sparkContext.defaultParallelism
     )
-    doc_agg = _lsh_doc_agg(planted).persist()
+    doc_agg = track_persist(_lsh_doc_agg(planted))
     band = _lsh_bands(doc_agg)
     hub = band.groupBy("band_id", "band_key").agg(
         F.min("doc_id").alias("hub")
@@ -3138,12 +3141,12 @@ def q_dedup_star_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("n_a") + F.col("n_b") - F.col("n_common")
         )
         .select("doc_a", "doc_b")
-        # CC runs one action per label-propagation round; without this
-        # persist every round re-executes the band join + verify stage
-        # off the doc_agg cache (measured: the 100x point ran >9 min;
-        # with the edge list pinned it is the CC rounds alone)
-        .persist()
     )
+    # CC runs one action per label-propagation round; without this
+    # persist every round re-executes the band join + verify stage
+    # off the doc_agg cache (measured: the 100x point ran >9 min;
+    # with the edge list pinned it is the CC rounds alone)
+    verified = track_persist(verified)
     cc = connected_components(verified, src="doc_a", dst="doc_b").select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -3828,11 +3831,17 @@ def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.col("n_chars").cast("long").alias("w")
     )
+    from divolte_collector_spark.plans import bounded_local_relation
+
     # the prefix scan's driver-side bucket loop already computes the
     # grand total — building the grid from it as literals deletes the
-    # second corpus scan + one-partition agg an F.sum formulation pays
+    # second corpus scan + one-partition agg an F.sum formulation pays.
+    # The grid feeds a range (non-equi) broadcast join, so it is built
+    # through bounded_local_relation: the loop-join guard accepts the
+    # BNLJ side on the REGISTERED row count, not on trusting RDD scans.
     cum, total = global_cumsum_with_total(d, "doc_id", "w")
-    grid = spark.createDataFrame(
+    grid = bounded_local_relation(
+        spark,
         [(j, j * int(total) // _PPS_K) for j in range(_PPS_K)],
         "sample_idx int, pos long",
     )

@@ -28,7 +28,7 @@ from divolte_collector_spark.queries.tpch import (
     rev_e4,
     sum_money,
 )
-from divolte_collector_spark.session import load_table
+from divolte_collector_spark.session import load_table, track_persist
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -358,10 +358,12 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
     s = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        sum_money(rev_e4(), 10000.0).alias("total_revenue")
-    ).persist()  # feeds both the MAX and the filter; AQE does not
-    # reuse the duplicated agg subtree (0 ReusedExchange measured)
+    rev = track_persist(  # feeds both the MAX and the filter; AQE does
+        # not reuse the duplicated agg subtree (0 ReusedExchange measured)
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            sum_money(rev_e4(), 10000.0).alias("total_revenue")
+        )
+    )
     # Scalar subquery as a broadcast 1-row cross join — NOT a global
     # window, which would funnel `rev` through a single partition.
     mx = rev.agg(F.max("total_revenue").alias("_mx"))

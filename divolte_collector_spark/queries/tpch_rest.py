@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
-from divolte_collector_spark.session import load_table
+from divolte_collector_spark.session import load_table, track_persist
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -111,11 +111,13 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unit_cost")
         )
     )
-    eu_supply = supply.join(
-        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
-    ).persist()  # consumed by the per-part MIN and the outer join;
-    # without this the lineitem aggregation executes twice (AQE showed
-    # no ReusedExchange for the duplicated subtree)
+    eu_supply = track_persist(  # consumed by the per-part MIN and the
+        # outer join; without this the lineitem aggregation executes
+        # twice (AQE showed no ReusedExchange for the duplicated subtree)
+        supply.join(
+            F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+    )
     # Decorrelated MIN: per-part minimum over the already-region-filtered
     # supply, joined back on the part key (map-side: same partitioning).
     min_cost = eu_supply.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
@@ -191,12 +193,13 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("part_value")
         )
-    ).persist()
+    )
     # The per-part aggregate feeds BOTH the total and the filter; it is
     # far smaller than lineitem (|parts| rows) and AQE does NOT reuse
     # the duplicated subtree (verified: 0 ReusedExchange, the fact agg
-    # ran twice) — persist() makes the reuse explicit. Scalar total as
-    # a broadcast 1-row cross join, never a global window.
+    # ran twice) — the tracked persist makes the reuse explicit. Scalar
+    # total as a broadcast 1-row cross join, never a global window.
+    value_by_part = track_persist(value_by_part)
     total = value_by_part.agg((F.sum("part_value") * 0.001).alias("_threshold"))
     return (
         value_by_part.join(F.broadcast(total))

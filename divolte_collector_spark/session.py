@@ -245,6 +245,89 @@ def pop_dep_frame(frame: list) -> None:
             _DEP_STACK.pop()
 
 
+# Persist ownership (VERDICT r11 item 4): gated query builds persist
+# intermediate relations that the RETURNED plan still reads (rank-scan
+# inputs, self-join sides), so they cannot be unpersisted inside the
+# build — but a long-lived session executing many gated queries would
+# otherwise accumulate cached relations until something external calls
+# clearCache(). track_persist() records every such persist per
+# application; queries.release_caches(spark) (and plan-cache eviction
+# for cache_plan queries) unpersists them. The convention, enforced by
+# tests/test_cache_ownership.py: a gated query never calls .persist()
+# directly — always track_persist — so every cache the engine creates
+# has a release path.
+_TRACKED_PERSISTS: dict[str, list] = {}
+
+
+def track_persist(df):
+    """``df.persist()`` + registration for later release. Evicts dead
+    applications' records on every call (their JVM caches died with
+    the session; holding the Python refs would pin plans forever)."""
+    app_id = df.sparkSession.sparkContext.applicationId
+    for k in [k for k in _TRACKED_PERSISTS if k != app_id]:
+        del _TRACKED_PERSISTS[k]
+    df.persist()
+    _TRACKED_PERSISTS.setdefault(app_id, []).append(df)
+    for frame in _PIN_STACK:
+        frame.append(df)
+    return df
+
+
+# Pin frames mirror the dependency frames: while a cache_plan build
+# is in flight, track_persist also records into the open frames, so
+# the prepared-plan cache can unpersist exactly ITS build's pins when
+# a table regeneration evicts the entry (otherwise a resident service
+# that rebuilds after regeneration would accumulate one dead cached
+# relation per rebuild until release_caches).
+_PIN_STACK: list[list] = []
+
+
+def push_pin_frame() -> list:
+    frame: list = []
+    _PIN_STACK.append(frame)
+    return frame
+
+
+def pop_pin_frame(frame: list) -> None:
+    if _PIN_STACK and _PIN_STACK[-1] is frame:
+        _PIN_STACK.pop()
+    elif any(f is frame for f in _PIN_STACK):  # defensive: unwind past it
+        while _PIN_STACK and _PIN_STACK[-1] is not frame:
+            _PIN_STACK.pop()
+        if _PIN_STACK:
+            _PIN_STACK.pop()
+
+
+def discard_pins(spark: SparkSession, pins) -> None:
+    """Unpersist a plan-cache entry's recorded persists and drop them
+    from the per-application registry (they are no longer reachable
+    through any live prepared plan)."""
+    reg = _TRACKED_PERSISTS.get(spark.sparkContext.applicationId, [])
+    for df in pins:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        for i, r in enumerate(reg):
+            if r is df:
+                del reg[i]
+                break
+
+
+def release_tracked_persists(spark: SparkSession) -> int:
+    """Unpersist every relation track_persist recorded for this
+    application; returns how many were released. Blocking=False: the
+    executors free the blocks asynchronously."""
+    released = 0
+    for df in _TRACKED_PERSISTS.pop(spark.sparkContext.applicationId, []):
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:  # session torn down mid-release
+            pass
+    return released
+
+
 def pin_session_confs(spark: SparkSession) -> None:
     """The conf pins load_table guarantees on every call — split out
     so a prepared-plan cache hit (which skips load_table) can keep the

@@ -210,7 +210,7 @@ def test_every_gated_query_scale_discipline(spark):
         # one-row broadcast of the graph node count (scalar-subquery)
         "recsys_item_pagerank",
         # one-row broadcast of the global max timestamp
-        "user_rfm_segments",
+        "agg_user_rfm_segments",
         # one-row broadcast of the integer clip bounds
         "value_winsorized_stats",
         # broadcast-5-query-series scan, same shape as the kNN baseline
@@ -735,6 +735,107 @@ def test_loop_join_detector_calibration(spark):
     assert not rowwise_python_nodes(a.select(arrow(F.col("x"))))
 
 
+def test_loop_join_detector_local_relation_boundedness(spark):
+    """Round-12 loophole closure (VERDICT r11 item 2): an RDD-backed
+    local relation (PySpark createDataFrame) on a loop-join broadcast
+    side is bounded ONLY when built through bounded_local_relation(),
+    which registers its row count; an unregistered or oversized one
+    falls through to unbounded. LocalTableScan rows are capped too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import importlib
+
+    from divolte_collector_spark.plans import (
+        bounded_local_relation,
+        unbounded_loop_joins,
+    )
+
+    # plans/__init__ re-exports the audit() FUNCTION under the module's
+    # name, so a plain `import ... as` resolves to the function
+    audit_mod = importlib.import_module("divolte_collector_spark.plans.audit")
+
+    a = spark.read.parquet(f"{SF}/nation.parquet").select(
+        F.col("n_nationkey").alias("x")
+    )
+    # unregistered createDataFrame: the round-11 guard accepted this
+    # shape unconditionally; now it must flag
+    plain = spark.createDataFrame([(i,) for i in range(50)], "y long")
+    assert unbounded_loop_joins(a.crossJoin(F.broadcast(plain)))
+    # registered, small: accepted on the recorded count
+    grid = bounded_local_relation(
+        spark, [(i,) for i in range(50)], "y long"
+    )
+    assert not unbounded_loop_joins(a.crossJoin(F.broadcast(grid)))
+    # the registered frame stays accepted in a NON-EQUI (range) join,
+    # the sample_pps_systematic shape
+    rj = a.join(
+        F.broadcast(grid), (F.col("x") >= F.col("y")) & (F.col("x") < F.col("y") + 5)
+    )
+    assert not unbounded_loop_joins(rj)
+    # oversized registration refuses outright
+    with pytest.raises(ValueError):
+        bounded_local_relation(
+            spark,
+            [(i,) for i in range(audit_mod._LOCAL_RELATION_CAP + 1)],
+            "y long",
+        )
+
+
+def test_loop_join_detector_subquery_and_cartesian(spark):
+    """ADVICE r11: (a) a cartesian/loop join hiding inside a SCALAR
+    SUBQUERY plan (expression-attached, not a child) is swept; (b)
+    CartesianProductExec with BOTH sides structurally bounded is
+    accepted like the BNLJ branch, while an unbounded side still
+    flags."""
+    from pyspark.sql import functions as F
+
+    from divolte_collector_spark.plans import (
+        unbounded_loop_joins,
+        unpartitioned_unbounded_windows,
+    )
+
+    a = spark.read.parquet(f"{SF}/nation.parquet").select(
+        F.col("n_nationkey").alias("x")
+    )
+    b = spark.read.parquet(f"{SF}/region.parquet").select(
+        F.col("r_regionkey").alias("y")
+    )
+    a.createOrReplaceTempView("_cal_a")
+    b.createOrReplaceTempView("_cal_b")
+    try:
+        # scalar subquery whose plan contains an unbounded loop join
+        sq = spark.sql(
+            "SELECT x, (SELECT max(p.x * q.y) FROM _cal_a p "
+            "CROSS JOIN _cal_b q) AS m FROM _cal_a"
+        )
+        assert unbounded_loop_joins(sq)
+        # scalar subquery containing an unpartitioned global window
+        wq = spark.sql(
+            "SELECT x, (SELECT max(r) FROM (SELECT row_number() "
+            "OVER (ORDER BY y) AS r FROM _cal_b)) AS m FROM _cal_a"
+        )
+        assert unpartitioned_unbounded_windows(wq)
+        # bounded x bounded cartesian: forced with the replicate-NL
+        # hint so neither side broadcasts; must NOT flag
+        both = (
+            a.limit(3)
+            .hint("shuffle_replicate_nl")
+            .crossJoin(b.limit(5).hint("shuffle_replicate_nl"))
+        )
+        plan = both._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:  # hint honored on this version
+            assert not unbounded_loop_joins(both)
+        # one unbounded side still flags
+        bad = a.hint("shuffle_replicate_nl").crossJoin(
+            b.hint("shuffle_replicate_nl")
+        )
+        assert unbounded_loop_joins(bad)
+    finally:
+        spark.catalog.dropTempView("_cal_a")
+        spark.catalog.dropTempView("_cal_b")
+
+
 #: BNLJ sides that are SEMANTICALLY bounded but not structurally
 #: provable from the plan: a filter on a literal key range over a
 #: unique key. Each entry is query -> (allowed loop-join count, why
@@ -812,15 +913,16 @@ def test_no_gated_query_has_unpartitioned_unbounded_window(spark):
 
 
 def test_rfm_and_gini_rank_scans_are_partitioned(spark):
-    """The round-11 rewrite criterion: user_rfm_segments (3x ntile)
-    and user_activity_gini (row_number) must rank via the bucketed
+    """The round-11 rewrite criterion: agg_user_rfm_segments (3x
+    ntile) and agg_user_activity_gini (row_number, former names
+    aliased) must rank via the bucketed
     two-phase scan — windows PARTITIONED on the scan bucket, offsets
     broadcast, and no unpartitioned WindowExec anywhere (the repo-wide
     guard asserts the same globally; this pins the specific shape so
     a regression names the query, not just the sweep)."""
     from divolte_collector_spark.plans import unpartitioned_unbounded_windows
 
-    for name in ("user_rfm_segments", "user_activity_gini"):
+    for name in ("agg_user_rfm_segments", "agg_user_activity_gini"):
         df = all_queries()[name].fn(spark, SF)
         assert not unpartitioned_unbounded_windows(df), name
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -50,8 +50,8 @@ CURVE_QUERIES = [
     "doc_tfidf_top_terms",       # tf/df diamond + bounded top-k window
     "token_heavy_hitters",       # CMS candidates + exact verify
     "dedup_simhash",             # banded 64-bit simhash candidates
-    "user_rfm_segments",         # 3x two-phase global rank + closed ntile
-    "user_activity_gini",        # two-phase global rank + integer Gini
+    "agg_user_rfm_segments",     # 3x two-phase global rank + closed ntile
+    "agg_user_activity_gini",    # two-phase global rank + integer Gini
 ]
 # NOTE on vector_nn_descent_graph under replication: replicas are
 # verbatim vector copies, so every node's top-K converges to its own

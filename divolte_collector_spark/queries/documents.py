@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
 from divolte_collector_spark.queries._persist import detach_result
-from divolte_collector_spark.session import load_table, track_persist
+from divolte_collector_spark.session import load_table, spread_scan, track_persist
 
 PLANT_OFFSET = 1_000_000
 MINHASH_K = 16
@@ -141,9 +141,14 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
     aliases=("dedup_ngram_jaccard",),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
-        spark.sparkContext.defaultParallelism
-    )  # single-file scan: parallelize shingle generation (see minhash)
+    planted = spread_scan(
+        with_planted_dups(_docs(spark, sf_dir)), F.col("doc_id")
+    )  # single-file scan: parallelize shingle generation (see minhash);
+    # hash on doc_id, not round-robin: keyless repartition pays a local
+    # sort of (doc_id, text) before the exchange (sortBeforeRepartition,
+    # SPARK-23207) and the deterministic key is retry-safe — measured
+    # ~0.1-0.4 s off every planted-corpus query at sf0.1; adaptive (a
+    # cluster-scale many-file scan skips the exchange, session.py)
     sh = track_persist(  # three consumers (counts + both self-join
         # sides); the shingle explode would otherwise run three times
         planted.select(
@@ -325,9 +330,9 @@ def _lsh_candidate_pairs(
     would serve a stale scaffold) — not worth the machinery for the
     footprint; revisit if the doc corpus ever dwarfs executor storage.
     """
-    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    planted = spread_scan(
+        with_planted_dups(_docs(spark, sf_dir)), F.col("doc_id")
+    )  # adaptive hash spread, not round-robin (see jaccard)
     doc_agg = track_persist(_lsh_doc_agg(planted))
     band = _lsh_bands(doc_agg)
     ba = band.alias("ba")
@@ -781,9 +786,10 @@ HAVING count(*) > 1
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE, cache_plan=True)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
-        spark.sparkContext.defaultParallelism
-    )  # single-file scan: parallelize the per-token hashing (see minhash)
+    planted = spread_scan(
+        with_planted_dups(_docs(spark, sf_dir)), F.col("doc_id")
+    )  # single-file scan: parallelize the per-token hashing (see
+    # minhash); adaptive hash spread, not round-robin (see jaccard)
     tok = planted.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
@@ -1312,9 +1318,9 @@ def q_duplicate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffles (as dedup_minhash_lsh does); kept as strings here for
     engine-exact oracle comparison.
     """
-    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    planted = spread_scan(
+        with_planted_dups(_docs(spark, sf_dir)), F.col("doc_id")
+    )  # adaptive hash spread, not round-robin (see jaccard)
     sh = track_persist(  # both sides of the count-join read it
         planted.select(
             "doc_id",
@@ -3099,9 +3105,9 @@ def q_dedup_star_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from divolte_collector_spark.operators.graph import connected_components
 
-    planted = with_planted_dups(_docs(spark, sf_dir)).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    planted = spread_scan(
+        with_planted_dups(_docs(spark, sf_dir)), F.col("doc_id")
+    )  # adaptive hash spread, not round-robin (see jaccard)
     doc_agg = track_persist(_lsh_doc_agg(planted))
     band = _lsh_bands(doc_agg)
     hub = band.groupBy("band_id", "band_key").agg(

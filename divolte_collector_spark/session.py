@@ -337,6 +337,35 @@ def pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def spread_scan(df, *keys):
+    """Hash-repartition ``df`` across the session's cores ONLY when its
+    current physical parallelism is below them.
+
+    The driver's test tables are single-file/single-row-group parquet,
+    so every scan (and everything narrow above it — IP parsing, probe
+    side of a broadcast join, wide output projections) runs in ONE
+    task; spreading first parallelizes that work (measured 2.5x on the
+    geoip enrichment at sf0.1). On a production many-file table the
+    scan already carries >= cores partitions and this returns ``df``
+    unchanged — no shuffle is added at cluster scale, which is what
+    makes the spread scale-adaptive rather than a local[32] tuning
+    (an unconditional repartition here would be a pure extra exchange
+    of the full stream at 100 TB).
+
+    Hash on the supplied key, not round-robin: a keyless
+    ``repartition(n)`` first pays a local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``, SPARK-23207) and
+    re-draws row placement on retry; the deterministic key skips the
+    sort and is retry-safe. The partition-count probe is driver-side
+    physical planning only (no job); builds behind the prepared-plan
+    cache pay it once per table generation."""
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp, *keys)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 

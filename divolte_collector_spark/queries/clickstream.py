@@ -427,7 +427,11 @@ def q_event_params_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     case falls back through ``coalesce`` to the scalar text wrapped in
     ``array()`` — no Python, no second full parse (the fallback reads
     one path via get_json_object)."""
-    ev = _events(spark, sf_dir)
+    from divolte_collector_spark.session import spread_scan
+
+    # spread: the typed from_json parse otherwise runs serially in the
+    # single scan task (session.spread_scan; no-op at cluster scale)
+    ev = spread_scan(_events(spark, sf_dir), F.col("event_id"))
     k = F.get_json_object(F.col("props"), "$.k")
     # synthesize the parameters document: scalar-tag rows exercise the
     # single-value-as-array path, array-tag rows the plain path, the

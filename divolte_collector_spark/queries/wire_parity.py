@@ -191,7 +191,11 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each event as a JSON-source POST body (snake_case
     EventContainer, ISO-8601 client timestamp), decode through
     sources/json_source.py."""
-    ev = load_table(spark, sf_dir, "events")
+    from divolte_collector_spark.session import spread_scan
+
+    # single-file scan: encode + the decode mapInPandas would otherwise
+    # run in ONE task (and one python worker) — see session.spread_scan
+    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
     iso = F.date_format(
         F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
     )
@@ -243,7 +247,11 @@ FROM events
 def q_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """digest('SHA-256'/'MD5') with hex encoding vs DuckDB's native
     sha256()/md5() (Digester.java piece-concatenation semantics)."""
-    ev = load_table(spark, sf_dir, "events")
+    from divolte_collector_spark.session import spread_scan
+
+    # spread: the two digests per row otherwise hash serially in the
+    # single scan task (session.spread_scan; no-op at cluster scale)
+    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
     piece = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
     return ev.select(
         "event_id",
@@ -278,7 +286,11 @@ def q_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     XFF matrix: absent header (keep peer), multi-hop chain (last entry
     wins), garbage hostname last entry (keep peer), IPv6 literal. The
     oracle predicts every branch directly."""
-    ev = load_table(spark, sf_dir, "events")
+    from divolte_collector_spark.session import spread_scan
+
+    # spread: the header-split python UDF otherwise runs through ONE
+    # worker on the single scan task (session.spread_scan)
+    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
     line = F.concat(
         F.lit("u"), F.col("user_id"), F.lit(" , "), F.col("event_type"),
         F.lit(', "has,comma" , last'),
@@ -603,8 +615,11 @@ def q_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected family per type (fixture-pinning, the reference's own
     strategy for uadetector parity — DslRecordMapperTest.java:107-116)."""
     from divolte_collector_spark.functions.useragent import user_agent_struct
+    from divolte_collector_spark.session import spread_scan
 
-    ev = load_table(spark, sf_dir, "events")
+    # spread: the UA-parse pandas UDF otherwise runs through ONE
+    # worker on the single scan task (session.spread_scan)
+    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
     ua = (
         F.when(F.col("event_type") == "view", F.lit(_UA_BY_TYPE["view"]))
         .when(F.col("event_type") == "click", F.lit(_UA_BY_TYPE["click"]))
@@ -652,7 +667,13 @@ def q_uri_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the query-string multimap. The oracle predicts each field from
     the raw columns, so any defect in parse_url usage, port extraction
     from AUTHORITY, try_url_decode, or multimap multi-value order
-    breaks the hash."""
+    breaks the hash.
+
+    Spread first: the ten accessor parses per row (each
+    ``try_parse_url`` is its own regex parse, and the higher-order
+    multimap expressions are codegen-fallback, i.e. interpreted) ran
+    serially in the single scan task — measured 4.0 s -> sub-second at
+    sf0.1; no-op at cluster scale (session.spread_scan)."""
     from divolte_collector_spark.functions.querystring import (
         qs_multimap,
         qs_value,
@@ -668,8 +689,9 @@ def q_uri_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         uri_raw_query,
         uri_scheme,
     )
+    from divolte_collector_spark.session import spread_scan
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
     url = F.concat(
         F.lit("https://shop.example"),
         F.when(F.col("user_id") % 2 == 0, F.lit(":8443")).otherwise(F.lit("")),
@@ -751,7 +773,13 @@ def q_avro_container(spark: SparkSession, sf_dir: str) -> DataFrame:
             _, decoded = read_container(buf)
             yield pd.DataFrame(decoded, columns=cols)
 
-    ev = load_table(spark, sf_dir, "events").select(
+    from divolte_collector_spark.session import spread_scan
+
+    # spread: the container encode/decode python stage otherwise runs
+    # through ONE worker on the single scan task (session.spread_scan)
+    ev = spread_scan(
+        load_table(spark, sf_dir, "events"), F.col("event_id")
+    ).select(
         F.col("event_id"),
         F.col("event_type").alias("et"),
         F.unix_millis(F.col("ts")).alias("client_ms"),
@@ -791,8 +819,12 @@ def q_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM ``get_json_object`` — and let the oracle predict every result
     from the raw columns."""
     from divolte_collector_spark.functions.jsonops import json_path_auto
+    from divolte_collector_spark.session import spread_scan
 
-    ev = load_table(spark, sf_dir, "events")
+    # spread: the jsonpath-ng Arrow UDF (filter + wildcard paths)
+    # otherwise evaluates through ONE python worker on the single scan
+    # task — measured 5.3 s -> sub-second at sf0.1 (session.spread_scan)
+    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
     doc = F.concat(
         F.lit('{"items":[{"name":"a","price":'),
         (F.col("user_id") % 50).cast("string"),

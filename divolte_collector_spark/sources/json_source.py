@@ -63,7 +63,16 @@ def parse_json_events(
 ) -> DataFrame:
     """Decode JSON-source requests into DivolteEvent columns."""
     body = F.col(body_col)
-    parsed = F.from_json(body, _BODY_SCHEMA)
+    # Stage the body parse ONCE as a struct column. Referencing
+    # ``from_json(body).field`` per output column looks the same but
+    # is 9 independent parses per row: OptimizeJsonExprs prunes each
+    # reference to its own single-field schema, making the subtrees
+    # unequal so codegen subexpression elimination cannot merge them.
+    # The staged column is non-cheap and multiply-referenced, so
+    # CollapseProject keeps the two projections separate (one parse),
+    # and the parse cost drops ~7x on the sf0.1 roundtrip gate.
+    staged = requests.select("*", F.from_json(body, _BODY_SCHEMA).alias("_r"))
+    parsed = F.col("_r")
     # ISO-8601 offset datetime, e.g. 2024-01-02T03:04:05.678+02:00;
     # bad input => null => request dropped (400). Two java-isms Spark's
     # parser lacks are normalized first: lowercase 't'/'z' (those
@@ -92,8 +101,8 @@ def parse_json_events(
         & client_time.isNotNull()
     )
 
-    out = requests.select(
-        "*",
+    out = staged.select(
+        *requests.columns,
         F.lit(False).alias("corrupt_event"),  # DivolteEvent.java:183
         F.col(party_id_col).alias("party_id"),
         parsed.session_id.alias("session_id"),
@@ -113,8 +122,21 @@ def parse_json_events(
         ).alias("event_parameters"),
         # null-safe: octet_length(NULL)/rlike(NULL) propagate NULL, and
         # a NULL _complete row would vanish from BOTH filter(col) and
-        # filter(~col) — an unparseable request is simply incomplete
-        F.coalesce(required_ok, F.lit(False)).alias("_complete"),
+        # filter(~col) — an unparseable request is simply incomplete.
+        # The spark_partition_id() CASE wrapper (always >= 0, so the
+        # value is unchanged) marks the column non-deterministic: left
+        # deterministic, PushDownPredicates clones the ENTIRE
+        # completeness check — six from_json parses, the ISO regex,
+        # try_to_timestamp — below every upstream operator when the
+        # caller filters on _complete (measured 6.5 s vs 0.6 s on the
+        # sf0.1 roundtrip gate, where the clone landed below the
+        # exchange on the serial scan task and re-derived the body per
+        # conjunct). Nothing real is lost: the predicate depends on
+        # the parsed body, so it could never prune a scan anyway.
+        F.when(
+            F.spark_partition_id() >= 0,
+            F.coalesce(required_ok, F.lit(False)),
+        ).otherwise(F.lit(False)).alias("_complete"),
     )
     if request_time_col and request_time_col in requests.columns:
         out = out.withColumn("request_start_time", F.col(request_time_col))

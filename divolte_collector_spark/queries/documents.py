@@ -951,7 +951,10 @@ WHERE rn = 1
     oracle=_CLEAN_ORACLE.format(planted=_PLANTED_SQL),
 )
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planted = with_planted_dups(_docs(spark, sf_dir))
+    # spread: the token filters + md5 ran in the single scan task
+    planted = spread_scan(
+        with_planted_dups(_docs(spark, sf_dir)), F.col("doc_id")
+    )
     toks = tokens_col()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
@@ -1055,7 +1058,9 @@ GROUP BY s.doc_id
 
 @query("decontaminate_against_eval", oracle=_DECONTAM_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # spread: the shingle explode feeds both branches from the single
+    # scan task otherwise (session.spread_scan)
+    docs = spread_scan(_docs(spark, sf_dir), F.col("doc_id"))
     sh = docs.select(
         "doc_id",
         F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias("shingle"),
@@ -1166,6 +1171,8 @@ FROM sig
 
 @query("repetition_filter", oracle=_REPETITION_ORACLE)
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-doc bigram build + two array_distinct passes are
+    # per-row-heavy; spread the single-file scan (session.spread_scan)
     toks = tokens_col()
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
@@ -1179,7 +1186,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_bigram = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast(
         "double"
     ) / (F.size(toks) - 1)
-    return _docs(spark, sf_dir).select(
+    return spread_scan(_docs(spark, sf_dir), F.col("doc_id")).select(
         "doc_id",
         F.round(dup_tok, 6).alias("dup_token_ratio"),
         F.round(dup_bigram, 6).alias("dup_bigram_ratio"),
@@ -2076,8 +2083,9 @@ FROM est e CROSS JOIN exact x
 
 @query("sketch_corpus_overlap", oracle=_OVERLAP_ORACLE)
 def q_sketch_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread: shingle explode + md5 otherwise serial in the scan task
     sh = (
-        _docs(spark, sf_dir)
+        spread_scan(_docs(spark, sf_dir), F.col("doc_id"))
         .select(
             (F.col("doc_id") % 2).alias("corpus"),
             F.explode(F.expr(shingles_expr("split(text, ' ')"))).alias(
@@ -2829,7 +2837,10 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task window."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    # spread: the bigram posexplode + per-bigram md5/conv runs twice
+    # (LM build and scoring join) and was serial in the single scan
+    # task both times (measured 6.4 s at sf0.1; session.spread_scan)
+    docs = spread_scan(_docs(spark, sf_dir), F.col("doc_id"))
     arr = F.split("text", " ")
     bgs = F.when(
         F.size(arr) >= 2,

@@ -29,6 +29,19 @@ TOP_K = 5
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
+def _emb_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_emb`` behind the adaptive spread (session.spread_scan): the
+    heavy interpreted vector math (norms, dots, PQ sub-distances, LSH
+    plane projections) otherwise runs in the ONE task the single-file
+    test scan produces. Used by the per-vector-heavy queries only; the
+    tiny-probe queries (knn/ivf bucketed, rrf) measured a net loss
+    from the extra exchange on their broadcast-build side and keep the
+    raw scan."""
+    from divolte_collector_spark.session import spread_scan
+
+    return spread_scan(_emb(spark, sf_dir), F.col("vec_id"))
+
+
 
 def as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
@@ -199,8 +212,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs.  All-pairs at test SF; the
     documented scale path is the bucketed variant (ann_ivf_bucketed)
     or sign-LSH pre-bucketing — an all-pairs join would not survive
-    100 TB and is kept only as the exact baseline."""
-    e = _emb(spark, sf_dir).select(
+    100 TB and is kept only as the exact baseline.
+
+    The probe side is spread first: on the single-file test table the
+    broadcast-nested-loop probe evaluated ALL |V|^2/2 interpreted
+    cosines in the one scan task (measured 23.6 s at sf0.1; ~1 s
+    spread across cores). No-op on a parallel scan
+    (session.spread_scan)."""
+    from divolte_collector_spark.session import spread_scan
+
+    e = spread_scan(_emb(spark, sf_dir), F.col("vec_id")).select(
         "vec_id", as_double("embedding").alias("emb")
     ).withColumn("nrm", norm(F.col("emb")))
     a = e.select(
@@ -366,7 +387,7 @@ def lloyd_iterate(
 def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb_s(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
     c0 = [
         (int(r.vec_id), [float(x) for x in r.emb])
         for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
@@ -474,7 +495,7 @@ def q_ivf_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), one posexplode+groupBy shuffle bounded by K x dims."""
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb_s(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
     c0 = [
         (int(r.vec_id), [float(x) for x in r.emb])
         for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
@@ -568,7 +589,7 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a narrow map (N_PLANES JVM-side dots against driver-held planes),
     candidate generation shuffles on (band, key), verification runs
     once per DISTINCT candidate pair."""
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb_s(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
     planes = sorted(
         (int(r.vec_id), [float(x) for x in r.emb])
         for r in e.filter(F.col("vec_id") < N_PLANES).collect()
@@ -816,7 +837,7 @@ FROM best WHERE rn = 1 GROUP BY vec_id
 def q_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb_s(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
     js = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
     subvec = F.slice("emb", F.col("j") * PQ_D + 1, PQ_D)
     sub = e.select("vec_id", "emb", js).select(
@@ -924,7 +945,7 @@ FROM enc GROUP BY vec_id
 def q_vector_pq_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb_s(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
     js = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
     subvec = F.slice("emb", F.col("j") * PQ_D + 1, PQ_D)
     sub = e.select("vec_id", "emb", js).select(
@@ -1140,7 +1161,7 @@ GROUP BY x.query_id
 def q_recall_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select(
+    e = _emb_s(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb"), "label"
     ).withColumn("nrm", norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
@@ -1237,7 +1258,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 decimals so both engines agree bitwise), then within-cluster
     near-duplicate pairs above the cosine threshold; each removed
     vector reports its lowest-id keeper."""
-    e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
+    e = _emb_s(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
     c0 = [
         (int(r.vec_id), [float(x) for x in r.emb])
         for r in e.filter(F.col("vec_id") < N_CLUSTERS).collect()
@@ -1379,7 +1400,7 @@ def q_vector_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines add the same doubles in the same order."""
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select(
+    e = _emb_s(spark, sf_dir).select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     js = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j")
@@ -1554,7 +1575,7 @@ def q_vector_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines add the same doubles in the same sequence."""
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select(
+    e = _emb_s(spark, sf_dir).select(
         "vec_id", "label", as_double("embedding").alias("emb")
     ).withColumn("nrm", norm(F.col("emb")))
     src = e.filter(F.col("vec_id") % 2 == 0).select(
@@ -1757,7 +1778,7 @@ def q_recall_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select(
+    e = _emb_s(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     c0 = [
@@ -2147,7 +2168,7 @@ def _nnd_graphs(
     from pyspark.sql import Window
 
     e = (
-        _emb(spark, sf_dir)
+        _emb_s(spark, sf_dir)
         .select("vec_id", as_double("embedding").alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
     )
@@ -2271,7 +2292,7 @@ def _nnd_exact_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = (
-        _emb(spark, sf_dir)
+        _emb_s(spark, sf_dir)
         .select("vec_id", as_double("embedding").alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
     )
@@ -2609,7 +2630,7 @@ def _bq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return (
-        _emb(spark, sf_dir)
+        _emb_s(spark, sf_dir)
         .select("vec_id", as_double("embedding").alias("emb"))
         .select("vec_id", word(0).alias("w0"), word(1).alias("w1"))
     )

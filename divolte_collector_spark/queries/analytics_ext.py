@@ -1035,9 +1035,13 @@ def q_recsys_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (nn, deg, both fold steps' joins, and deg's reuse in
     # c1 + the final join) — persist so it executes once (the repo's
     # multi-consumer convention; without it the whole subtree re-ran
-    # per consumer: 22 s -> ~5 s at sf0.1)
+    # per consumer: 22 s -> ~5 s at sf0.1). SHUFFLE_HASH on the
+    # per-order self-join: sort-merge sorts BOTH 600k-row sides by
+    # order key before joining (measured 2.68 s; hash build 0.69 s) —
+    # the build side is one AQE-sized partition of (order, part)
+    # pairs, bounded at any scale (guide §3.1).
     pairs = track_persist(
-        a.join(b, "ok")
+        a.join(b.hint("shuffle_hash"), "ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()

@@ -875,8 +875,11 @@ GROUP BY 1
 @query("url_canonical_dedup", oracle=_URL_CANON_ORACLE)
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from divolte_collector_spark.functions.urlcanon import with_canonical_url
+    from divolte_collector_spark.session import spread_scan
 
-    ev = load_table(spark, sf_dir, "events")
+    # spread: the canonicalization projection is map-side (below the
+    # groupBy exchange) and otherwise runs in the single scan task
+    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
     uid, eid = F.col("user_id"), F.col("event_id")
     messy = F.concat(
         F.when(uid % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
@@ -1151,6 +1154,9 @@ def domain_suffix_chain(host):
 
 @query("url_blocklist_filter", oracle=_URL_BLOCKLIST_ORACLE)
 def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (spread_scan measured no win here — the suffix-chain projection
+    # is cheap and the count aggregation dominates; left unspread so
+    # the single-shuffle plan pin holds)
     ev = load_table(spark, sf_dir, "events")
     host = F.concat(
         F.lit("www.shop"), (F.col("user_id") % 5).cast("string"),

@@ -1022,7 +1022,11 @@ def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i, " ".join(toks[i * stride : i * stride + size])
 
     spark.udtf.register("chunk_document", ChunkDocument)
-    _docs(spark, sf_dir).createOrReplaceTempView("_chunk_docs_in")
+    # spread: the per-row UDTF eval otherwise runs through ONE python
+    # worker on the single scan task (session.spread_scan)
+    spread_scan(_docs(spark, sf_dir), F.col("doc_id")).createOrReplaceTempView(
+        "_chunk_docs_in"
+    )
     return spark.sql(
         "SELECT c.doc_id, c.chunk_id, c.chunk_text "
         "FROM _chunk_docs_in, LATERAL chunk_document(doc_id, text) c"
@@ -3755,7 +3759,9 @@ def q_text_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, t) for i, q in _RERANK_QUERIES for t in q.split()],
         "query_id int, term string",
     )
-    docs = _docs(spark, sf_dir)
+    # spread: the token explode + term filter are map-side and
+    # otherwise run in the single scan task (session.spread_scan)
+    docs = spread_scan(_docs(spark, sf_dir), F.col("doc_id"))
     tf = (
         docs.select("doc_id", F.explode(tokens_col()).alias("term"))
         .filter(F.col("term").isin(list(_RERANK_ALL_TERMS)))

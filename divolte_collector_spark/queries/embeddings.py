@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from divolte_collector_spark.queries import query
 from divolte_collector_spark.queries._persist import detach_result
-from divolte_collector_spark.session import load_table
+from divolte_collector_spark.session import load_table, track_persist
 
 N_QUERY_VECTORS = 20
 TOP_K = 5
@@ -1586,11 +1586,18 @@ def q_vector_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("tgt_id"), "label",
         F.col("emb").alias("t_emb"), F.col("nrm").alias("t_nrm"),
     )
-    pairs = src.join(tgt, "label").select(
-        "src_id", "tgt_id",
-        cosine_pre(
-            F.col("s_emb"), F.col("t_emb"), F.col("s_nrm"), F.col("t_nrm")
-        ).alias("cos"),
+    # the scored pair relation feeds THREE consumers (fwd twice — the
+    # forward average and the margin join — plus the backward pass);
+    # persist so the per-bucket cosine scoring executes once instead
+    # of three times (multi-consumer convention; interleaved A/B at
+    # sf0.1: 5.9/1.9/1.7 s -> 2.3/1.4/1.1 s)
+    pairs = track_persist(
+        src.join(tgt, "label").select(
+            "src_id", "tgt_id",
+            cosine_pre(
+                F.col("s_emb"), F.col("t_emb"), F.col("s_nrm"), F.col("t_nrm")
+            ).alias("cos"),
+        )
     )
     wf = Window.partitionBy("src_id").orderBy(
         F.col("cos").desc(), F.col("tgt_id")

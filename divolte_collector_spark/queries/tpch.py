@@ -415,7 +415,21 @@ WHERE rnk <= 3
 
 @query("window_top_parts_per_brand", oracle=_TOP_PARTS_ORACLE)
 def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from divolte_collector_spark.session import spread_scan
+
+    # spread the 3-column fact projection before the broadcast probe:
+    # the join probe + the 20k-group (brand, part) partial aggregation
+    # otherwise run inside the single-task scan (unlike q1, whose
+    # 4-group partial agg made the same spread a net loss — negative
+    # result recorded in OPTIMIZATION_r12.md). Interleaved A/B at
+    # sf0.1: 4.3/2.6/1.5 s -> 2.5/0.9/0.9 s; adaptive no-op on a
+    # many-partition production scan.
+    li = spread_scan(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"
+        ),
+        F.col("l_partkey"),
+    )
     p = _t(spark, sf_dir, "part")
     pr = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)

@@ -850,14 +850,20 @@ WITH per_user AS (
 ranked AS (
     SELECT c, CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS i
     FROM per_user
+),
+agg AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(c) AS HUGEINT) AS t,
+           CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS s,
+           max(c) AS mx
+    FROM ranked
 )
-SELECT CAST(count(*) AS BIGINT) AS n_users,
-       sum(c) AS n_events,
-       max(c) AS max_user_events,
-       round(CAST(2 * sum(CAST(i AS HUGEINT) * c) AS DOUBLE)
-             / (count(*) * sum(c))
-             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
-FROM ranked
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(t AS BIGINT) AS n_events,
+       mx AS max_user_events,
+       CAST((2 * (2 * s - t * (n + 1)) * 1000000 + n * t)
+            // (2 * n * t) AS DOUBLE) / 1000000.0 AS gini
+FROM agg
 """
 
 
@@ -885,17 +891,33 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         memo=(f"{sf_dir}/events.parquet", "gini:c"),
     )
     ranked = ranked.select("c", "i")
-    n = F.count(F.lit(1))
-    return ranked.agg(
-        n.alias("n_users"),
+    # gini = (2S - T(n+1)) / (nT) with S, T, n exact integers, and the
+    # 6-decimal rounding ALSO in integer space (the sum_money
+    # discipline, tpch.py:50-72): scaled = (2*A*10^6 + B) div (2*B)
+    # with A = 2S - T(n+1) >= 0 and B = nT > 0 is exact HALF_UP —
+    # `div` is exact integral division, whereas a decimal `/` would
+    # pre-round the quotient to scale 6 and can flip the floor at a
+    # representation boundary. The final int/10^6 double division is
+    # bit-identical in any IEEE engine; nothing float-space remains
+    # for a DuckDB/Spark round() implementation to disagree on.
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
         F.sum("c").alias("n_events"),
         F.max("c").alias("max_user_events"),
-        F.round(
-            (2 * F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")))
-            .cast("double")
-            / (n * F.sum("c"))
-            - (n + 1).cast("double") / n,
-            6,
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")).alias("_s"),
+    )
+    dec_n = "CAST(n_users AS DECIMAL(38,0))"
+    dec_t = "CAST(n_events AS DECIMAL(38,0))"
+    return agg.select(
+        "n_users",
+        "n_events",
+        "max_user_events",
+        (
+            F.expr(
+                f"(2 * (2 * _s - {dec_t} * (n_users + 1)) * 1000000"
+                f" + {dec_n} * {dec_t}) div (2 * {dec_n} * {dec_t})"
+            ).cast("double")
+            / F.lit(1000000.0)
         ).alias("gini"),
     )
 

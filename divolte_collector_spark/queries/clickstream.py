@@ -1067,7 +1067,7 @@ SELECT user_id,
        CAST(sum(CASE WHEN depth_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_late,
        max(depth_us) AS max_depth_us,
-       sum(depth_us) AS total_late_us
+       CAST(sum(depth_us) AS BIGINT) AS total_late_us
 FROM d GROUP BY user_id
 """
 

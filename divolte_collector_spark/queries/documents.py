@@ -2762,8 +2762,19 @@ def q_span_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate (doc, position) rows re-join their doc's token array to
     # rebuild the window text: both sides descend from the SAME
     # doc_id-repartitioned scan, so the join is co-partitioned — no new
-    # exchange, and the rebuild is sliver-sized, not corpus-sized
-    sliver_idx = winh.join(cand_hashes, "h", "left_semi")
+    # exchange, and the rebuild is sliver-sized, not corpus-sized.
+    # F.broadcast pins the semi-probe as a broadcast join: the measured
+    # no-new-exchange shape RELIES on it (a shuffled semi-join on h
+    # would destroy the doc_id clustering and re-exchange the base
+    # join). cand_hashes is the duplicated-window hash sliver — small
+    # under the same heavy-hitter assumption the two-phase design
+    # already makes; if it ever outgrew the broadcast cap the job fails
+    # loudly at the exchange rather than silently re-shuffling.
+    # NOTE the deliberate double execution of the base subtree (winh
+    # branch + this rebuild join): persisting the (doc_id, t) token
+    # arrays would pin the corpus's heaviest column in executor memory
+    # to save one re-split of text.
+    sliver_idx = winh.join(F.broadcast(cand_hashes), "h", "left_semi")
     sliver = sliver_idx.join(base.select("doc_id", "t"), "doc_id").select(
         "doc_id",
         "i",

@@ -358,7 +358,22 @@ def spread_scan(df, *keys):
     re-draws row placement on retry; the deterministic key skips the
     sort and is retry-safe. The partition-count probe is driver-side
     physical planning only (no job); builds behind the prepared-plan
-    cache pay it once per table generation."""
+    cache pay it once per table generation.
+
+    Gating semantics, stated precisely: ANY frame whose physical
+    parallelism is below ``defaultParallelism`` is repartitioned — not
+    just single-file test tables. A mid-size production table with,
+    say, 16 splits on a 32-core session pays one exchange here; that
+    is the intended trade (the callers all run per-row-heavy parse/
+    probe/python stages directly above the scan, where idle cores cost
+    more than one narrow exchange — guide §2.6/§4), but it IS an
+    exchange the caller did not write. Deployments that prefer the
+    under-parallel scan to the shuffle can raise the effective floor
+    by sizing ``spark.sql.files.maxPartitionBytes`` down instead. The
+    probe reads ``df.rdd.getNumPartitions()`` — a non-AQE physical
+    plan + RDD lineage build, driver-only, no job; measured ~10-30 ms
+    per call on these plans and amortized to once per table generation
+    for every ``cache_plan`` query."""
     spark = df.sparkSession
     dp = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= dp:

@@ -71,8 +71,15 @@ def parse_json_events(
     # The staged column is non-cheap and multiply-referenced, so
     # CollapseProject keeps the two projections separate (one parse),
     # and the parse cost drops ~7x on the sf0.1 roundtrip gate.
-    staged = requests.select("*", F.from_json(body, _BODY_SCHEMA).alias("_r"))
-    parsed = F.col("_r")
+    # collision-safe staged name: an input that already carries `_r`
+    # would otherwise make every `F.col(staged)` reference ambiguous
+    staged_name = "_r"
+    while staged_name in requests.columns:
+        staged_name += "_"
+    staged = requests.select(
+        "*", F.from_json(body, _BODY_SCHEMA).alias(staged_name)
+    )
+    parsed = F.col(staged_name)
     # ISO-8601 offset datetime, e.g. 2024-01-02T03:04:05.678+02:00;
     # bad input => null => request dropped (400). Two java-isms Spark's
     # parser lacks are normalized first: lowercase 't'/'z' (those

@@ -88,10 +88,14 @@ def test_evicted_board_row_still_strict_green(spark, name):
         res = con.execute(rq.oracle)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
+        # type-family audit (the round-12 gini blind spot: fetchall
+        # folds HUGEINT to int, the driver's type-aware hash does not)
+        type_diffs = co.audit_types(con, rq.oracle, sdf.dtypes)
     finally:
         con.close()
     assert sorted(scols) == sorted(dcols), name
     assert len(srows) == len(drows), name
+    assert not type_diffs, f"{name}: type mismatch {type_diffs}"
     s_ms = co.norm_rows(scols, [tuple(r) for r in srows], strict=True)
     d_ms = co.norm_rows(dcols, drows, strict=True)
     assert s_ms == d_ms, f"{name}: value mismatch"

@@ -74,3 +74,118 @@ def test_no_gated_query_emits_negative_zero(spark):
             offenders[name] = bad
         spark.catalog.clearCache()
     assert not offenders, f"negative-zero cells in: {offenders}"
+
+
+# --- oracle output TYPE parity (the round-12 gini blind spot) ---------------
+# The driver's value hash is type-aware: DuckDB HUGEINT (an un-CAST
+# sum(BIGINT)) canonicalizes as decimal128(38,0), never equal to
+# Spark's int64 — but duckdb's fetchall() folds HUGEINT into a python
+# int, so the value-level replica called the row green while the
+# driver failed it (agg_user_activity_gini, round 12). audit_types()
+# closes the gap by comparing the oracle's LIMIT-0 Arrow schema
+# against the Spark dtypes, family-wise.
+
+_ORACLE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def test_type_audit_catches_hugeint_oracle_columns():
+    import duckdb
+
+    co = _load_check_oracle()
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t AS SELECT CAST(1 AS BIGINT) AS c")
+        # un-CAST sum(BIGINT) -> HUGEINT -> decimal128(38,0) via Arrow
+        diffs = co.audit_types(
+            con, "SELECT sum(c) AS s FROM t", [("s", "bigint")]
+        )
+        assert diffs and "decimal128(38, 0)" in diffs[0]
+        # the CAST discipline passes
+        assert co.audit_types(
+            con, "SELECT CAST(sum(c) AS BIGINT) AS s FROM t",
+            [("s", "bigint")],
+        ) == []
+        # int WIDTH is not distinguishable by the driver's value hash
+        assert co.audit_types(
+            con, "SELECT CAST(1 AS INTEGER) AS s FROM t", [("s", "bigint")]
+        ) == []
+        # but decimal SCALE is (Decimal('4.50') != Decimal('4.5'))
+        assert co.audit_types(
+            con, "SELECT CAST(1 AS DECIMAL(12,2)) AS s FROM t",
+            [("s", "decimal(12,3)")],
+        )
+    finally:
+        con.close()
+
+
+def test_no_gated_oracle_returns_hugeint_columns():
+    """Discipline pin: every oracle CASTs integral aggregates, so no
+    oracle output column binds as HUGEINT/decimal128(38,0) — the one
+    DuckDB type fetchall() silently folds into int. Binding is
+    LIMIT 0: nothing executes."""
+    import duckdb
+
+    con = duckdb.connect()
+    offenders = {}
+    try:
+        for t in _ORACLE_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        for name, rq in sorted(all_queries().items()):
+            if rq.oracle is None:
+                continue
+            sch = con.execute(
+                f"SELECT * FROM ({rq.oracle}) _q LIMIT 0"
+            ).arrow().schema
+            bad = [
+                f.name for f in sch if str(f.type) == "decimal128(38, 0)"
+            ]
+            if bad:
+                offenders[name] = bad
+    finally:
+        con.close()
+    assert not offenders, (
+        f"HUGEINT oracle output columns (add CAST(... AS BIGINT), the "
+        f"driver's type-aware hash will fail them): {offenders}"
+    )
+
+
+def test_gini_value_is_exact_integer_space_halfup(spark):
+    """Pin agg_user_activity_gini's 6-decimal value to the exact
+    HALF_UP rounding of the true rational (2S - T(n+1)) / (nT),
+    computed in unbounded python ints — nothing float-space remains
+    for a Spark/DuckDB round() implementation to disagree on."""
+    import duckdb
+
+    rq = all_queries()["agg_user_activity_gini"]
+    row = rq.fn(spark, SF_DIR).collect()[0]
+    spark.catalog.clearCache()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+        )
+        n, t, s = con.execute("""
+            WITH per_user AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id
+            ),
+            ranked AS (
+                SELECT c, CAST(row_number() OVER (ORDER BY c, user_id)
+                               AS BIGINT) AS i
+                FROM per_user
+            )
+            SELECT count(*), sum(c), sum(CAST(i AS HUGEINT) * c)
+            FROM ranked
+        """).fetchone()
+    finally:
+        con.close()
+    n, t, s = int(n), int(t), int(s)
+    a, b = 2 * s - t * (n + 1), n * t
+    exact = ((2 * a * 1000000 + b) // (2 * b)) / 1e6
+    assert row["gini"] == exact
+    assert row["n_users"] == n and row["n_events"] == t

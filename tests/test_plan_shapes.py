@@ -16,6 +16,28 @@ def _audit(spark, name: str):
     return audit(all_queries()[name].fn(spark, SF))
 
 
+def _assert_only_spread_exchanges(spark, name: str, key: str):
+    """Every Exchange in the plan (if any) must be the session
+    spread_scan itself — hashpartitioning on the spread key. Keeps the
+    regression-detection power of the old ``n_exchanges == 0`` gates:
+    an accidental join/aggregate/round-robin shuffle hashes on a
+    different key (or none) and fails here, while the adaptive spread
+    (absent on a cluster-scale many-partition scan) passes."""
+    import re
+
+    plan = explain_formatted(all_queries()[name].fn(spark, SF))
+    args = re.findall(
+        r"\(\d+\) Exchange\s*\nInput[^\n]*\nArguments: ([^\n]+)", plan
+    )
+    n_exchanges = len(
+        re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    )
+    assert len(args) == n_exchanges, (name, plan)
+    assert len(args) <= 1, (name, args)
+    for a in args:
+        assert a.startswith(f"hashpartitioning({key}#"), (name, a)
+
+
 def test_q6_filters_pushed_to_scan(spark):
     a = _audit(spark, "q6_forecast_revenue")
     # all predicates reach the parquet scan
@@ -66,6 +88,31 @@ def test_sessionize_single_shuffle_on_user(spark):
     assert a.n_exchanges == 1
 
 
+def test_json_source_parses_body_once(spark):
+    """The round-12 json_source fix (sources/json_source.py): the body
+    parse is staged ONCE, and the `_complete` completeness check is
+    guarded by a spark_partition_id() CASE so PushDownPredicates cannot
+    clone the six-parse subtree below the upstream exchange (measured
+    10x). Both rely on CURRENT Catalyst behavior — a Spark upgrade
+    that constant-folds the always-true guard would silently revert to
+    the cloned-predicate plan, which this pin catches as from_json
+    reappearing more than once."""
+    plan = explain_formatted(
+        all_queries()["json_source_roundtrip"].fn(spark, SF)
+    )
+    assert plan.count("from_json") == 1, plan.count("from_json")
+    # the guard survived optimization (not constant-folded away)
+    assert "SPARK_PARTITION_ID" in plan
+    # and the completeness filter stayed ABOVE the decode projection:
+    # the Filter node references the projected _complete column rather
+    # than re-deriving it from `body` (a clone would put a from_json
+    # inside the Filter condition — already excluded by count == 1)
+    import re
+
+    m = re.search(r"\(\d+\) Filter\s*\nInput[^\n]*\nCondition : ([^\n]+)", plan)
+    assert m and "_complete" in m.group(1), m and m.group(1)
+
+
 def test_wire_decode_parses_once(spark):
     # the guarded parse keeps python UDF evaluation to the two decode
     # UDFs (checksum murmur + mincode); no duplicated eval nodes
@@ -97,10 +144,12 @@ def test_jsonpath_filter_single_python_stage(spark):
     # the JVM as get_json_object
     a = _audit(spark, "wire_params_jsonpath")
     assert a.n_python_eval_nodes <= 1
-    # narrow map over the scan; the only exchange is the adaptive
-    # single-file spread (session.spread_scan — absent on a
-    # cluster-scale many-partition scan)
-    assert a.n_exchanges <= 1
+    # narrow map over the scan; the only exchange permitted is the
+    # adaptive single-file spread itself (session.spread_scan — absent
+    # on a cluster-scale many-partition scan). Asserting the exchange
+    # KEY keeps the old zero-exchange gate's regression power: an
+    # accidental join/aggregate shuffle would not hash on event_id.
+    _assert_only_spread_exchanges(spark, "wire_params_jsonpath", "event_id")
 
 
 def test_avro_container_roundtrip_no_shuffle(spark):
@@ -135,10 +184,11 @@ def test_decontamination_broadcasts_eval_side(spark):
 def test_pii_and_repetition_narrow_maps(spark):
     # narrow maps; repetition_filter carries the one adaptive
     # single-file spread exchange (session.spread_scan — absent on a
-    # cluster-scale many-partition scan)
+    # cluster-scale many-partition scan); the exchange-key assertion
+    # keeps the old zero-exchange gate's regression power
     for name in ("pii_redact", "repetition_filter"):
         a = _audit(spark, name)
-        assert a.n_exchanges <= 1, name
+        _assert_only_spread_exchanges(spark, name, "doc_id")
         assert a.n_python_eval_nodes == 0, name
 
 

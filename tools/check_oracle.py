@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 from collections import Counter
@@ -124,6 +125,79 @@ def norm_cell(v, strict=False):
         # Keep the type visible so the oracle gets an explicit CAST.
         return ("dec", str(v)) if strict else f"{float(v):.9g}"
     return v
+
+
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+
+def spark_type_family(dt: str):
+    """Collapse a Spark dtype string to the family the driver's value
+    hash can distinguish. Int WIDTH is not distinguishable (int32 and
+    int64 both canonicalize to a plain integer), but int-vs-decimal
+    IS: DuckDB's fetchall() folds HUGEINT into a python int — hiding
+    it locally — while the driver's canonicalization is type-aware
+    (via Arrow, HUGEINT is decimal128(38,0)); that exact blind spot
+    shipped the round-12 agg_user_activity_gini hash failure
+    (`sum(c) AS n_events` un-CAST in the oracle, green here, red at
+    the driver). Decimal SCALE is kept: Decimal('4.50') != '4.5'."""
+    dt = dt.lower()
+    if dt in _INT_SPARK:
+        return "int"
+    m = re.match(r"decimal\((\d+),(\d+)\)", dt)
+    if m:
+        return ("dec", int(m.group(2)))
+    if dt.startswith("array"):
+        return "list"
+    if dt.startswith("map"):
+        return "map"
+    if dt.startswith("struct"):
+        return "struct"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    return dt
+
+
+def arrow_type_family(t):
+    """DuckDB-oracle side of the same collapse (pyarrow type)."""
+    s = str(t)
+    if s.startswith(("int", "uint")):
+        return "int"
+    m = re.match(r"decimal\d+\((\d+), (\d+)\)", s)
+    if m:
+        return ("dec", int(m.group(2)))
+    if s == "bool":
+        return "boolean"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("date"):
+        return "date"
+    if s.endswith("string"):
+        return "string"
+    if s.endswith("binary"):
+        return "binary"
+    if "list" in s.split("<")[0]:
+        return "list"
+    if s.startswith("map"):
+        return "map"
+    if s.startswith("struct"):
+        return "struct"
+    return s
+
+
+def audit_types(con, sql, spark_dtypes):
+    """Compare the oracle's LIMIT-0 Arrow schema against the Spark
+    result schema, family-wise. Returns a list of mismatch strings
+    (empty = ok). LIMIT 0 binds the query without executing it."""
+    sch = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").arrow().schema
+    sdt = dict(spark_dtypes)
+    diffs = []
+    for f in sch:
+        if f.name not in sdt:
+            continue  # column-name check reports this separately
+        sf, af = spark_type_family(sdt[f.name]), arrow_type_family(f.type)
+        if sf != af:
+            diffs.append(f"{f.name}: spark {sdt[f.name]} vs oracle {f.type}")
+    return diffs
 
 
 def norm_rows(cols, rows, strict=False):
@@ -259,13 +333,25 @@ def main() -> int:
         s_ms = norm_rows(scols, [tuple(r) for r in srows], strict)
         d_ms = norm_rows(dcols, drows, strict)
         ok_vals = s_ms == d_ms
-        status = "OK  " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        type_diffs = []
+        if strict:
+            try:
+                type_diffs = audit_types(con, oracles[name], sdf.dtypes)
+            except Exception as ex:  # audit must not mask a value pass
+                type_diffs = [f"audit error: {str(ex)[:120]}"]
+        ok_types = not type_diffs
+        status = (
+            "OK  " if (ok_cols and ok_count and ok_vals and ok_types)
+            else "FAIL"
+        )
         if status == "FAIL":
             failures.append(name)
         print(
             f"{status}  {name}: rows {len(srows)}/{len(drows)}"
             f" cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'}"
-            f" vals={'ok' if ok_vals else 'MISMATCH'} [{time.time()-t0:.1f}s]",
+            f" vals={'ok' if ok_vals else 'MISMATCH'}"
+            f"{'' if ok_types else ' types=' + '; '.join(type_diffs)}"
+            f" [{time.time()-t0:.1f}s]",
             flush=True,
         )
         if not ok_vals and ok_cols and ok_count:

@@ -19,7 +19,9 @@ sys.path.insert(0, "/root/repo")
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # clamp: attempts=0 would leave `best` None and round(None, 3)
+    # raise AFTER the full (minutes-long) build sweep
+    attempts = max(1, int(sys.argv[2])) if len(sys.argv) > 2 else 2
     out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/query_times.json"
 
     from divolte_collector_spark.queries import all_queries
@@ -65,6 +67,11 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
+                # DELIBERATE session-wide clear: cold timing requires
+                # dropping every cached relation between attempts; it
+                # also discards any track_persist state built so far,
+                # which is fine in this standalone tool (each query
+                # rebuilds its own persists on the next attempt)
                 spark.catalog.clearCache()
             results[name] = {"build": build_s, "exec_min": round(best, 3)}
             print(f"{name}: build {build_s}s exec {round(best,3)}s", flush=True)

@@ -76,6 +76,31 @@ _LONG_MAX = (1 << 63) - 1
 _INT_MIN, _INT_MAX = -(1 << 31), (1 << 31) - 1
 
 
+_B36_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def base36_encode_py(v: "int | None") -> "str | None":
+    """Exact Python twin of :func:`base36_encode` (Java
+    ``Long.toString(v, 36)``): lowercase digits, ``-`` prefix for
+    negatives, ``"0"`` for zero — byte-identical to the JVM
+    ``conv(abs, 10, 36)`` path for every signed-64 value (pinned in
+    tests). Used where a python stage must render a base36 wire param
+    (the wire-roundtrip checksum ``x=``) without an extra JVM hop."""
+    if v is None:
+        return None
+    neg = v < 0
+    if neg:
+        v = -v
+    if v == 0:
+        return "0"
+    out = []
+    while v:
+        out.append(_B36_DIGITS[v % 36])
+        v //= 36
+    s = "".join(reversed(out))
+    return "-" + s if neg else s
+
+
 def try_parse_base36_long_py(s: "str | None") -> "int | None":
     """Exact Python twin of :func:`try_parse_base36_long` (same regex
     gate; same overflow-to-null: ``conv`` saturates at unsigned-64 max

@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from divolte_collector_spark.functions.base36 import base36_encode
-from divolte_collector_spark.functions.checksum import murmur3_32_signed_udf
 from divolte_collector_spark.functions.digests import (
     digest,
     seeded_digest,
@@ -32,7 +31,6 @@ from divolte_collector_spark.functions.headers import (
 from divolte_collector_spark.operators.geoip import geoip_enrich
 from divolte_collector_spark.queries import query
 from divolte_collector_spark.session import load_table
-from divolte_collector_spark.sources.browser import parse_browser_events
 from divolte_collector_spark.sources.json_source import parse_json_events
 
 
@@ -108,63 +106,95 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("v="), v, F.lit(",;"),
         F.lit("w="), w, F.lit(",;"),
     )
-    with_canon = ev.select(
-        "event_id", "ts", "user_id", "event_type", "props", canon.alias("_canon"),
-        p.alias("_p"), s.alias("_s"), v.alias("_v"), e.alias("_e"),
-        n.alias("_n"), fl.alias("_f"), loc.alias("_l"), w.alias("_w"),
-        u.alias("_u"), b36ms.alias("_c"),
-    )
-    x = base36_encode(murmur3_32_signed_udf(F.col("_canon")))
     t_wire = F.concat(
-        F.col("event_type"),
+        t,
         F.when(F.col("event_id") % 13 == 0, F.lit("z")).otherwise(F.lit("")),
     )
-    qs = F.concat_ws(
+    # everything but the x= checksum param — assembled JVM-side so the
+    # python stage receives exactly two strings per row
+    prefix = F.concat_ws(
         "&",
-        F.concat(F.lit("p="), F.col("_p")),
-        F.concat(F.lit("s="), F.col("_s")),
-        F.concat(F.lit("v="), F.col("_v")),
-        F.concat(F.lit("e="), F.col("_e")),
-        F.concat(F.lit("c="), F.col("_c")),
-        F.concat(F.lit("n="), F.col("_n")),
-        F.concat(F.lit("f="), F.col("_f")),
-        F.concat(F.lit("l="), F.col("_l")),
-        F.concat(F.lit("w="), F.col("_w")),
+        F.concat(F.lit("p="), p),
+        F.concat(F.lit("s="), s),
+        F.concat(F.lit("v="), v),
+        F.concat(F.lit("e="), e),
+        F.concat(F.lit("c="), b36ms),
+        F.concat(F.lit("n="), n),
+        F.concat(F.lit("f="), fl),
+        F.concat(F.lit("l="), loc),
+        F.concat(F.lit("w="), w),
         F.concat(F.lit("t="), t_wire),
-        F.concat(F.lit("u="), F.col("_u")),
-        F.concat(F.lit("x="), x),
+        F.concat(F.lit("u="), u),
     )
-    requests = with_canon.select(
-        F.col("event_id").alias("src_event_id"), qs.alias("query_string")
+    parts = ev.select(
+        F.col("event_id").alias("src_event_id"),
+        prefix.alias("_prefix"),
+        canon.alias("_canon"),
     )
-    # Exchange between the encode and decode python stages. Chained
-    # ArrowEvalPython nodes in ONE task pipeline each need their own
-    # python worker -> 2x32 workers forked simultaneously, which
-    # dominated the cold run (~20s at ANY sf; 5s with the exchange —
-    # the two stages then run sequentially and REUSE one 32-worker
-    # fleet). A real ingest has this boundary anyway: the decoder
-    # consumes a Kafka/file source, not an in-task synthesis stage.
-    # Width: every core. The old quarter-of-cores floor-8 width dated
-    # from the two-ArrowEvalPython decode, whose per-task worker-attach
-    # cost favored few fat tasks at sf0.1; after the round-8 rewrite to
-    # ONE mapInPandas crossing the fixed cost is the (reused) fleet
-    # fork alone, and full width wins at every measured volume
-    # (sf0.1: 1.21 s -> 1.08 s; the 10M-row 100x decode was outright
-    # SERIALIZED by the narrow width: 39.4 s -> 24.1 s,
-    # BASELINE.md round 9). At real scale the decode input arrives
-    # already partitioned from Kafka/files and this explicit exchange
-    # exists only to break the synthetic encode->decode pipeline into
-    # two python stages (worker-fleet reuse, see above).
-    width = spark.sparkContext.defaultParallelism
-    requests = requests.repartition(width, "src_event_id")
-    decoded = parse_browser_events(requests)
-    return decoded.select(
+    # ONE fused python crossing: murmur3 the canonical string, render
+    # the x= param (base36_encode_py, the exact twin of the JVM
+    # base36_encode), and decode the finished query string — all in a
+    # single mapInPandas over the spread scan. The previous shape ran
+    # TWO python stages (ArrowEvalPython murmur on the encode side,
+    # MapInPandas decode) split by an explicit repartition exchange,
+    # because chained python stages in one task each fork their own
+    # 32-worker fleet. Fusing removes the second stage, the second
+    # fleet AND the splitting exchange outright (guide §4.1/§2.1):
+    # interleaved sf0.1 A/B 6x, current min 2.772 s / median 4.845 s vs
+    # fused min 1.790 s / median 2.841 s (~1.6x), values identical.
+    from pyspark.sql import types as T
+
+    from divolte_collector_spark.sources.browser import _DECODED_FIELDS
+
+    _SPARK_T = {
+        "boolean": T.BooleanType(),
+        "string": T.StringType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+    }
+    out_schema = T.StructType(
+        [T.StructField("src_event_id", T.LongType())]
+        + [T.StructField(nm, _SPARK_T[tp]) for nm, tp in _DECODED_FIELDS]
+    )
+
+    def _fused(batches):
+        import pandas as pd
+
+        from divolte_collector_spark.functions.base36 import base36_encode_py
+        from divolte_collector_spark.functions.murmur import (
+            murmur3_32_signed_batch,
+        )
+        from divolte_collector_spark.sources.browser import decode_wire_batch
+
+        for pdf in batches:
+            canons = [None if c is None else str(c) for c in pdf["_canon"]]
+            hs = murmur3_32_signed_batch(canons)
+            # concat semantics of the old JVM assembly: null checksum
+            # (null canon) contributes no x= param; null prefix cannot
+            # happen here (concat_ws never nulls) but keep the guard
+            qs = []
+            for pre, h in zip(pdf["_prefix"], hs):
+                pre = None if pre is None else str(pre)
+                if h is None:
+                    qs.append(pre)
+                elif pre is None:
+                    qs.append("x=" + base36_encode_py(h))
+                else:
+                    qs.append(pre + "&x=" + base36_encode_py(h))
+            decoded = decode_wire_batch(qs)
+            out = pd.DataFrame({"src_event_id": pdf["src_event_id"]})
+            for nm, _ in _DECODED_FIELDS:
+                out[nm] = pd.Series(decoded[nm], index=pdf.index, dtype=object)
+            yield out
+
+    decoded = parts.mapInPandas(_fused, out_schema)
+    return decoded.filter(F.col("_complete")).select(
         "src_event_id",
         "party_id",
         "session_id",
-        F.unix_millis(F.col("client_time")).alias("client_ms"),
+        F.col("_client_ms").alias("client_ms"),
         F.col("event_type").alias("et"),
-        F.col("browser.viewport_pixel_width").alias("vw"),
+        F.col("_b_viewport_w").alias("vw"),
         F.get_json_object(F.col("event_parameters"), "$.k").try_cast("long").alias("k"),
         F.col("corrupt_event").alias("corrupt"),
     )

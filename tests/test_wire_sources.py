@@ -672,3 +672,28 @@ def test_base36_py_twins_match_jvm(spark):
         assert try_parse_base36_long_py(c) == jvm[c][0], c
         assert try_parse_base36_int_py(c) == jvm[c][1], c
     assert try_parse_base36_long_py(None) is None
+
+
+def test_base36_encode_py_twin_matches_jvm(spark):
+    """base36_encode_py must be byte-identical to the JVM base36_encode
+    (Long.toString(v, 36)) — the fused wire-roundtrip decode renders
+    the x= checksum param with the python twin (wire_parity.py)."""
+    from divolte_collector_spark.functions.base36 import (
+        base36_encode,
+        base36_encode_py,
+    )
+
+    # -2^63 excluded: the JVM side's F.abs overflows at exactly that
+    # value (and the fused path only ever encodes murmur int32 output)
+    cases = [
+        0, 1, -1, 35, 36, -36, 1295, 1412220184033,
+        (1 << 63) - 1, -((1 << 63) - 1), (1 << 31) - 1, -(1 << 31), 42,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "v long")
+    jvm = {
+        r.v: r.e
+        for r in df.select("v", base36_encode(F.col("v")).alias("e")).collect()
+    }
+    for c in cases:
+        assert base36_encode_py(c) == jvm[c], c
+    assert base36_encode_py(None) is None

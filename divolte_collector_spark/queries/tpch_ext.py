@@ -236,11 +236,24 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
+    # narrow orders projection + SHUFFLE_HASH build. Two regimes, both
+    # deliberate (guide §3.1): at 100 TB orders cannot broadcast, and
+    # the hint picks a hash build of one AQE-sized two-column orders
+    # partition over sort-merge — no sort of either side, skew-safe
+    # (per-order fact rows are basket-bounded). At test SF the static
+    # planner would instead broadcast orders and chain the whole query
+    # onto the single-row-group serial scan task; the hint's exchange
+    # is what parallelizes the probe. The trade: a mid-size deployment
+    # where orders still fits the broadcast cap pays one fact-stream
+    # exchange a broadcast plan would skip. Interleaved sf0.1 A/B 5x:
+    # med 0.68 -> 0.62 s (hint <= base in every pair; the spread_scan
+    # alternative measured WORSE than base, med 1.03 s — the fact
+    # exchange is only worth paying when the join consumes it).
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -442,9 +455,24 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sq") > 150)
         .select("l_orderkey")
     )
+    # SHUFFLE_HASH builds for the semi probe (the >150-qty order-key
+    # sliver) and orders (guide §3.1). The hinted plan exchanges the
+    # fact ONCE on l_orderkey and reuses it three ways: big's groupBy
+    # reads it co-partitioned, and both joins consume it in place with
+    # hash builds of the bounded sliver/orders partitions — at 100 TB
+    # the alternative is sort-merge with a sort of the fact per join
+    # (neither build side broadcasts there). At test SF the static
+    # planner would broadcast both and chain everything onto the
+    # serial single-row-group scan task; the hint's exchange is also
+    # what parallelizes it. Mid-size trade as in q9. Interleaved
+    # sf0.1 A/B 5x: med 0.91 -> 0.49 s (spread_scan alternative only
+    # reached 0.82 — the join-consumed exchange beats a bare spread).
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        li.join(
+            big.withColumnRenamed("l_orderkey", "bk").hint("shuffle_hash"),
+            li.l_orderkey == F.col("bk"), "left_semi",
+        )
+        .join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",

@@ -271,6 +271,14 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Scaled sweeps (10x/100x) can run two checker processes side by
+    # side; DuckDB's default memory budget (~80% of RAM) assumes it
+    # owns the box and the pair OOMs. An explicit cap makes DuckDB
+    # spill to disk instead — affects speed only, never values.
+    mem_cap = os.environ.get("DUCKDB_MEM_LIMIT")
+    if mem_cap:
+        con.execute(f"SET memory_limit='{mem_cap}'")
+        con.execute("SET temp_directory='/tmp/duckspill'")
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written dirs
         # (e.g. tools/scale_data.py output) need a part-file glob —

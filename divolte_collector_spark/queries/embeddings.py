@@ -680,23 +680,34 @@ FROM s
 
 @query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the working scale column is named scale_raw, NOT scale: the final
+    # select aliases round(scale_raw, 9) to the output name "scale", and
+    # a same-named intermediate would let lateral-column-alias
+    # resolution bind the divisor INSIDE the transform lambda to the
+    # rounded alias (observed on Spark 4.1: the lambda's col("scale")
+    # resolved to round(scale,9) while the sibling `when` condition
+    # resolved to the raw input column). Dividing by the rounded scale
+    # flips floor(x/scale + 0.5) on half-integer boundary vectors and
+    # diverges from the oracle, which divides by the unrounded scale —
+    # caught by the 100x sweep (3 vectors in 20M); no driver-SF vector
+    # sits on a boundary, so values there are unchanged by this rename.
     e = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("emb"))
     scale = (
         F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(127.0)
-    ).alias("scale")
+    ).alias("scale_raw")
     s = e.select("vec_id", "emb", scale)
     q = F.when(
-        F.col("scale") == 0,
+        F.col("scale_raw") == 0,
         F.transform(F.col("emb"), lambda x: F.lit(0).cast("long")),
     ).otherwise(
-        F.transform(F.col("emb"), lambda x: F.floor(x / F.col("scale") + 0.5))
+        F.transform(F.col("emb"), lambda x: F.floor(x / F.col("scale_raw") + 0.5))
     )
     # driver-comparable projection: the int8 vector goes out as its
     # compact JSON text ("[1,-3,...]") — both engines' to_json emit the
     # identical byte string, and the canonicalizer can hash it
     return s.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        F.round("scale_raw", 9).alias("scale"),
         F.to_json(q.cast("array<long>")).alias("q"),
     )
 

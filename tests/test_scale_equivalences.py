@@ -332,3 +332,32 @@ def test_lsh_verify_heavy_counts_once_per_table_generation(spark):
     finally:
         cls.count = orig_count
         docs._LSH_HEAVY_CACHE.clear()
+
+
+def test_quantize_divides_by_unrounded_scale(spark, tmp_path):
+    """embedding_quantize_int8 must divide by the RAW scale, not the
+    round(scale, 9) output column.
+
+    Regression pin for a lateral-column-alias hazard: when the working
+    scale column shared the name of the rounded output alias, Spark 4.1
+    resolved the divisor INSIDE the transform lambda to round(scale, 9)
+    — flipping floor(x/scale + 0.5) on half-integer boundary vectors
+    and diverging from the oracle (found by the 100x strict sweep).
+    The vector below is such a boundary case, lifted from the scaled
+    corpus (both values are float32-exact):
+      scale        = 0.2931281328201294 / 127 = 0.002308095534016767
+      x/scale+0.5  = 113.0000013...  -> 113   (raw scale, correct)
+      x/round(scale,9)+0.5 = 112.9999987... -> 112  (the bug)
+    """
+    x0 = 0.2596607506275177
+    mx = 0.2931281328201294
+    df = spark.createDataFrame(
+        [(1, [x0, mx], 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "quantdir")
+    df.write.parquet(f"{out}/embeddings.parquet")
+
+    from divolte_collector_spark.queries.embeddings import q_quantize_int8
+
+    row = q_quantize_int8(spark, out).collect()[0]
+    assert row.q == "[113,127]"

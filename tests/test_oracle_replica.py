@@ -189,3 +189,40 @@ def test_gini_value_is_exact_integer_space_halfup(spark):
     exact = ((2 * a * 1000000 + b) // (2 * b)) / 1e6
     assert row["gini"] == exact
     assert row["n_users"] == n and row["n_events"] == t
+
+
+def test_parallel_norm_rows_matches_serial():
+    """norm_rows fans 200k+ rows over a fork pool; the multiset must be
+    identical to the serial path (same norm_cell, summed sub-Counters).
+    Exercises the value kinds the sweeps actually carry: floats (incl.
+    -0.0/NaN), ints, strings, None, Decimal, datetime, bytes, lists."""
+    import datetime
+    import decimal
+    import sys
+
+    # a real import (not _load_check_oracle): the fork pool resolves
+    # _norm_chunk by module name, so the module must be in sys.modules
+    sys.path.insert(0, "/root/repo/tools")
+    import check_oracle as co
+
+    rows = []
+    for i in range(210_000):
+        rows.append((
+            i % 997,
+            -0.0 if i % 5 == 0 else i * 0.1,
+            float("nan") if i % 1000 == 0 else 1.5,
+            f"s{i % 313}",
+            None if i % 7 == 0 else decimal.Decimal(i) / 100,
+            datetime.datetime(2026, 1, 1 + i % 28),
+            bytes([i % 251]),
+            [i % 3, i % 5],
+        ))
+    cols = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    # force both paths: the parallel cut-in is 200_000 rows
+    par = co.norm_rows(cols, rows, strict=True)
+    seq = co.Counter(
+        tuple(co.norm_cell(r[i], True)
+              for i in sorted(range(len(cols)), key=lambda i: cols[i]))
+        for r in rows
+    )
+    assert par == seq

@@ -200,11 +200,54 @@ def audit_types(con, sql, spark_dtypes):
     return diffs
 
 
-def norm_rows(cols, rows, strict=False):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+_NR_ROWS = None  # fork-shared input for the parallel normalizer
+
+
+def _norm_chunk(args):
+    lo, hi, order, strict = args
     return Counter(
-        tuple(norm_cell(r[i], strict) for i in order) for r in rows
+        tuple(norm_cell(r[i], strict) for i in order)
+        for r in _NR_ROWS[lo:hi]
     )
+
+
+def norm_rows(cols, rows, strict=False):
+    """Normalize a result set to a multiset of canonical tuples.
+
+    Large results (the 10x/100x sweeps hash 10M-row relations) fan the
+    normalization out over a fork pool — each worker applies the SAME
+    ``norm_cell`` to a slice and the sub-Counters are summed, so the
+    multiset is identical to the serial path (pinned by
+    tests/test_oracle_replica.py); only the wall time changes
+    (measured 32 s -> ~5 s per 10M-row side). The fork inherits the
+    rows list copy-on-write; workers never touch the JVM gateway or
+    the DuckDB connection.
+    """
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    procs = min(8, os.cpu_count() or 1)
+    if len(rows) < 200_000 or procs <= 1:
+        return Counter(
+            tuple(norm_cell(r[i], strict) for i in order) for r in rows
+        )
+    global _NR_ROWS
+    _NR_ROWS = rows
+    try:
+        import multiprocessing as mp
+
+        n = len(rows)
+        chunk = (n + procs - 1) // procs
+        with mp.get_context("fork").Pool(procs) as pool:
+            parts = pool.map(
+                _norm_chunk,
+                [(i, min(i + chunk, n), order, strict)
+                 for i in range(0, n, chunk)],
+            )
+    finally:
+        _NR_ROWS = None
+    total = parts[0]
+    for p in parts[1:]:
+        total.update(p)
+    return total
 
 
 def run_oracle_with_timeout(con, sql, timeout_s):
@@ -279,6 +322,11 @@ def main() -> int:
     if mem_cap:
         con.execute(f"SET memory_limit='{mem_cap}'")
         con.execute("SET temp_directory='/tmp/duckspill'")
+    threads_cap = os.environ.get("DUCKDB_THREADS")
+    if threads_cap:
+        # side-by-side sweep shards each default to every hw thread;
+        # capping divides the box instead of thrashing it (speed only)
+        con.execute(f"SET threads={int(threads_cap)}")
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written dirs
         # (e.g. tools/scale_data.py output) need a part-file glob —
@@ -314,6 +362,19 @@ def main() -> int:
             )
             continue
         t0 = time.time()
+        # the DuckDB oracle and the Spark computation are independent
+        # until the compare — run the oracle on a worker thread while
+        # Spark executes (the connection only ever serves ONE query at
+        # a time: the next use, audit_types, happens after the join)
+        fut = None
+        if name in oracles:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(1)
+            fut = pool.submit(
+                run_oracle_with_timeout, con, oracles[name], oracle_timeout
+            )
+            pool.shutdown(wait=False)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -324,14 +385,19 @@ def main() -> int:
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}", flush=True)
+            if fut is not None:
+                con.interrupt()
+                try:
+                    fut.result()
+                except Exception:
+                    pass
             continue
-        if name not in oracles:
+        if fut is None:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]", flush=True)
+            del srows
             continue
         try:
-            dcols, drows = run_oracle_with_timeout(
-                con, oracles[name], oracle_timeout
-            )
+            dcols, drows = fut.result()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {ex}", flush=True)
@@ -367,6 +433,13 @@ def main() -> int:
             diff_d = [k for k in d_ms if d_ms[k] != s_ms.get(k)][:3]
             print(f"      spark-only: {diff_s}")
             print(f"      duck-only : {diff_d}")
+        # a long sweep would otherwise carry every row's result sets as
+        # arena high-water: drop them eagerly (10M-row relations at the
+        # scaled volumes are multiple GB per side)
+        del srows, drows, s_ms, d_ms
+        import gc
+
+        gc.collect()
     print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
 
